@@ -51,8 +51,7 @@ def way_is_area(tags: dict[str, str] | None, refs) -> bool:
     if area == "yes":
         return True
     for k, v in tags.items():
-        base = k.split(":", 1)[0] if k != "building:part" else k
-        if k in AREA_KEYS or base in AREA_KEYS:
+        if k in AREA_KEYS:
             if v in _NON_AREA_VALUES.get(k, ()):
                 continue
             return True

@@ -1,0 +1,302 @@
+"""Feature pipeline: elements → classified, encoded spatial features.
+
+Re-expresses the reference's three producer pipelines
+(/root/reference/src/lib.rs:121-178 nodes, 180-271 ways, 273-397
+relations) as one declarative plan per element kind, unioned
+(the reference's three producers feed one sink channel — here,
+``unionByName``).
+
+Stage map (SURVEY §2):
+  F1 classify  → two broadcast dictionary joins (kv name, key.other)
+  F2 drop place.other / F3 drop empty encodings / F4 degenerate drop
+  F5/F6 area rules → pure column predicates (whole-stage codegen)
+  E1/E2/E3 encode → Arrow-batched pandas UDFs (varint+earcut kernels)
+  A1/A2 bbox → float32 min/max aggregation (done in assemble.py)
+
+Output schema (the eyros (P,V) analog, SURVEY §1.1 row 5):
+  (id long, osm_id long, kind tinyint, feature_type int,
+   minx float, miny float, maxx float, maxy float, encoded binary)
+scalar coordinates ⇒ minx==maxx (Coord::Scalar), intervals otherwise.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.types import BinaryType
+
+from ..functions import areas as _areas
+from ..functions import georender as gr
+from ..functions import tags as tg
+from ..functions.earcut import earcut as _earcut
+from .assemble import assemble_relations, assemble_ways
+
+
+# ---------------------------------------------------------------- F1/F2
+
+def type_table(spark: SparkSession) -> DataFrame:
+    """Broadcast dictionary: feature-type name → numeric id (the
+    georender osm_types analog, reference src/lib.rs:61)."""
+    ids = tg.type_ids()
+    return spark.createDataFrame(
+        [(name, fid) for name, fid in ids.items()], "tname string, ftype int"
+    )
+
+
+def _first_priority_key(tags_col: Column) -> Column:
+    return F.coalesce(
+        *[
+            F.when(tags_col.getItem(k).isNotNull(), F.lit(k))
+            for k in tg.PRIORITY_KEYS
+        ],
+        F.lit(None).cast("string"),
+    )
+
+
+def with_feature_type(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """F1 via broadcast joins; falls back key.other then place.other.
+    Semantics match functions.tags.classify exactly (property-tested)."""
+    types = type_table(spark)
+    key = _first_priority_key(F.col("tags"))
+    df = df.withColumn("_k", key).withColumn(
+        "_kv",
+        F.when(key.isNotNull(), F.concat(key, F.lit("."), F.element_at("tags", key))),
+    )
+    t1 = F.broadcast(types.select(F.col("tname").alias("_kv"), F.col("ftype").alias("_ft_kv")))
+    t2 = F.broadcast(
+        types.select(F.col("tname").alias("_ko"), F.col("ftype").alias("_ft_other"))
+    )
+    df = (
+        df.join(t1, "_kv", "left")
+        .withColumn("_ko", F.when(F.col("_k").isNotNull(), F.concat("_k", F.lit(".other"))))
+        .join(t2, "_ko", "left")
+        .withColumn(
+            "feature_type",
+            F.coalesce("_ft_kv", "_ft_other", F.lit(tg.place_other_id())),
+        )
+        .drop("_k", "_kv", "_ko", "_ft_kv", "_ft_other")
+    )
+    return df
+
+
+def drop_place_other(df: DataFrame) -> DataFrame:
+    """F2 (reference src/lib.rs:61,148,221,324)."""
+    return df.where(F.col("feature_type") != F.lit(tg.place_other_id()))
+
+
+# ---------------------------------------------------------------- F5/F6
+
+def way_is_area_col(tags_col: Column, refs_col: Column) -> Column:
+    """F6 as a pure column predicate — same rule table as
+    functions.areas.way_is_area (osm-is-area public semantics)."""
+    closed = (F.size(refs_col) >= 4) & (
+        F.element_at(refs_col, 1) == F.element_at(refs_col, -1)
+    )
+    area_tag = tags_col.getItem("area")
+
+    def _entry_matches(e):
+        cond = e.key.isin(*sorted(_areas.AREA_KEYS))
+        for k, vals in _areas._NON_AREA_VALUES.items():
+            cond = cond & ~((e.key == k) & e.value.isin(*sorted(vals)))
+        return cond
+
+    key_match = F.exists(F.map_entries(tags_col), _entry_matches)
+    return closed & F.when(area_tag == "no", F.lit(False)).when(
+        area_tag == "yes", F.lit(True)
+    ).otherwise(key_match)
+
+
+def relation_is_area_col(tags_col: Column, n_members_col: Column) -> Column:
+    """F5 (reference src/lib.rs:325-326)."""
+    return (n_members_col > 0) & tags_col.getItem("type").isin("multipolygon", "boundary")
+
+
+# ---------------------------------------------------------------- E1-E3
+
+@F.pandas_udf(BinaryType())
+def _encode_point_udf(
+    osm_id: pd.Series, ftype: pd.Series, lon: pd.Series, lat: pd.Series, name: pd.Series
+) -> pd.Series:
+    out = []
+    for i, ft, x, y, nm in zip(osm_id, ftype, lon, lat, name):
+        fid = gr.feature_id(int(i), gr.KIND_NODE)
+        out.append(gr.encode_point(fid, int(ft), x, y, gr.pack_labels(nm)))
+    return pd.Series(out)
+
+
+@F.pandas_udf(BinaryType())
+def _encode_way_udf(
+    osm_id: pd.Series,
+    ftype: pd.Series,
+    is_area: pd.Series,
+    closed: pd.Series,
+    xs: pd.Series,
+    ys: pd.Series,
+    name: pd.Series,
+) -> pd.Series:
+    out = []
+    for i, ft, ia, cl, x_arr, y_arr, nm in zip(osm_id, ftype, is_area, closed, xs, ys, name):
+        fid = gr.feature_id(int(i), gr.KIND_WAY)
+        labels = gr.pack_labels(nm)
+        n = len(x_arr)
+        pos = [0.0] * (2 * n)
+        pos[0::2] = [float(v) for v in x_arr]
+        pos[1::2] = [float(v) for v in y_arr]
+        if ia:
+            if cl and n >= 2:
+                pos = pos[:-2]  # drop closing duplicate ref's point
+            cells = _earcut(pos, [], 2)
+            out.append(gr.encode_area(fid, int(ft), pos, cells, labels))
+        else:
+            out.append(gr.encode_line(fid, int(ft), pos, labels))
+    return pd.Series(out)
+
+
+@F.pandas_udf(BinaryType())
+def _encode_relation_udf(
+    rel_id: pd.Series,
+    ftype: pd.Series,
+    xs: pd.Series,
+    ys: pd.Series,
+    ring_lens: pd.Series,
+    ring_roles: pd.Series,
+    ring_closed: pd.Series,
+    name: pd.Series,
+) -> pd.Series:
+    out = []
+    for i, ft, x_arr, y_arr, lens, roles, closed, nm in zip(
+        rel_id, ftype, xs, ys, ring_lens, ring_roles, ring_closed, name
+    ):
+        fid = gr.feature_id(int(i), gr.KIND_RELATION)
+        labels = gr.pack_labels(nm)
+        pos: list[float] = []
+        holes: list[int] = []
+        off = 0
+        for ln, role, cl in zip(lens, roles, closed):
+            ring_x = x_arr[off : off + ln]
+            ring_y = y_arr[off : off + ln]
+            off += ln
+            if cl and ln >= 2:
+                ring_x = ring_x[:-1]
+                ring_y = ring_y[:-1]
+            if len(ring_x) == 0:
+                continue
+            start = len(pos) // 2
+            if role == "inner" and start > 0:
+                holes.append(start)
+            for vx, vy in zip(ring_x, ring_y):
+                pos.append(float(vx))
+                pos.append(float(vy))
+        cells = _earcut(pos, holes, 2)
+        out.append(gr.encode_area(fid, int(ft), pos, cells, labels))
+    return pd.Series(out)
+
+
+# ------------------------------------------------------------- pipelines
+
+FEATURE_COLS = [
+    "id", "osm_id", "kind", "feature_type",
+    "minx", "miny", "maxx", "maxy", "encoded",
+]
+
+
+def node_features(nodes: DataFrame, spark: SparkSession) -> DataFrame:
+    """Node path (reference src/lib.rs:121-178): classify → drop
+    place.other → encode point → Scalar geometry (minx==maxx)."""
+    df = drop_place_other(with_feature_type(nodes, spark))
+    x = F.col("lon").cast("float")
+    y = F.col("lat").cast("float")
+    df = df.select(
+        (F.col("id") * 3 + gr.KIND_NODE).alias("id"),
+        F.col("id").alias("osm_id"),
+        F.lit(gr.KIND_NODE).cast("tinyint").alias("kind"),
+        "feature_type",
+        x.alias("minx"), y.alias("miny"), x.alias("maxx"), y.alias("maxy"),
+        _encode_point_udf(
+            F.col("id"), "feature_type", "lon", "lat",
+            F.element_at("tags", F.lit("name")),
+        ).alias("encoded"),
+    )
+    return df.where(F.length("encoded") > 0)  # F3
+
+
+def way_features(ways: DataFrame, nodes: DataFrame, spark: SparkSession) -> DataFrame:
+    """Way path (reference src/lib.rs:180-271): assemble → classify →
+    F2/F4 → area flag → encode line/area → Interval geometry."""
+    asm = assemble_ways(ways, nodes)
+    df = drop_place_other(with_feature_type(asm, spark))
+    df = df.where(F.col("n_nodes") >= 2)  # F4 (src/lib.rs:229)
+    closed = (F.size("refs") >= 2) & (
+        F.element_at("refs", 1) == F.element_at("refs", -1)
+    )
+    df = df.withColumn("is_area", way_is_area_col(F.col("tags"), F.col("refs")))
+    return (
+        df.select(
+            (F.col("way_id") * 3 + gr.KIND_WAY).alias("id"),
+            F.col("way_id").alias("osm_id"),
+            F.lit(gr.KIND_WAY).cast("tinyint").alias("kind"),
+            "feature_type",
+            "minx", "miny", "maxx", "maxy",
+            _encode_way_udf(
+                "way_id", "feature_type", "is_area", closed, "xs", "ys",
+                F.element_at("tags", F.lit("name")),
+            ).alias("encoded"),
+        )
+        .where(F.length("encoded") > 0)
+    )
+
+
+def relation_features(
+    relations: DataFrame, ways: DataFrame, nodes: DataFrame, spark: SparkSession
+) -> DataFrame:
+    """Relation path (reference src/lib.rs:273-397): F5 area gate + F7
+    member filter → two-hop assembly → classify → F2/F4 → encode
+    multipolygon with holes."""
+    rels = relations.where(
+        relation_is_area_col(F.col("tags"), F.size("members"))
+    )
+    asm = assemble_relations(rels, ways, nodes)
+    df = drop_place_other(with_feature_type(asm, spark))
+    df = df.where(F.col("n_nodes") >= 2)  # F4 (src/lib.rs:356)
+    return (
+        df.select(
+            (F.col("rel_id") * 3 + gr.KIND_RELATION).alias("id"),
+            F.col("rel_id").alias("osm_id"),
+            F.lit(gr.KIND_RELATION).cast("tinyint").alias("kind"),
+            "feature_type",
+            "minx", "miny", "maxx", "maxy",
+            _encode_relation_udf(
+                "rel_id", "feature_type", "xs", "ys",
+                "ring_lens", "ring_roles", "ring_closed",
+                F.element_at("tags", F.lit("name")),
+            ).alias("encoded"),
+        )
+        .where(F.length("encoded") > 0)
+    )
+
+
+def build_features(
+    nodes: DataFrame,
+    ways: DataFrame,
+    relations: DataFrame,
+    spark: SparkSession,
+    ingest_nodes: bool = True,
+    ingest_ways: bool = True,
+    ingest_relations: bool = True,
+) -> DataFrame:
+    """Union of the three producer pipelines (the single-sink analog,
+    reference src/lib.rs:92-119); F8 skip switches mirror
+    --no-ingest-node/way/relation (src/lib.rs:38-40)."""
+    parts = []
+    if ingest_nodes:
+        parts.append(node_features(nodes, spark))
+    if ingest_ways:
+        parts.append(way_features(ways, nodes, spark))
+    if ingest_relations:
+        parts.append(relation_features(relations, ways, nodes, spark))
+    if not parts:
+        raise ValueError("all element kinds disabled")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
