@@ -1,0 +1,297 @@
+"""Spatial cell indexing: S2 cells + hexagonal grid (H3-analog).
+
+north_rule requires H3 res-8 + S2 level-12 cell assignment via batched
+vectorized encoders. Everything here is numpy-vectorized (no per-row
+Python) and wrapped by pandas UDFs in operators/spatial.py.
+
+**S2**: a faithful implementation of the public S2 geometry cell-id
+scheme (s2geometry.io; quadratic ST projection, Hilbert curve via
+4-bit lookup tables, 64-bit cell ids: 3 face bits + 2·level position
+bits + trailing 1). Implemented from the published algorithm — no S2
+library is available in this environment.
+
+**Hex grid**: the real `h3` package is not installed here, so the
+default is a deterministic axial hex grid ("hex cells") with the H3
+*interface* (resolution, int64 cell ids, k_ring neighbors, aperture-7
+area scaling: edge length shrinks by √7 per resolution, matching H3's
+res-8 mean edge ≈ 461 m). If `h3` is importable and
+``SPARK_GRAFT_USE_H3=1``, the genuine H3 encoder is used instead
+(import-try gate). The hex grid is planar on (lon, lat) degrees —
+locality-correct for ring expansion, documented anisotropy at high
+latitude (kNN compensates by expanding rings).
+
+Reference parity: cell assignment generalizes the reference's
+grid-bucket assignment (src/lib.rs:427-444 grid, src/divide.rs:43-52
+max-overlap); the quadtree itself lives in operators/tiling.py.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+
+# ------------------------------------------------------------------ S2
+
+_LOOKUP_BITS = 4
+_SWAP_MASK = 0x01
+_INVERT_MASK = 0x02
+
+_POS_TO_ORIENTATION = (_SWAP_MASK, 0, 0, _INVERT_MASK + _SWAP_MASK)
+_POS_TO_IJ = (
+    (0, 1, 3, 2),  # canonical order
+    (0, 2, 3, 1),  # axes swapped
+    (3, 2, 0, 1),  # bits inverted
+    (3, 1, 0, 2),  # swapped & inverted
+)
+
+_MAX_LEVEL = 30
+_POS_BITS = 2 * _MAX_LEVEL + 1
+
+
+def _build_lookups():
+    lookup_pos = np.zeros(1 << (2 * _LOOKUP_BITS + 2), dtype=np.uint64)
+    lookup_ij = np.zeros(1 << (2 * _LOOKUP_BITS + 2), dtype=np.uint64)
+
+    def init_cell(level, i, j, orig_orientation, pos, orientation):
+        if level == _LOOKUP_BITS:
+            ij = (i << _LOOKUP_BITS) + j
+            lookup_pos[(ij << 2) + orig_orientation] = (pos << 2) + orientation
+            lookup_ij[(pos << 2) + orig_orientation] = (ij << 2) + orientation
+            return
+        level += 1
+        i <<= 1
+        j <<= 1
+        pos <<= 2
+        r = _POS_TO_IJ[orientation]
+        for index in range(4):
+            ij = r[index]
+            init_cell(
+                level,
+                i + (ij >> 1),
+                j + (ij & 1),
+                orig_orientation,
+                pos + index,
+                orientation ^ _POS_TO_ORIENTATION[index],
+            )
+
+    for orientation in range(4):
+        init_cell(0, 0, 0, orientation, 0, orientation)
+    return lookup_pos, lookup_ij
+
+
+_LOOKUP_POS, _LOOKUP_IJ = _build_lookups()
+
+
+def _xyz_from_lonlat(lon: np.ndarray, lat: np.ndarray):
+    phi = np.radians(lat)
+    theta = np.radians(lon)
+    cosphi = np.cos(phi)
+    return cosphi * np.cos(theta), cosphi * np.sin(theta), np.sin(phi)
+
+
+def _face_uv(x, y, z):
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(ax > ay, np.where(ax > az, 0, 2), np.where(ay > az, 1, 2))
+    face = face + np.where(
+        np.choose(face, [x, y, z]) < 0, 3, 0
+    )
+    # u/v per face — inverse of the canonical S2 FaceUVtoXYZ axes:
+    #   f0:( 1, u, v) f1:(-u, 1, v) f2:(-u,-v, 1)
+    #   f3:(-1,-v,-u) f4:( v,-1,-u) f5:( v, u,-1)
+    u = np.empty_like(x)
+    v = np.empty_like(x)
+    table = (
+        lambda s: (y[s] / x[s], z[s] / x[s]),     # f0: u= y/x, v= z/x
+        lambda s: (-x[s] / y[s], z[s] / y[s]),    # f1: u=-x/y, v= z/y
+        lambda s: (-x[s] / z[s], -y[s] / z[s]),   # f2: u=-x/z, v=-y/z
+        lambda s: (z[s] / x[s], y[s] / x[s]),     # f3: u= z/x, v= y/x
+        lambda s: (z[s] / y[s], -x[s] / y[s]),    # f4: u= z/y, v=-x/y
+        lambda s: (-y[s] / z[s], -x[s] / z[s]),   # f5: u=-y/z, v=-x/z
+    )
+    for f in range(6):
+        sel = face == f
+        if sel.any():
+            u[sel], v[sel] = table[f](sel)
+    return face, u, v
+
+
+def _st_from_uv(u):
+    """S2 quadratic projection uv→st (the library default)."""
+    s = 0.5 * np.sqrt(1.0 + 3.0 * np.abs(u))
+    return np.where(u >= 0, s, 1.0 - s)
+
+
+def s2_cell_id(lon, lat, level: int = 12) -> np.ndarray:
+    """Vectorized (lon, lat) → S2 cell id at ``level`` (int64 view of the
+    canonical uint64 id)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    x, y, z = _xyz_from_lonlat(lon, lat)
+    face, u, v = _face_uv(x, y, z)
+
+    max_size = 1 << _MAX_LEVEL
+    i = np.clip((_st_from_uv(u) * max_size).astype(np.int64), 0, max_size - 1)
+    j = np.clip((_st_from_uv(v) * max_size).astype(np.int64), 0, max_size - 1)
+
+    # Hilbert: 8 chunks of 4 bits, MSB first
+    n = np.asarray(face, dtype=np.uint64) << np.uint64(_POS_BITS - 1)
+    bits = (np.asarray(face, dtype=np.uint64) & np.uint64(_SWAP_MASK))
+    i = i.astype(np.uint64)
+    j = j.astype(np.uint64)
+    mask = np.uint64((1 << _LOOKUP_BITS) - 1)
+    for k in range(7, -1, -1):
+        shift = np.uint64(k * _LOOKUP_BITS)
+        bits += ((i >> shift) & mask) << np.uint64(_LOOKUP_BITS + 2)
+        bits += ((j >> shift) & mask) << np.uint64(2)
+        bits = _LOOKUP_POS[bits]
+        n |= (bits >> np.uint64(2)) << np.uint64(k * 2 * _LOOKUP_BITS)
+        bits &= np.uint64(_SWAP_MASK | _INVERT_MASK)
+
+    id_l30 = n * np.uint64(2) + np.uint64(1)
+    if level < _MAX_LEVEL:
+        lsb = np.uint64(1) << np.uint64(2 * (_MAX_LEVEL - level))
+        id_l30 = (id_l30 & ~(lsb - np.uint64(1))) | lsb
+    return id_l30.view(np.int64)
+
+
+def s2_level(cell_id) -> np.ndarray:
+    """Level of (u)int64 S2 cell ids (position of lowest set bit)."""
+    cid = np.asarray(cell_id).view(np.uint64)
+    lsb = cid & (~cid + np.uint64(1))
+    return (_MAX_LEVEL - (np.log2(lsb.astype(np.float64)).astype(np.int64) >> 1)).astype(
+        np.int64
+    )
+
+
+def s2_parent(cell_id, level: int) -> np.ndarray:
+    cid = np.asarray(cell_id).view(np.uint64)
+    lsb = np.uint64(1) << np.uint64(2 * (_MAX_LEVEL - level))
+    return ((cid & ~(lsb - np.uint64(1))) | lsb).view(np.int64)
+
+
+# ------------------------------------------------------------ hex grid
+
+# aperture-7 scaling calibrated to H3: res-8 mean hex edge ≈ 461.354 m
+# ≈ 0.0041444° at the equator ⇒ edge(res) = _EDGE0_DEG / √7^res
+_SQRT7 = math.sqrt(7.0)
+_EDGE0_DEG = 0.0041444 * _SQRT7**8
+_SQRT3 = math.sqrt(3.0)
+
+_AXIAL_OFFSET = 1 << 27  # bias so q/r pack as non-negative 28-bit ints
+
+
+def hex_edge_deg(res: int) -> float:
+    return _EDGE0_DEG / _SQRT7**res
+
+
+def _axial_round(qf: np.ndarray, rf: np.ndarray):
+    """Cube-rounding of fractional axial coords (standard hex math)."""
+    sf = -qf - rf
+    q = np.rint(qf)
+    r = np.rint(rf)
+    s = np.rint(sf)
+    dq = np.abs(q - qf)
+    dr = np.abs(r - rf)
+    ds = np.abs(s - sf)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = (~fix_q) & (dr > ds)
+    q = np.where(fix_q, -r - s, q)
+    r = np.where(fix_r, -q - s, r)
+    return q.astype(np.int64), r.astype(np.int64)
+
+
+def hex_axial(lon, lat, res: int = 8):
+    """(lon, lat) → integer axial coords (q, r) on a pointy-top hex grid
+    of edge ``hex_edge_deg(res)`` in degree space."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    size = hex_edge_deg(res)
+    qf = (_SQRT3 / 3.0 * lon - lat / 3.0) / size
+    rf = (2.0 / 3.0 * lat) / size
+    return _axial_round(qf, rf)
+
+
+def hex_cell_id(lon, lat, res: int = 8) -> np.ndarray:
+    """Vectorized (lon, lat) → int64 hex cell id:
+    ``res(7 bits) | q+2^27 (28 bits) | r+2^27 (28 bits)``."""
+    q, r = hex_axial(lon, lat, res)
+    return (
+        (np.int64(res) << np.int64(56))
+        | ((q + _AXIAL_OFFSET) << np.int64(28))
+        | (r + _AXIAL_OFFSET)
+    )
+
+
+def hex_unpack(cell_id):
+    cid = np.asarray(cell_id, dtype=np.int64)
+    res = (cid >> np.int64(56)) & np.int64(0x7F)
+    q = ((cid >> np.int64(28)) & np.int64((1 << 28) - 1)) - _AXIAL_OFFSET
+    r = (cid & np.int64((1 << 28) - 1)) - _AXIAL_OFFSET
+    return res, q, r
+
+
+def hex_center(cell_id):
+    """Cell id → (lon, lat) of the hex center."""
+    res, q, r = hex_unpack(cell_id)
+    size = _EDGE0_DEG / _SQRT7 ** res.astype(np.float64)
+    lon = size * _SQRT3 * (q.astype(np.float64) + r.astype(np.float64) / 2.0)
+    lat = size * 1.5 * r.astype(np.float64)
+    return lon, lat
+
+
+_HEX_DIRS = ((1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1))
+
+
+def hex_ring(cell_id: int, k: int) -> list[int]:
+    """Cell ids exactly ``k`` rings away (k=0 → [cell]); deterministic
+    enumeration order (the kNN expansion path, SURVEY §2.3 note)."""
+    res, q, r = hex_unpack(np.asarray([cell_id]))
+    res, q, r = int(res[0]), int(q[0]), int(r[0])
+    if k == 0:
+        return [int(cell_id)]
+    out = []
+    cq, cr = q + _HEX_DIRS[4][0] * k, r + _HEX_DIRS[4][1] * k
+    for side in range(6):
+        dq, dr = _HEX_DIRS[side]
+        for _ in range(k):
+            out.append(
+                (res << 56) | ((cq + _AXIAL_OFFSET) << 28) | (cr + _AXIAL_OFFSET)
+            )
+            cq += dq
+            cr += dr
+    return out
+
+
+def hex_k_ring(cell_id: int, k: int) -> list[int]:
+    """All cells within ``k`` rings (1 + 3k(k+1) cells)."""
+    out = []
+    for ring in range(k + 1):
+        out.extend(hex_ring(cell_id, ring))
+    return out
+
+
+# ------------------------------------------------- optional real H3 gate
+
+_USE_REAL_H3 = os.environ.get("SPARK_GRAFT_USE_H3") == "1"
+try:  # pragma: no cover - not installed in this environment
+    import h3 as _h3  # type: ignore
+
+    _HAVE_H3 = True
+except ImportError:
+    _h3 = None
+    _HAVE_H3 = False
+
+
+def hex_cell(lon, lat, res: int = 8) -> np.ndarray:
+    """Public hex encoder; genuine H3 when available+enabled, else the
+    deterministic builtin grid."""
+    if _USE_REAL_H3 and _HAVE_H3:
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        return np.asarray(
+            [_h3.str_to_int(_h3.latlng_to_cell(la, lo, res)) for lo, la in zip(lon, lat)],
+            dtype=np.int64,
+        )
+    return hex_cell_id(lon, lat, res)

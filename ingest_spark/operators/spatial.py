@@ -1,0 +1,284 @@
+"""Spatial operators: cell assignment, bbox query, point-in-polygon
+broadcast join, cell-local kNN with sorted ring expansion.
+
+These generalize the reference's only spatial read path — the eyros
+bbox-intersection query (S11, /root/reference/src/lib.rs:463-467,
+tests/ingest.rs:29-34) — to the north_rule's operator set. Design:
+
+- cell assignment: batched pandas UDFs over the numpy kernels in
+  functions/cells.py (hex res-8 + S2 level-12), assigned on the
+  feature centroid; one cell per feature (no multi-assign → no dedup
+  problem; cf. the reference's J9 skip-map workaround for duplicates,
+  src/lib.rs:469-515).
+- bbox query: pure column predicate (maxx>=x0 AND minx<=x1 AND …) —
+  with the features table written partitioned/sorted by cell, parquet
+  min-max stats + partition pruning give the eyros-tree behavior.
+- PIP: broadcast the (small) polygon table, bbox-prefilter with a
+  cheap non-equi condition (BroadcastNestedLoopJoin), then exact
+  even-odd ray casting in a vectorized numpy kernel. At 100 TB the
+  fact side streams; the dim side is a broadcast hash table — no
+  shuffle of the big side.
+- kNN: points bucketed by hex cell; queries gather candidates from
+  k_ring(cell, R) (dimension-side explode, so the big point table
+  shuffles once per round on cell id), take top-k per query, and a
+  geometric guarantee decides exactness: any point outside rings 0..R
+  is at distance > edge·((R+1)·√3 − 2). Unresolved queries expand R
+  (driver loop, bounded), with a brute-force fallback for stragglers —
+  the result is EXACT kNN, verified against a cross-join oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, BooleanType, LongType
+from pyspark.sql.window import Window
+
+from ..config import DEFAULT, EngineConfig
+from ..functions import cells as cell_fn
+
+
+# ------------------------------------------------------------ indexing
+
+def _hex_udf(res: int):
+    @F.pandas_udf(LongType())
+    def _u(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(cell_fn.hex_cell(lon.to_numpy(), lat.to_numpy(), res))
+    return _u
+
+
+def _s2_udf(level: int):
+    @F.pandas_udf(LongType())
+    def _u(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(cell_fn.s2_cell_id(lon.to_numpy(), lat.to_numpy(), level))
+    return _u
+
+
+def with_cells(
+    features: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    lon_col: str = None,
+    lat_col: str = None,
+) -> DataFrame:
+    """Add hex_cell (res cfg.hex_res) + s2_cell (level cfg.s2_level).
+
+    Default anchor point is the feature centroid ((minx+maxx)/2, …);
+    scalar features (points) anchor at themselves.
+    """
+    if lon_col and lat_col:
+        lon = F.col(lon_col).cast("double")
+        lat = F.col(lat_col).cast("double")
+    else:
+        lon = ((F.col("minx") + F.col("maxx")) / 2).cast("double")
+        lat = ((F.col("miny") + F.col("maxy")) / 2).cast("double")
+    return features.withColumn("_lon", lon).withColumn("_lat", lat).withColumn(
+        "hex_cell", _hex_udf(cfg.hex_res)("_lon", "_lat")
+    ).withColumn("s2_cell", _s2_udf(cfg.s2_level)("_lon", "_lat")).drop("_lon", "_lat")
+
+
+# ----------------------------------------------------------- S11 query
+
+def bbox_query(features: DataFrame, x0: float, y0: float, x1: float, y1: float) -> DataFrame:
+    """Interval-intersection bbox query (eyros db.query analog, S11)."""
+    return features.where(
+        (F.col("maxx") >= x0) & (F.col("minx") <= x1)
+        & (F.col("maxy") >= y0) & (F.col("miny") <= y1)
+    )
+
+
+# ------------------------------------------------------------------ PIP
+
+def _ray_cast(px: np.ndarray, py: np.ndarray, xs, ys) -> np.ndarray:
+    """Vectorized even-odd ray casting: for each row i, is point
+    (px[i], py[i]) inside ring (xs[i], ys[i])? Half-open edge rule
+    ((yi > p) != (yj > p)) — deterministic on shared boundaries."""
+    out = np.zeros(len(px), dtype=bool)
+    for i in range(len(px)):
+        rx = np.asarray(xs[i], dtype=np.float64)
+        ry = np.asarray(ys[i], dtype=np.float64)
+        x, y = px[i], py[i]
+        j = np.roll(np.arange(len(rx)), 1)
+        cond = (ry > y) != (ry[j] > y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (rx[j] - rx) * (y - ry) / (ry[j] - ry) + rx
+        out[i] = (cond & (x < xint)).sum() % 2 == 1
+    return out
+
+
+@F.pandas_udf(BooleanType())
+def _pip_udf(px: pd.Series, py: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.Series:
+    return pd.Series(_ray_cast(px.to_numpy(), py.to_numpy(), xs.to_list(), ys.to_list()))
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_x: str = "lon",
+    point_y: str = "lat",
+    how: str = "inner",
+) -> DataFrame:
+    """Broadcast PIP join: points ⨝ polygons where point inside ring.
+
+    ``polygons`` schema: (polygon_id, ring_x array<double>,
+    ring_y array<double>, pminx, pminy, pmaxx, pmaxy). The bbox
+    prefilter is the cheap JVM-side predicate of the
+    BroadcastNestedLoopJoin; the exact ray-cast runs only on bbox
+    survivors (generalizes overlap_area containment,
+    reference src/divide.rs:74-92).
+    """
+    px = F.col(point_x)
+    py = F.col(point_y)
+    cond = (
+        (px >= F.col("pminx")) & (px <= F.col("pmaxx"))
+        & (py >= F.col("pminy")) & (py <= F.col("pmaxy"))
+    )
+    joined = points.join(F.broadcast(polygons), cond, "inner")
+    joined = joined.where(_pip_udf(px, py, F.col("ring_x"), F.col("ring_y")))
+    if how == "inner":
+        return joined
+    raise ValueError(f"unsupported join type: {how}")
+
+
+def make_polygons_df(spark, polys: list[dict]) -> DataFrame:
+    """Helper: [{'polygon_id', 'name', 'ring': [(lon,lat), …]}] →
+    broadcast-ready polygon DataFrame with bbox prefilter columns."""
+    rows = []
+    for p in polys:
+        xs = [float(a) for a, _ in p["ring"]]
+        ys = [float(b) for _, b in p["ring"]]
+        rows.append(
+            (int(p["polygon_id"]), p.get("name", ""), xs, ys,
+             min(xs), min(ys), max(xs), max(ys))
+        )
+    return spark.createDataFrame(
+        rows,
+        "polygon_id long, name string, ring_x array<double>, ring_y array<double>, "
+        "pminx double, pminy double, pmaxx double, pmaxy double",
+    )
+
+
+# ------------------------------------------------------------------ kNN
+
+def _ring_cells_udf(res: int, ring: int):
+    @F.pandas_udf(ArrayType(LongType()))
+    def _u(cell: pd.Series) -> pd.Series:
+        return cell.map(lambda c: cell_fn.hex_k_ring(int(c), ring))
+    return _u
+
+
+def knn_join(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    res: int = 6,
+    cfg: EngineConfig = DEFAULT,
+    point_id: str = "id",
+    query_id: str = "qid",
+) -> DataFrame:
+    """Exact kNN of each query against ``points`` via hex-cell ring
+    expansion. Both inputs need (lon, lat) columns. Returns
+    (qid, id, dist, rank) with rank 1..k ordered by (dist, id) —
+    deterministic tiebreak.
+
+    Scale shape: per round, the big point table shuffles on cell id
+    once and each query touches only 1+3R(R+1) cells; the driver loop
+    runs O(log) rounds. Stragglers (sparse regions) fall back to a
+    broadcast brute-force pass over the remaining queries only.
+    """
+    spark = points.sparkSession
+    edge = cell_fn.hex_edge_deg(res)
+
+    pts = points.select(
+        F.col(point_id).alias("_pid"),
+        F.col("lon").cast("double").alias("_px"),
+        F.col("lat").cast("double").alias("_py"),
+    ).withColumn("_pcell", _hex_udf(res)("_px", "_py"))
+
+    qs = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.col("lon").cast("double").alias("_qx"),
+        F.col("lat").cast("double").alias("_qy"),
+    ).withColumn("_qcell", _hex_udf(res)("_qx", "_qy"))
+
+    def _topk(cand: DataFrame) -> DataFrame:
+        d2 = (F.col("_px") - F.col("_qx")) ** 2 + (F.col("_py") - F.col("_qy")) ** 2
+        w = F.row_number().over(
+            Window.partitionBy("_qid").orderBy(F.sqrt(d2).asc(), F.col("_pid").asc())
+        )
+        return (
+            cand.withColumn("dist", F.sqrt(d2))
+            .withColumn("rank", w)
+            .where(F.col("rank") <= k)
+        )
+
+    result = None
+    remaining = qs
+    ring = 1
+    while ring <= cfg.knn_max_ring:
+        exp = remaining.withColumn(
+            "_cells", _ring_cells_udf(res, ring)("_qcell")
+        ).select("_qid", "_qx", "_qy", F.explode("_cells").alias("_pcell"))
+        cand = exp.join(pts, "_pcell", "inner")
+        topk = _topk(cand).cache()
+
+        guarantee = edge * ((ring + 1) * math.sqrt(3.0) - 2.0)
+        counts = topk.groupBy("_qid").agg(
+            F.count("*").alias("_n"), F.max("dist").alias("_kth")
+        )
+        done_q = counts.where((F.col("_n") == k) & (F.col("_kth") <= guarantee))
+        done = topk.join(done_q.select("_qid"), "_qid", "inner").select(
+            "_qid", "_pid", "dist", "rank"
+        )
+        result = done if result is None else result.unionByName(done)
+        remaining = remaining.join(done_q.select("_qid"), "_qid", "left_anti")
+        if remaining.isEmpty():
+            break
+        ring *= 2
+    else:
+        # brute force the stragglers: cross join remaining × points
+        cand = remaining.crossJoin(pts)
+        bf = _topk(cand).select("_qid", "_pid", "dist", "rank")
+        result = bf if result is None else result.unionByName(bf)
+
+    return result.select(
+        F.col("_qid").alias(query_id),
+        F.col("_pid").alias(point_id),
+        "dist",
+        "rank",
+    )
+
+
+def knn_brute_force(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    point_id: str = "id",
+    query_id: str = "qid",
+) -> DataFrame:
+    """Reference/baseline kNN: broadcast cross join + window top-k.
+    The oracle twin of knn_join (and the right plan when queries are
+    few and points fit the broadcast threshold)."""
+    pts = points.select(
+        F.col(point_id).alias("_pid"),
+        F.col("lon").cast("double").alias("_px"),
+        F.col("lat").cast("double").alias("_py"),
+    )
+    qs = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.col("lon").cast("double").alias("_qx"),
+        F.col("lat").cast("double").alias("_qy"),
+    )
+    d2 = (F.col("_px") - F.col("_qx")) ** 2 + (F.col("_py") - F.col("_qy")) ** 2
+    w = Window.partitionBy("_qid").orderBy(F.sqrt(d2).asc(), F.col("_pid").asc())
+    return (
+        qs.crossJoin(pts)
+        .withColumn("dist", F.sqrt(d2))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id), F.col("_pid").alias(point_id), "dist", "rank"
+        )
+    )

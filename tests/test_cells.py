@@ -1,0 +1,91 @@
+"""S2 + hex-grid cell index invariants (functions/cells.py)."""
+
+import numpy as np
+import pytest
+
+from ingest_spark.functions import cells as C
+
+
+RNG = np.random.default_rng(42)
+LON = RNG.uniform(-180, 180, 5000)
+LAT = RNG.uniform(-90, 90, 5000)
+
+
+class TestS2:
+    def test_face_centers(self):
+        for lon, lat, want in [(0, 0, 0), (90, 0, 1), (0, 90, 2),
+                               (180, 0, 3), (-90, 0, 4), (0, -90, 5)]:
+            cid = C.s2_cell_id([lon], [lat], level=0)[0]
+            assert int(np.uint64(cid) >> np.uint64(61)) == want
+            assert C.s2_level([cid])[0] == 0
+
+    def test_level_and_trailing_bit(self):
+        ids = C.s2_cell_id(LON, LAT, 12)
+        assert (C.s2_level(ids) == 12).all()
+        # canonical id structure: lowest set bit at 2*(30-12)
+        lsb = np.uint64(1) << np.uint64(36)
+        assert (ids.view(np.uint64) & lsb == lsb).all()
+
+    def test_parent_consistency(self):
+        """cell_id(p, l).parent(l') == cell_id(p, l') for all points."""
+        for lvl in (4, 8, 10):
+            assert (
+                C.s2_parent(C.s2_cell_id(LON, LAT, 12), lvl)
+                == C.s2_cell_id(LON, LAT, lvl)
+            ).all()
+
+    def test_determinism(self):
+        a = C.s2_cell_id(LON, LAT, 12)
+        b = C.s2_cell_id(LON.copy(), LAT.copy(), 12)
+        assert (a == b).all()
+
+    def test_locality(self):
+        # points ~1e-7 deg apart (~1cm) nearly always share a level-12 cell
+        ids1 = C.s2_cell_id(LON, LAT, 12)
+        ids2 = C.s2_cell_id(LON + 1e-7, LAT, 12)
+        assert (ids1 == ids2).mean() > 0.99
+
+    def test_cell_size_plausible(self):
+        # level-12 cells are ~3-6 km wide: sweep 1 degree at equator
+        lons = np.linspace(0, 1, 10000)
+        ids = C.s2_cell_id(lons, np.zeros_like(lons), 12)
+        ncells = len(set(ids.tolist()))
+        assert 15 <= ncells <= 60  # ~111km / (3-6km) ≈ 20-40
+
+
+class TestHex:
+    def test_determinism_and_res_field(self):
+        h = C.hex_cell_id(LON, LAT, 8)
+        assert (h == C.hex_cell_id(LON, LAT, 8)).all()
+        res, _, _ = C.hex_unpack(h)
+        assert (res == 8).all()
+
+    def test_center_roundtrip(self):
+        h = C.hex_cell_id(LON, LAT, 8)
+        lon_c, lat_c = C.hex_center(h)
+        assert (C.hex_cell_id(lon_c, lat_c, 8) == h).all()
+
+    def test_aperture7_edge_scaling(self):
+        assert C.hex_edge_deg(9) == pytest.approx(C.hex_edge_deg(8) / np.sqrt(7))
+        # res-8 edge ≈ 461m (H3 calibration)
+        assert C.hex_edge_deg(8) * 111320 == pytest.approx(461.4, abs=1.0)
+
+    def test_ring_sizes(self):
+        h = int(C.hex_cell_id([2.35], [48.86], 8)[0])
+        assert [len(C.hex_ring(h, k)) for k in range(5)] == [1, 6, 12, 18, 24]
+        assert len(C.hex_k_ring(h, 3)) == 1 + 3 * 3 * 4  # 1+3k(k+1)
+
+    def test_ring_1_is_exactly_the_neighbors(self):
+        h = int(C.hex_cell_id([10.0], [20.0], 8)[0])
+        ring1 = set(C.hex_ring(h, 1))
+        assert len(ring1) == 6 and h not in ring1
+        # each neighbor's ring-1 contains the center
+        for nb in ring1:
+            assert h in C.hex_ring(nb, 1)
+
+    def test_point_maps_into_k_ring_of_nearby_point(self):
+        # two points 1 edge-length apart are within each other's 2-ring
+        e = C.hex_edge_deg(8)
+        a = int(C.hex_cell_id([50.0], [0.0], 8)[0])
+        b = int(C.hex_cell_id([50.0 + e], [0.0], 8)[0])
+        assert b in C.hex_k_ring(a, 2)

@@ -67,9 +67,9 @@ class TestEarcut:
     @given(st.integers(min_value=5, max_value=120), st.integers(min_value=0, max_value=10**6))
     def test_regular_polygon_area_preserved(self, n, seed):
         rng = np.random.default_rng(seed)
-        angles = np.sort(rng.uniform(0, 2 * np.pi, size=n))
-        if len(np.unique(angles)) < 3:
-            return
+        # star-shaped w.r.t. origin (one vertex per angular slot) ⇒ the
+        # polygon is guaranteed simple, which earcut requires
+        angles = (np.arange(n) + rng.uniform(0.0, 0.9, size=n)) / n * 2 * np.pi
         radii = rng.uniform(0.5, 1.0, size=n)
         data = np.empty(2 * n)
         data[0::2] = radii * np.cos(angles)
