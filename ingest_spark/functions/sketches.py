@@ -1,0 +1,132 @@
+"""Similarity sketches: shingling, MinHash, SimHash — numpy kernels.
+
+Used by operators/dedup.py inside Arrow-batched pandas UDFs. All
+hashing is deterministic (fixed seeds) so signatures are stable across
+runs and partitions — a correctness requirement for LSH bucketing
+(same document must land in the same buckets on every executor).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+_SEED = 0x5EED_C0FFEE
+
+
+def _rand_params(k: int, seed: int = _SEED):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, size=k, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, size=k, dtype=np.uint64)
+    return a, b
+
+
+def char_shingles(text: str, n: int = 5) -> np.ndarray:
+    """Distinct char n-gram hashes (uint64) via polynomial rolling hash."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    if len(b) < n:
+        b = np.pad(b, (0, n - len(b)), constant_values=0)
+    base = np.uint64(1000003)
+    # rolling polynomial over windows of n bytes (vectorized via strides)
+    windows = np.lib.stride_tricks.sliding_window_view(b, n)
+    powers = np.empty(n, dtype=np.uint64)
+    powers[0] = np.uint64(1)
+    for i in range(1, n):
+        powers[i] = powers[i - 1] * base
+    hashes = (windows * powers[::-1]).sum(axis=1, dtype=np.uint64)
+    return np.unique(hashes)
+
+
+def word_shingles(text: str, n: int = 3) -> np.ndarray:
+    """Distinct word n-gram hashes."""
+    words = [w for w in "".join(c.lower() if c.isalnum() else " " for c in text).split() if w]
+    if not words:
+        return np.array([], dtype=np.uint64)
+    hs = np.array([hash_str(w) for w in words], dtype=np.uint64)
+    if len(hs) < n:
+        return np.unique(hs)
+    windows = np.lib.stride_tricks.sliding_window_view(hs, n)
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    out = np.zeros(len(windows), dtype=np.uint64)
+    for i in range(n):
+        out = (out ^ windows[:, i]) * mix
+    return np.unique(out)
+
+
+def hash_str(s: str, seed: int = 0) -> np.uint64:
+    """Deterministic FNV-1a 64 of a string (no PYTHONHASHSEED dependence)."""
+    h = np.uint64(0xCBF29CE484222325 ^ seed)
+    p = np.uint64(0x100000001B3)
+    for byte in s.encode("utf-8"):
+        h = (h ^ np.uint64(byte)) * p
+    return h
+
+
+def minhash_signature(shingle_hashes: np.ndarray, k: int = 64) -> np.ndarray:
+    """k-permutation MinHash: sig_i = min over shingles of
+    (a_i·x + b_i mod 2^61−1). Empty input → all-max signature."""
+    if len(shingle_hashes) == 0:
+        return np.full(k, np.iinfo(np.uint64).max, dtype=np.uint64)
+    a, b = _rand_params(k)
+    x = shingle_hashes.astype(np.uint64) % _MERSENNE
+    # (k, n) matrix — wrapping multiply then mod mersenne
+    vals = (np.outer(a, x) + b[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def minhash_bands(signature: np.ndarray, bands: int = 16) -> np.ndarray:
+    """Fold the signature into ``bands`` bucket hashes (LSH keys)."""
+    k = len(signature)
+    rows = k // bands
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    out = np.zeros(bands, dtype=np.uint64)
+    for b in range(bands):
+        h = np.uint64(b + 1)
+        for v in signature[b * rows : (b + 1) * rows]:
+            h = (h ^ np.uint64(v)) * mix
+        out[b] = h
+    return out
+
+
+def minhash_jaccard_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float((np.asarray(sig_a) == np.asarray(sig_b)).mean())
+
+
+def simhash(token_hashes: np.ndarray, weights: np.ndarray | None = None, bits: int = 64) -> np.uint64:
+    """Charikar SimHash: weighted bit-vote over token hashes."""
+    if len(token_hashes) == 0:
+        return np.uint64(0)
+    th = np.asarray(token_hashes, dtype=np.uint64)
+    if weights is None:
+        weights = np.ones(len(th))
+    bit_matrix = ((th[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.float64
+    )
+    votes = ((bit_matrix * 2 - 1) * np.asarray(weights)[:, None]).sum(axis=0)
+    result = np.uint64(0)
+    for i in np.nonzero(votes > 0)[0]:
+        result |= np.uint64(1) << np.uint64(i)
+    return result
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(np.asarray(a, dtype=np.uint64), np.asarray(b, dtype=np.uint64))
+    # popcount via bit tricks (numpy<2 lacks bit_count ufunc)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def hyperplane_buckets(
+    mat: np.ndarray, n_planes: int = 16, seed: int = _SEED
+) -> np.ndarray:
+    """Random-hyperplane LSH buckets for cosine similarity: (n, d)
+    matrix → (n,) int64 bucket ids (sign-bit codes). Deterministic
+    planes from the seed + dimensionality."""
+    mat = np.asarray(mat, dtype=np.float64)
+    rng = np.random.default_rng(seed + mat.shape[1])
+    planes = rng.standard_normal((n_planes, mat.shape[1]))
+    bits = (mat @ planes.T) > 0  # (n, n_planes)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    return bits @ weights

@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns (ANN).
+
+- ``cosine_topk``  — brute-force exact top-k per query (the baseline
+  and oracle: window rank over a cross/broadcast join; right answer
+  when the query set is small or as a verification pass).
+- ``ann_topk``     — the scale path: IVF-style bucketing by random
+  hyperplane LSH code; each query probes its own bucket plus the
+  ``n_probe`` nearest codes by hamming distance, so the big vector
+  table shuffles once on bucket id and never cross-joins. Recall is
+  tunable (n_planes ↓ / n_probe ↑ ⇒ recall ↑); exactness is verified
+  against cosine_topk in tests on recall terms.
+
+Dot products are JVM-side (`zip_with` + `aggregate` fold) — no Python
+in the distance hot path for the brute-force variant; the LSH encoder
+is an Arrow-batched numpy UDF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.window import Window
+
+from ..functions import sketches as sk
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v * v))
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "qid",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: (qid, vec_id, cosine, rank)."""
+    v = vectors.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    q = queries.select(F.col(query_id).alias("_qid"), F.col(query_vec).alias("_q"))
+    cos = _cosine("_q", "_v")
+    w = Window.partitionBy("_qid").orderBy(F.desc("cosine"), F.asc("_vid"))
+    return (
+        q.crossJoin(v)
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("_qid").alias(query_id), F.col("_vid").alias(id_col), "cosine", "rank")
+    )
+
+
+def _code_udf(n_planes: int):
+    @F.pandas_udf(LongType())
+    def _u(vec: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(x, dtype=np.float64) for x in vec])
+        return pd.Series(sk.hyperplane_buckets(mat, n_planes))
+    return _u
+
+
+def _probe_codes_udf(n_planes: int, n_probe: int):
+    """A query probes its own LSH code plus the codes within hamming
+    distance 1 (up to n_probe total) — multi-probe LSH."""
+    @F.pandas_udf(ArrayType(LongType()))
+    def _u(code: pd.Series) -> pd.Series:
+        out = []
+        for c in code:
+            c = int(c)
+            probes = [c] + [c ^ (1 << i) for i in range(n_planes)]
+            out.append(probes[: n_probe])
+        return pd.Series(out)
+    return _u
+
+
+def ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_probe: int = 9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "qid",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: hyperplane-bucketed join + per-query rank."""
+    v = vectors.select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"),
+        _code_udf(n_planes)(F.col(vec_col)).alias("_code"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_q"),
+        F.explode(
+            _probe_codes_udf(n_planes, n_probe)(_code_udf(n_planes)(F.col(query_vec)))
+        ).alias("_code"),
+    )
+    cos = _cosine("_q", "_v")
+    w = Window.partitionBy("_qid").orderBy(F.desc("cosine"), F.asc("_vid"))
+    return (
+        q.join(v, "_code")
+        .dropDuplicates(["_qid", "_vid"])
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("_qid").alias(query_id), F.col("_vid").alias(id_col), "cosine", "rank")
+    )

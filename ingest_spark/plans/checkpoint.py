@@ -1,0 +1,120 @@
+"""Snapshot-checkpointed stage execution (resume).
+
+The reference's resumable two-phase story: ``scan`` writes a scan file,
+``ingest-from-scan`` loads it and skips pass 1
+(/root/reference/src/bin.rs:55-142, SURVEY §3.2). Generalized: every
+stage writes its output plus a manifest entry carrying a snapshot id;
+re-running the pipeline skips stages whose snapshot is present and
+intact and whose inputs' snapshots are unchanged.
+
+On a cluster this maps 1:1 onto Iceberg: stage output = table commit,
+snapshot id = Iceberg snapshot id, manifest = a tiny control table.
+No Iceberg runtime ships in this sandbox, so the same contract is
+implemented as parquet dirs + a JSON manifest with content-derived
+snapshot ids — the resume semantics (skip-complete, invalidate on
+upstream change) are identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Manifest:
+    root: str
+    stages: dict = field(default_factory=dict)
+
+    @property
+    def path(self) -> str:
+        return os.path.join(self.root, "_manifest.json")
+
+    @classmethod
+    def load(cls, root: str) -> "Manifest":
+        m = cls(root=root)
+        try:
+            with open(m.path) as f:
+                m.stages = json.load(f)["stages"]
+        except (FileNotFoundError, json.JSONDecodeError, KeyError):
+            m.stages = {}
+        return m
+
+    def save(self) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"stages": self.stages}, f, indent=2, sort_keys=True)
+        os.replace(tmp, self.path)  # atomic swap (the rename-over-dir
+        # analog of the reference's optimize output swap, src/bin.rs:169-177)
+
+    def snapshot_of(self, stage: str) -> str | None:
+        s = self.stages.get(stage)
+        return s["snapshot_id"] if s else None
+
+
+def _snapshot_id(stage: str, input_snapshots: list[str], rows: int, schema: str) -> str:
+    h = hashlib.sha256()
+    h.update(stage.encode())
+    for s in input_snapshots:
+        h.update(s.encode())
+    h.update(str(rows).encode())
+    h.update(schema.encode())
+    return h.hexdigest()[:16]
+
+
+def run_stage(
+    spark: SparkSession,
+    manifest: Manifest,
+    stage: str,
+    fn: Callable[[], DataFrame],
+    inputs: list[str] | None = None,
+    metrics: "object | None" = None,
+) -> DataFrame:
+    """Run (or resume) one pipeline stage.
+
+    - output path: ``{manifest.root}/{stage}``
+    - skip when: manifest has the stage, the parquet output exists, and
+      every input stage's recorded snapshot still matches its current
+      snapshot (upstream change ⇒ invalidate downstream).
+    - on run: write parquet, count rows, record snapshot + lineage.
+    """
+    inputs = inputs or []
+    out_path = os.path.join(manifest.root, stage)
+    entry = manifest.stages.get(stage)
+
+    input_snaps = [manifest.snapshot_of(i) or "?" for i in inputs]
+    if (
+        entry is not None
+        and os.path.exists(os.path.join(out_path, "_SUCCESS"))
+        and entry.get("input_snapshots") == input_snaps
+    ):
+        return spark.read.parquet(out_path)
+
+    t0 = time.time()
+    df = fn()
+    df.write.mode("overwrite").parquet(out_path)
+    out = spark.read.parquet(out_path)
+    rows = out.count()
+    wall = time.time() - t0
+
+    snap = _snapshot_id(stage, input_snaps, rows, out.schema.simpleString())
+    manifest.stages[stage] = {
+        "snapshot_id": snap,
+        "path": out_path,
+        "rows": rows,
+        "schema": out.schema.simpleString(),
+        "input_snapshots": input_snaps,
+        "inputs": inputs,
+        "wall_secs": round(wall, 3),
+    }
+    manifest.save()
+    if metrics is not None:
+        metrics.record_stage(spark, stage, out, snap, wall)
+    return out

@@ -1,0 +1,88 @@
+"""End-to-end ingest pipeline — the `peermaps-ingest ingest` analog
+(SURVEY §3.1) with checkpointed stages and metrics:
+
+  stage scan     → element stats table (ScanTable analog, S1-S3)
+  stage ingest   → features (assemble + classify + encode + cells),
+                   written sorted by (hex_cell, id)
+  stage optimize → quadtree buckets + hot-cell salting + tile ids
+                   (the --optimize re-partition pass, O1-O4)
+
+Each stage is resumable via the snapshot manifest (plans/checkpoint.py)
+and records per-partition lineage metrics (plans/metrics.py).
+Run it via ``spark-submit --py-files pipeline.zip jobs/ingest_job.py``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import DEFAULT, EngineConfig
+from ..operators import extract
+from ..operators.features import build_features
+from ..operators.spatial import with_cells
+from ..operators.tiling import quadtree_partition, salt_hot_cells, with_tile_xyz
+from ..sources import scan as scan_src
+from .checkpoint import Manifest, run_stage
+from .metrics import MetricsCollector
+
+
+@dataclass
+class PipelineResult:
+    manifest: Manifest
+    features: DataFrame
+    optimized: DataFrame | None
+
+
+def run_ingest(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_root: str,
+    cfg: EngineConfig = DEFAULT,
+    optimize_grid: tuple[int, int] | None = (4, 4),
+    ingest_nodes: bool = True,
+    ingest_ways: bool = True,
+    ingest_relations: bool = True,
+) -> PipelineResult:
+    manifest = Manifest.load(out_root)
+    metrics = MetricsCollector(out_root)
+
+    nodes, ways, relations = extract.parse_elements(pages)
+
+    # -------- stage: scan (pass 1)
+    run_stage(
+        spark, manifest, "scan",
+        lambda: scan_src.element_stats(nodes, ways, relations),
+        inputs=[], metrics=metrics,
+    )
+
+    # -------- stage: ingest (pass 2)
+    def _ingest() -> DataFrame:
+        feats = build_features(
+            nodes, ways, relations, spark,
+            ingest_nodes=ingest_nodes,
+            ingest_ways=ingest_ways,
+            ingest_relations=ingest_relations,
+        )
+        return with_cells(feats, cfg)
+
+    features = run_stage(
+        spark, manifest, "ingest", _ingest, inputs=["scan"], metrics=metrics
+    )
+
+    optimized = None
+    if optimize_grid is not None:
+        gx, gy = optimize_grid
+
+        # -------- stage: optimize (re-partition pass)
+        def _optimize() -> DataFrame:
+            qt = quadtree_partition(features, cfg, gx=gx, gy=gy)
+            salted = salt_hot_cells(qt, "hex_cell", cfg)
+            return with_tile_xyz(salted, cfg.tile_zoom)
+
+        optimized = run_stage(
+            spark, manifest, "optimize", _optimize, inputs=["ingest"], metrics=metrics
+        )
+
+    return PipelineResult(manifest=manifest, features=features, optimized=optimized)

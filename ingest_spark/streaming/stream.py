@@ -1,0 +1,132 @@
+"""Structured Streaming surface.
+
+The reference is batch-only — its `changeset` incremental command is
+declared but unimplemented (/root/reference/src/bin.rs:229-231), with a
+dormant test suite (tests/ingest.rs:90-400). This module supplies the
+streaming capability the reference never finished, Spark-first:
+
+- ``stream_pages`` → ``stream_node_features``: continuous ingest of new
+  page files into encoded point features (stream-static broadcast joins
+  for tag classification are supported by Structured Streaming; way/
+  relation assembly needs multi-stream stateful joins and stays batch —
+  the incremental path handles the dominant element type, like the
+  reference's changeset fixtures which are node edits,
+  tests/ingest.rs:141-146).
+- ``windowed_event_counts``: event-time tumbling windows + watermark
+  (late data policy) over an events stream.
+- ``hot_cell_monitor``: custom stateful operator via
+  ``applyInPandasWithState`` — running per-cell feature counts that
+  emit a row whenever a cell crosses the hot threshold (the streaming
+  analog of the salting trigger).
+
+All sinks default to parquet + checkpointLocation; `availableNow`
+triggers make the streams testable in batch-ish runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType, LongType, StructField, StructType, TimestampType,
+)
+
+from ..config import DEFAULT, EngineConfig
+from ..operators import extract
+from ..operators.features import node_features
+from ..operators.spatial import with_cells
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def stream_pages(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+def stream_node_features(
+    pages: DataFrame, spark: SparkSession, cfg: EngineConfig = DEFAULT
+) -> DataFrame:
+    nodes = extract.parse_nodes(pages)
+    return with_cells(node_features(nodes, spark), cfg)
+
+
+def write_stream(
+    df: DataFrame, out_dir: str, checkpoint_dir: str, available_now: bool = True
+):
+    """Parquet sink with exactly-once checkpointing; availableNow drains
+    the backlog then stops (testable), continuous otherwise."""
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time tumbling window counts with late-data watermark."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+_HOT_STATE_SCHEMA = StructType([StructField("count", LongType(), False)])
+_HOT_OUT_SCHEMA = StructType([
+    StructField("hex_cell", LongType(), False),
+    StructField("count", LongType(), False),
+    StructField("crossed_at_count", LongType(), False),
+])
+
+
+def hot_cell_monitor(
+    feature_stream: DataFrame, threshold: int = 1000
+) -> DataFrame:
+    """Custom stateful streaming operator: per-hex-cell running count;
+    emits a row each batch in which the cell's cumulative count crosses
+    ``threshold`` (applyInPandasWithState)."""
+
+    def _update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        add = 0
+        for pdf in pdfs:
+            add += len(pdf)
+        (prev,) = state.get if state.exists else (0,)
+        total = prev + add
+        state.update((total,))
+        if prev < threshold <= total:
+            yield pd.DataFrame(
+                {"hex_cell": [key[0]], "count": [total], "crossed_at_count": [threshold]}
+            )
+
+    return (
+        feature_stream.groupBy("hex_cell")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=_HOT_OUT_SCHEMA,
+            stateStructType=_HOT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

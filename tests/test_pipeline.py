@@ -1,0 +1,132 @@
+"""Checkpointed pipeline: stages, resume, metrics, scan stats, streaming."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ingest_spark.config import EngineConfig
+from ingest_spark.operators import extract
+from ingest_spark.plans.checkpoint import Manifest, run_stage
+from ingest_spark.plans.metrics import MetricsCollector
+from ingest_spark.plans.pipeline import run_ingest
+from ingest_spark.sources import pages as pages_src
+from ingest_spark.sources import scan as scan_src
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return pages_src.pages(spark, n_filler=800).cache()
+
+
+class TestScanStats:
+    def test_stats_shape_and_counts(self, spark, pages):
+        nodes, ways, rels = extract.parse_elements(pages)
+        stats = scan_src.element_stats(nodes, ways, rels)
+        agg = {r.etype: r.total for r in stats.groupBy("etype").agg(F.sum("n").alias("total")).collect()}
+        assert agg["node"] == nodes.count()
+        assert agg["way"] == ways.count()
+        assert agg["relation"] == rels.count()
+
+    def test_prune_partitions(self, spark, pages):
+        nodes, ways, rels = extract.parse_elements(pages)
+        stats = scan_src.element_stats(nodes, ways, rels).cache()
+        needed = spark.createDataFrame([(1312,), (2000,)], "id long")
+        pruned = scan_src.prune_partitions(stats, needed, "node")
+        total = stats.where(F.col("etype") == "node").count()
+        assert 1 <= pruned.count() <= total
+
+
+class TestCheckpointResume:
+    def test_stage_runs_then_skips(self, spark, tmp_path):
+        root = str(tmp_path / "ckpt")
+        m = Manifest.load(root)
+        calls = []
+
+        def build():
+            calls.append(1)
+            return spark.range(0, 10).withColumnRenamed("id", "x")
+
+        df1 = run_stage(spark, m, "s1", build)
+        assert df1.count() == 10 and len(calls) == 1
+
+        # resume: same manifest root → stage skipped
+        m2 = Manifest.load(root)
+        df2 = run_stage(spark, m2, "s1", build)
+        assert df2.count() == 10 and len(calls) == 1
+        assert m2.snapshot_of("s1") == m.snapshot_of("s1")
+
+    def test_upstream_change_invalidates_downstream(self, spark, tmp_path):
+        root = str(tmp_path / "ckpt2")
+        m = Manifest.load(root)
+        run_stage(spark, m, "a", lambda: spark.range(5))
+        calls = []
+        run_stage(spark, m, "b", lambda: (calls.append(1), spark.range(3))[1], inputs=["a"])
+        assert len(calls) == 1
+        # simulate upstream re-run with different content → new snapshot
+        m.stages["a"]["snapshot_id"] = "changed!"
+        m.save()
+        m2 = Manifest.load(root)
+        run_stage(spark, m2, "b", lambda: (calls.append(1), spark.range(3))[1], inputs=["a"])
+        assert len(calls) == 2
+
+    def test_full_pipeline_and_resume(self, spark, pages, tmp_path):
+        root = str(tmp_path / "pipe")
+        res1 = run_ingest(spark, pages, root, EngineConfig(), optimize_grid=(2, 2))
+        n1 = res1.features.count()
+        assert n1 > 0
+        assert res1.optimized is not None
+        assert {"grid_cell", "bucket", "salt", "tile_x"} <= set(res1.optimized.columns)
+        stages1 = dict(res1.manifest.stages)
+
+        # resume: nothing recomputes, snapshots identical
+        res2 = run_ingest(spark, pages, root, EngineConfig(), optimize_grid=(2, 2))
+        assert res2.features.count() == n1
+        assert {k: v["snapshot_id"] for k, v in res2.manifest.stages.items()} == {
+            k: v["snapshot_id"] for k, v in stages1.items()
+        }
+
+    def test_metrics_recorded(self, spark, pages, tmp_path):
+        root = str(tmp_path / "pipe_m")
+        run_ingest(spark, pages, root, EngineConfig(), optimize_grid=None)
+        mc = MetricsCollector(root)
+        summary = mc.stage_summary(spark)
+        stages = {r.stage for r in summary.collect()}
+        assert {"scan", "ingest"} <= stages
+        row = summary.where(F.col("stage") == "ingest").first()
+        assert row.rows > 0 and row.partitions >= 1 and row.rows_per_sec > 0
+
+
+class TestStreaming:
+    def test_stream_node_features(self, spark, tmp_path):
+        from ingest_spark.streaming import stream as strm
+
+        src = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ck")
+        pages_src.pages(spark, n_filler=300).write.parquet(src)
+
+        stream = strm.stream_pages(spark, src)
+        assert stream.isStreaming
+        feats = strm.stream_node_features(stream, spark)
+        q = strm.write_stream(feats, out, ckpt)
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(out)
+        # batch pipeline over the same input must agree exactly
+        from ingest_spark.operators.features import node_features
+        from ingest_spark.operators.spatial import with_cells
+        batch = with_cells(
+            node_features(extract.parse_nodes(spark.read.parquet(src)), spark)
+        )
+        assert got.count() == batch.count()
+        assert (
+            got.select("id", "hex_cell").exceptAll(batch.select("id", "hex_cell")).count() == 0
+        )
+
+    def test_windowed_event_counts_batch_semantics(self, spark):
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        from ingest_spark.streaming.stream import windowed_event_counts
+        agg = windowed_event_counts(events, window="1 hour", watermark="2 hours")
+        rows = agg.agg(F.sum("n")).first()[0]
+        assert rows == events.count()

@@ -1,0 +1,268 @@
+"""Text analysis, dedup suite, ANN similarity, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ingest_spark.config import EngineConfig
+from ingest_spark.functions import sketches as sk
+from ingest_spark.functions import text as tx
+from ingest_spark.operators import dedup, multimodal, similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+class TestTextAnalysis:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, ""), (3, "  a  b   c "), (4, "don't stop, 42!")],
+            "id long, text string",
+        )
+        got = {
+            r.id: (r.ws, r.bpe)
+            for r in df.select(
+                "id",
+                tx.ws_token_count(F.col("text")).alias("ws"),
+                tx.bpe_ish_token_count(F.col("text")).alias("bpe"),
+            ).collect()
+        }
+        assert got[1] == (2, 2)
+        assert got[2] == (0, 0)
+        assert got[3] == (3, 3)
+        # don ' t stop , 42 ! → 7 BPE-ish tokens, 3 ws tokens
+        assert got[4] == (3, 7)
+
+    def test_quality_score_range_and_signal(self, spark, docs):
+        scored = docs.select(tx.quality_score(F.col("text")).alias("q"))
+        mn, mx = scored.agg(F.min("q"), F.max("q")).first()
+        assert 0.0 <= mn <= mx <= 1.0
+        garbage = spark.createDataFrame([(1, "!!! ??? 111 222 ###")], "id long, text string")
+        good = spark.createDataFrame(
+            [(1, "The quick brown fox jumps over the lazy dog and it is a fine day " * 5)],
+            "id long, text string",
+        )
+        qg = garbage.select(tx.quality_score(F.col("text")).alias("q")).first().q
+        qd = good.select(tx.quality_score(F.col("text")).alias("q")).first().q
+        assert qd > qg
+
+    def test_lang_id(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat is in the house and it is warm"),
+                (2, "der Hund ist nicht in der Schule und das ist gut"),
+                (3, "le chat est dans la maison et les enfants sont pour"),
+                (4, "el perro es en la casa y los gatos son para el"),
+                (5, "xyzzy plugh 12345"),
+            ],
+            "id long, text string",
+        )
+        got = {r.id: r.lang for r in df.select("id", tx.lang_id(F.col("text")).alias("lang")).collect()}
+        assert got[1] == "en" and got[2] == "de" and got[3] == "fr"
+        assert got[4] == "es" and got[5] == "und"
+
+    def test_fingerprints_deterministic(self, spark, docs):
+        a = docs.select("doc_id", tx.md5_fingerprint(F.col("text")).alias("m"),
+                        tx.rolling_fingerprint(F.col("text")).alias("r"))
+        b = docs.select("doc_id", tx.md5_fingerprint(F.col("text")).alias("m"),
+                        tx.rolling_fingerprint(F.col("text")).alias("r"))
+        assert a.orderBy("doc_id").collect() == b.orderBy("doc_id").collect()
+        # distinct texts → distinct rolling fingerprints (no collisions here)
+        assert a.select("r").distinct().count() == docs.count()
+
+
+class TestSketchKernels:
+    def test_minhash_estimates_jaccard(self):
+        rng = np.random.default_rng(1)
+        base = "the quick brown fox jumps over the lazy dog " * 20
+        # ~20% perturbation
+        chars = list(base)
+        idx = rng.choice(len(chars), size=len(chars) // 5, replace=False)
+        for i in idx:
+            chars[i] = "x"
+        pert = "".join(chars)
+        sa = sk.char_shingles(base, 5)
+        sb = sk.char_shingles(pert, 5)
+        true_j = len(np.intersect1d(sa, sb)) / len(np.union1d(sa, sb))
+        est = sk.minhash_jaccard_estimate(
+            sk.minhash_signature(sa, 128), sk.minhash_signature(sb, 128)
+        )
+        assert abs(est - true_j) < 0.15
+
+    def test_simhash_close_for_similar(self):
+        t1 = "spark makes large scale data processing simple and fast".split()
+        t2 = "spark makes large scale data processing simple and quick".split()
+        t3 = "completely different words entirely unrelated content here now".split()
+        h = lambda ws: sk.simhash(np.array([sk.hash_str(w) for w in ws], dtype=np.uint64))  # noqa: E731
+        d_sim = sk.hamming64([h(t1)], [h(t2)])[0]
+        d_diff = sk.hamming64([h(t1)], [h(t3)])[0]
+        assert d_sim < d_diff
+
+    def test_hyperplane_buckets_deterministic(self):
+        rng = np.random.default_rng(3)
+        m = rng.standard_normal((50, 64))
+        b1 = sk.hyperplane_buckets(m, 8)
+        b2 = sk.hyperplane_buckets(m, 8)
+        assert (b1 == b2).all()
+        # near-identical vectors share buckets
+        b3 = sk.hyperplane_buckets(m + 1e-9, 8)
+        assert (b1 == b3).mean() > 0.95
+
+
+class TestDedup:
+    @pytest.fixture(scope="class")
+    def dup_docs(self, spark, docs):
+        """documents + exact copies of 10 docs (new ids) + near-copies."""
+        base = docs.select("doc_id", "text")
+        copies = (
+            base.where(F.col("doc_id") < 10)
+            .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        )
+        near = (
+            base.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 15))
+            .select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+            )
+        )
+        return base.unionByName(copies).unionByName(near).cache()
+
+    def test_exact_duplicates(self, spark, dup_docs):
+        pairs = dedup.exact_duplicates(dup_docs).collect()
+        assert {(r.doc_id, r.canonical_id) for r in pairs} == {
+            (i + 100000, i) for i in range(10)
+        }
+        kept = dedup.dedup_exact(dup_docs)
+        assert kept.count() == dup_docs.count() - 10
+
+    def test_minhash_finds_exact_and_near(self, spark, dup_docs):
+        pairs = dedup.minhash_lsh_pairs(dup_docs, threshold=0.5).collect()
+        found = {(r.doc_a, r.doc_b) for r in pairs}
+        # all 10 exact copies must be found (est_jaccard = 1.0)
+        for i in range(10):
+            assert (i, i + 100000) in found
+        # near-copies (tiny tail append) found too
+        near_found = sum(1 for i in range(10, 15) if (i, i + 200000) in found)
+        assert near_found >= 4
+
+    def test_minhash_dedup_drops_dups(self, spark, dup_docs):
+        kept = dedup.dedup_minhash(dup_docs, threshold=0.9)
+        # all injected exact copies dropped, near-copies mostly dropped
+        assert kept.where(F.col("doc_id").between(100000, 100009)).count() == 0
+        assert kept.where(F.col("doc_id") >= 200000).count() <= 1
+        # most originals kept (the testdata corpus has a few genuine
+        # near-dups from its tiny vocabulary — those may drop too)
+        assert kept.where(F.col("doc_id") < 100000).count() >= 450
+
+    def test_simhash_pairs(self, spark, dup_docs):
+        pairs = dedup.simhash_pairs(dup_docs, max_hamming=3).collect()
+        found = {(r.doc_a, r.doc_b) for r in pairs}
+        for i in range(10):
+            assert (i, i + 100000) in found
+        hams = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+        assert all(h == 0 for (a, b), h in hams.items() if b == a + 100000)
+
+    def test_ngram_jaccard_exact_pairs(self, spark, dup_docs):
+        pairs = dedup.ngram_jaccard_pairs(dup_docs, n=3, threshold=0.9).collect()
+        found = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+        for i in range(10):
+            assert found.get((i, i + 100000)) == pytest.approx(1.0)
+
+    def test_embedding_cosine_pairs(self, spark, embeddings):
+        # exact copies of 5 vectors
+        copies = embeddings.where(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 1000).alias("vec_id"), "embedding", "label"
+        )
+        dup = embeddings.unionByName(copies)
+        exact = dedup.embedding_cosine_pairs(dup, threshold=0.999, exact=True)
+        got = {(r.id_a, r.id_b) for r in exact.collect()}
+        for i in range(5):
+            assert (i, i + 1000) in got
+        # LSH path finds the identical pairs too (same bucket guaranteed)
+        lsh = dedup.embedding_cosine_pairs(dup, threshold=0.999, n_planes=8)
+        got_lsh = {(r.id_a, r.id_b) for r in lsh.collect()}
+        for i in range(5):
+            assert (i, i + 1000) in got_lsh
+
+
+class TestSimilarity:
+    def test_exact_topk_self_match(self, spark, embeddings):
+        queries = embeddings.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        exact = similarity.cosine_topk(embeddings, queries, k=5)
+        rows = exact.collect()
+        # rank 1 of each query must be the query itself (cosine 1.0)
+        top1 = {r.qid: (r.vec_id, r.cosine) for r in rows if r.rank == 1}
+        assert all(q == v and c == pytest.approx(1.0) for q, (v, c) in top1.items())
+        assert all(len([r for r in rows if r.qid == q]) == 5 for q in top1)
+
+    def test_ann_recall_on_clustered_vectors(self, spark):
+        """LSH recall is only meaningful on structured data: 20 tight
+        clusters — true neighbors share sign buckets with high prob."""
+        rng = np.random.default_rng(9)
+        centers = rng.standard_normal((20, 32))
+        rows = []
+        for i in range(400):
+            c = centers[i % 20]
+            v = c + rng.standard_normal(32) * 0.05
+            rows.append((i, [float(x) for x in v]))
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        queries = vecs.where(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        exact = similarity.cosine_topk(vecs, queries, k=5)
+        approx = similarity.ann_topk(vecs, queries, k=5, n_planes=8, n_probe=9)
+        e = {(r.qid, r.vec_id) for r in exact.collect()}
+        a = {(r.qid, r.vec_id) for r in approx.collect()}
+        assert len(e & a) / len(e) >= 0.9
+
+
+class TestMultimodal:
+    def test_decode_requires_lib_or_fake(self, spark):
+        media = multimodal.synthetic_media(spark, 30)
+        if not multimodal.HAVE_PIL:
+            with pytest.raises(NotImplementedError):
+                multimodal.decode_image(media, fake=False)
+
+    def test_fake_decode_pipeline(self, spark):
+        media = multimodal.synthetic_media(spark, 30)
+        decoded = multimodal.decode_image(media, fake=True)
+        rows = decoded.collect()
+        assert len(rows) == 10  # every 3rd is an image
+        for r in rows:
+            assert len(r.pixels) == r.height * r.width * 3
+        resized = multimodal.resize(decoded, 4, 4).collect()
+        assert all(len(r.pixels) == 4 * 4 * 3 for r in resized)
+        feats = multimodal.feature_extract(decoded, dim=16).collect()
+        assert all(len(r.embedding) == 16 for r in feats)
+        # determinism
+        again = multimodal.feature_extract(multimodal.decode_image(media, fake=True), dim=16).collect()
+        assert sorted(map(lambda r: (r.media_id, tuple(r.embedding)), feats)) == \
+            sorted(map(lambda r: (r.media_id, tuple(r.embedding)), again))
+
+    def test_frame_sampling(self, spark):
+        media = multimodal.synthetic_media(spark, 30)
+        frames = multimodal.frame_sample(media, every_ms=1000)
+        per_video = frames.groupBy("media_id").count()
+        vids = media.where(F.col("kind") == "video").select("media_id", "duration_ms")
+        joined = per_video.join(vids, "media_id")
+        bad = joined.where(
+            F.col("count") != F.greatest(F.floor(F.col("duration_ms") / 1000), F.lit(1))
+        )
+        assert bad.count() == 0
+
+    def test_repartition_by_bytes(self, spark):
+        media = multimodal.synthetic_media(spark, 100)
+        out = multimodal.repartition_by_bytes(media, bytes_per_partition=2000)
+        assert out.rdd.getNumPartitions() >= 4
+        assert out.count() == 100
