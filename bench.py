@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Benchmark harness — one JSON line to stdout.
+
+Runs the headline operator suite at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32).
+
+Headline set:
+- geo_ingest      : synthetic pages → extract → assemble → encode →
+                    cell index (the reference pipeline, features/sec)
+- tiling_optimize : quadtree partition + hot-cell salting (O1-O4)
+- pip_join        : broadcast point-in-polygon join
+- knn             : hex-ring kNN over derived points
+- tile_pyramid    : z6 tile aggregation
+- minhash_lsh     : MinHash+LSH near-dup pairs over documents
+- ngram_jaccard   : exact n-gram Jaccard pairs
+- ann_topk        : exact cosine top-k over embeddings
+- tpch_q1/q5ish   : generic agg/join throughput
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from ingest_spark.session import get_spark
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        app_name="ingest_spark_bench",
+        shuffle_partitions=max(cpus, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+    from ingest_spark.config import EngineConfig
+    from ingest_spark.operators import extract
+    from ingest_spark.operators.features import build_features
+    from ingest_spark.operators.spatial import with_cells
+    from ingest_spark.operators.tiling import quadtree_partition, salt_hot_cells
+    from ingest_spark.sources import pages as pages_src
+
+    cfg = EngineConfig()
+    try:
+        n_pages = int(1_200_000 * float(sf))
+    except ValueError:
+        n_pages = 120_000
+    n_pages = max(n_pages, 2_000)
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- geo ingest: the reference pipeline end-to-end
+    pages = pages_src.pages(spark, n_filler=n_pages)
+    nodes, ways, rels = extract.parse_elements(pages)
+
+    def _ingest():
+        feats = with_cells(build_features(nodes, ways, rels, spark), cfg)
+        feats.write.mode("overwrite").parquet("/tmp/_bench_features")
+        return spark.read.parquet("/tmp/_bench_features")
+
+    features = timed("geo_ingest", _ingest)
+    n_features = features.count()
+    extra["features_per_sec"] = round(n_features / timings["geo_ingest"], 1)
+
+    # ---- tiling optimize pass
+    def _tiling():
+        qt = quadtree_partition(features, cfg, gx=8, gy=8, bucket_max=cfg.bucket_max_records)
+        salted = salt_hot_cells(qt, "hex_cell", cfg, bucket_max=10_000)
+        return salted.groupBy("grid_cell", "bucket", "salt").count().count()
+
+    n_buckets = timed("tiling_optimize", _tiling)
+    extra["features_tiled_per_sec"] = round(n_features / timings["tiling_optimize"], 1)
+    extra["n_features"] = n_features
+    extra["n_buckets"] = n_buckets
+
+    # ---- operator suite from the driver contract
+    q = entry_mod.queries()
+    for name in [
+        "pip_polygon_join", "knn_ring_expansion", "tile_xyz",
+        "minhash_lsh", "ngram_jaccard", "ann_topk",
+        "tpch_q1", "tpch_q5ish", "event_windows",
+    ]:
+        timed(name, lambda n=name: q[n](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        **extra,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()
