@@ -62,11 +62,27 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    # ---- geo ingest: the reference pipeline end-to-end
-    pages = pages_src.pages(spark, n_filler=n_pages)
-    nodes, ways, rels = extract.parse_elements(pages)
+    # ---- corpus materialization (the 100 TB input is a stored table;
+    # generating it is not part of ingest throughput)
+    def _corpus():
+        pages_src.pages(spark, n_filler=n_pages).write.mode("overwrite").parquet(
+            "/tmp/_bench_pages"
+        )
+        return spark.read.parquet("/tmp/_bench_pages")
+
+    pages = timed("corpus_gen", _corpus)
 
     def _ingest():
+        # materialize element tables once (the pipeline's extract stage),
+        # then build features from the parsed store — parse is not
+        # recomputed per join branch
+        n, w, r = extract.parse_elements(pages)
+        n.write.mode("overwrite").parquet("/tmp/_bench_nodes")
+        w.write.mode("overwrite").parquet("/tmp/_bench_ways")
+        r.write.mode("overwrite").parquet("/tmp/_bench_rels")
+        nodes = spark.read.parquet("/tmp/_bench_nodes")
+        ways = spark.read.parquet("/tmp/_bench_ways")
+        rels = spark.read.parquet("/tmp/_bench_rels")
         feats = with_cells(build_features(nodes, ways, rels, spark), cfg)
         feats.write.mode("overwrite").parquet("/tmp/_bench_features")
         return spark.read.parquet("/tmp/_bench_features")

@@ -119,8 +119,11 @@ def _encode_point_udf(
 ) -> pd.Series:
     out = []
     for i, ft, x, y, nm in zip(osm_id, ftype, lon, lat, name):
-        fid = gr.feature_id(int(i), gr.KIND_NODE)
-        out.append(gr.encode_point(fid, int(ft), x, y, gr.pack_labels(nm)))
+        try:  # F9: encode errors drop the row (src/lib.rs:152), counted
+            fid = gr.feature_id(int(i), gr.KIND_NODE)
+            out.append(gr.encode_point(fid, int(ft), x, y, gr.pack_labels(nm)))
+        except Exception:
+            out.append(None)
     return pd.Series(out)
 
 
@@ -136,6 +139,7 @@ def _encode_way_udf(
 ) -> pd.Series:
     out = []
     for i, ft, ia, cl, x_arr, y_arr, nm in zip(osm_id, ftype, is_area, closed, xs, ys, name):
+      try:  # F9
         fid = gr.feature_id(int(i), gr.KIND_WAY)
         labels = gr.pack_labels(nm)
         n = len(x_arr)
@@ -149,6 +153,8 @@ def _encode_way_udf(
             out.append(gr.encode_area(fid, int(ft), pos, cells, labels))
         else:
             out.append(gr.encode_line(fid, int(ft), pos, labels))
+      except Exception:
+        out.append(None)
     return pd.Series(out)
 
 
@@ -167,6 +173,7 @@ def _encode_relation_udf(
     for i, ft, x_arr, y_arr, lens, roles, closed, nm in zip(
         rel_id, ftype, xs, ys, ring_lens, ring_roles, ring_closed, name
     ):
+      try:  # F9
         fid = gr.feature_id(int(i), gr.KIND_RELATION)
         labels = gr.pack_labels(nm)
         pos: list[float] = []
@@ -189,6 +196,8 @@ def _encode_relation_udf(
                 pos.append(float(vy))
         cells = _earcut(pos, holes, 2)
         out.append(gr.encode_area(fid, int(ft), pos, cells, labels))
+      except Exception:
+        out.append(None)
     return pd.Series(out)
 
 

@@ -48,13 +48,31 @@ def run_ingest(
     manifest = Manifest.load(out_root)
     metrics = MetricsCollector(out_root)
 
-    nodes, ways, relations = extract.parse_elements(pages)
+    # -------- stage: extract (pass 1a) — materialize the element tables
+    # once so downstream joins never re-run html→text→parse (the feature
+    # build consumes nodes 3×, ways 2×; at 10^12 pages re-parsing would
+    # dominate). This is the reference's two-pass shape: parse once,
+    # then join against the parsed store (src/denorm.rs re-scans blobs
+    # by offset — our "offsets" are the parquet element tables).
+    nodes = run_stage(
+        spark, manifest, "extract_nodes",
+        lambda: extract.parse_nodes(pages), inputs=[], metrics=metrics,
+    )
+    ways = run_stage(
+        spark, manifest, "extract_ways",
+        lambda: extract.parse_ways(pages), inputs=[], metrics=metrics,
+    )
+    relations = run_stage(
+        spark, manifest, "extract_relations",
+        lambda: extract.parse_relations(pages), inputs=[], metrics=metrics,
+    )
 
-    # -------- stage: scan (pass 1)
+    # -------- stage: scan (pass 1b — stats/ScanTable analog)
     run_stage(
         spark, manifest, "scan",
         lambda: scan_src.element_stats(nodes, ways, relations),
-        inputs=[], metrics=metrics,
+        inputs=["extract_nodes", "extract_ways", "extract_relations"],
+        metrics=metrics,
     )
 
     # -------- stage: ingest (pass 2)
@@ -68,7 +86,9 @@ def run_ingest(
         return with_cells(feats, cfg)
 
     features = run_stage(
-        spark, manifest, "ingest", _ingest, inputs=["scan"], metrics=metrics
+        spark, manifest, "ingest", _ingest,
+        inputs=["extract_nodes", "extract_ways", "extract_relations", "scan"],
+        metrics=metrics,
     )
 
     optimized = None

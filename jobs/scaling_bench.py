@@ -23,52 +23,71 @@ import sys
 
 _WORKER = r"""
 import json, os, sys, time
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, os.environ["SPARK_GRAFT_REPO"])
 cpus = int(sys.argv[1])
 n_pages = int(sys.argv[2])
+n_runs = int(sys.argv[3])
+
 from ingest_spark.session import get_spark
 from ingest_spark.config import EngineConfig
 from ingest_spark.operators import extract
 from ingest_spark.operators.features import build_features
 from ingest_spark.operators.spatial import with_cells
-from ingest_spark.operators.tiling import quadtree_partition, salt_hot_cells
+from ingest_spark.operators.tiling import salt_hot_cells
+from ingest_spark.sources import pages as pages_src
 
-spark = get_spark(master=f"local[{{}}]".format(cpus),
-                  app_name=f"scaling_{{}}".format(cpus),
+spark = get_spark(master=f"local[{cpus}]", app_name=f"scaling_{cpus}",
                   shuffle_partitions=max(cpus * 2, 16))
 spark.sparkContext.setLogLevel("ERROR")
-from ingest_spark.sources import pages as pages_src
 cfg = EngineConfig()
 
-pages = pages_src.pages(spark, n_filler=n_pages)
-nodes, ways, rels = extract.parse_elements(pages)
-feats = with_cells(build_features(nodes, ways, rels, spark), cfg)
-feats.write.mode("overwrite").parquet(f"/tmp/_scaling_feats_{{}}".format(cpus))
-feats = spark.read.parquet(f"/tmp/_scaling_feats_{{}}".format(cpus))
-n = feats.count()
+pages_path = f"/tmp/_scaling_pages_{n_pages}"
+if not os.path.exists(pages_path + "/_SUCCESS"):
+    pages_src.pages(spark, n_filler=n_pages).write.mode("overwrite").parquet(pages_path)
+pages = spark.read.parquet(pages_path)
 
-# warm-up (discarded) then timed runs of the tiling stage
-def tile_once():
-    qt = quadtree_partition(feats, cfg, gx=8, gy=8, bucket_max=10_000)
-    salted = salt_hot_cells(qt, "hex_cell", cfg, bucket_max=10_000)
-    return salted.groupBy("grid_cell", "bucket", "salt").count().count()
+from pyspark.sql import functions as F
 
-tile_once()
+def pipeline_once(run_id):
+    # the full ingest+tile pipeline, identical input every run:
+    # parse -> materialized element tables -> assemble/classify/encode
+    # (Arrow UDF kernels) -> cell index -> hot-cell salting -> range
+    # repartition on (cell, salt) -> sorted tiled write. CPU-bound
+    # end to end (regex parse, joins, python encode, shuffle sort,
+    # parquet encode), which is what must scale 8 -> 32 cores.
+    tag = f"{cpus}_{run_id}"
+    n_, w_, r_ = extract.parse_elements(pages)
+    n_.write.mode("overwrite").parquet(f"/tmp/_sc_nodes_{tag}")
+    w_.write.mode("overwrite").parquet(f"/tmp/_sc_ways_{tag}")
+    r_.write.mode("overwrite").parquet(f"/tmp/_sc_rels_{tag}")
+    feats = with_cells(build_features(
+        spark.read.parquet(f"/tmp/_sc_nodes_{tag}"),
+        spark.read.parquet(f"/tmp/_sc_ways_{tag}"),
+        spark.read.parquet(f"/tmp/_sc_rels_{tag}"), spark), cfg)
+    salted = salt_hot_cells(feats, "hex_cell", cfg, bucket_max=10_000)
+    out = f"/tmp/_scaling_out_{tag}"
+    (salted.repartitionByRange(max(cpus * 2, 16), F.col("hex_cell"), F.col("salt"))
+           .sortWithinPartitions("hex_cell", "id")
+           .write.mode("overwrite").parquet(out))
+    return out
+
+out = pipeline_once("warm")  # warm-up, discarded
+n = spark.read.parquet(out).count()
 times = []
-for _ in range(int(sys.argv[3])):
+for k in range(n_runs):
     t0 = time.time()
-    tile_once()
+    pipeline_once(k)
     times.append(time.time() - t0)
-print(json.dumps({{"cpus": cpus, "n_features": n, "times": times}}))
+print(json.dumps({"cpus": cpus, "n_features": n, "times": times}))
 spark.stop()
 """
 
 
 def run_worker(repo: str, cpus: int, n_pages: int, runs: int) -> dict:
-    code = _WORKER.format(repo=repo)
+    env = dict(os.environ, SPARK_GRAFT_REPO=repo)
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), str(n_pages), str(runs)],
-        capture_output=True, text=True, timeout=3600,
+        [sys.executable, "-c", _WORKER, str(cpus), str(n_pages), str(runs)],
+        capture_output=True, text=True, timeout=3600, env=env,
     )
     if out.returncode != 0:
         raise RuntimeError(f"worker local[{cpus}] failed:\n{out.stderr[-3000:]}")
@@ -77,7 +96,7 @@ def run_worker(repo: str, cpus: int, n_pages: int, runs: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", type=int, default=400_000)
+    ap.add_argument("--pages", type=int, default=800_000)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--n", type=int, default=8)
     args = ap.parse_args()
