@@ -459,6 +459,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["window_running_sum"] = window_running_sum
 
+    # ---------------- generic set / grouping / window completeness
+
+    def set_ops(spark, sf):
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        with_orders = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select("c_custkey")
+        building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+        return spark.createDataFrame(
+            [(0,)], "row_id long"
+        ).select(
+            "row_id",
+            F.lit(building.union(with_orders).distinct().count()).alias("union_n"),
+            F.lit(building.intersect(with_orders).count()).alias("intersect_n"),
+            F.lit(building.exceptAll(building.intersect(with_orders)).count()).alias("except_n"),
+        )
+    q["set_ops"] = set_ops
+
+    def rollup_agg(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 0).alias("qty"))
+        )
+    q["rollup_agg"] = rollup_agg
+
+    def having_filter(spark, sf):
+        o = _t(spark, sf, "orders")
+        g = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+        return g.where(F.col("n_orders") >= 20)
+    q["having_filter"] = having_filter
+
+    def subquery_in(spark, sf):
+        c = _t(spark, sf, "customer").where(F.col("c_acctbal") > 9000)
+        o = _t(spark, sf, "orders")
+        return (
+            o.join(c.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+    q["subquery_in"] = subquery_in
+
+    def pivot_case(spark, sf):
+        o = _t(spark, sf, "orders")
+        return o.groupBy("o_orderstatus").agg(
+            *[
+                F.sum(F.when(F.col("o_orderpriority") == pr, 1).otherwise(0)).alias(f"n_{pr.split('-')[0]}")
+                for pr in ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+            ]
+        )
+    q["pivot_case"] = pivot_case
+
+    def sessionize(spark, sf):
+        e = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        sess = F.sum(new_sess).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            e.withColumn("session_id", sess)
+            .groupBy("user_id")
+            .agg(F.max("session_id").alias("n_sessions"), F.count("*").alias("n_events"))
+        )
+    q["sessionize"] = sessionize
+
+    def raster_tiles_q(spark, sf):  # rows-only: binary raster grids
+        from ingest_spark.operators.tiling import raster_tiles
+        p = _points(spark, sf).select(
+            F.col("id"), F.lit(0).cast("tinyint").alias("kind"),
+            F.col("lon").alias("minx"), F.col("lat").alias("miny"),
+            F.col("lon").alias("maxx"), F.col("lat").alias("maxy"),
+        )
+        r = raster_tiles(p, z=4, px=64)
+        return r.select("tile_z", "tile_x", "tile_y", "px", "n_points", F.md5("grid").alias("grid_md5"))
+    q["raster_tiles"] = raster_tiles_q
+
     # ---------------- georender fixture pipeline (rows-only)
 
     def georender_features(spark, sf):  # rows-only: binary encoding kernel
@@ -714,6 +792,54 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             WHERE c_nationkey = s_nationkey
             GROUP BY 1
+        """,
+        "set_ops": """
+            WITH with_orders AS (
+              SELECT DISTINCT c_custkey FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ),
+            building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+            SELECT 0 AS row_id,
+              (SELECT COUNT(*) FROM (SELECT c_custkey FROM building UNION SELECT c_custkey FROM with_orders)) AS union_n,
+              (SELECT COUNT(*) FROM (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM with_orders)) AS intersect_n,
+              (SELECT COUNT(*) FROM (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM with_orders)) AS except_n
+        """,
+        "rollup_agg": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   ROUND(SUM(l_quantity), 0) AS qty
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "having_filter": """
+            SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+            GROUP BY 1 HAVING COUNT(*) >= 20
+        """,
+        "subquery_in": """
+            SELECT o_orderpriority, COUNT(*) AS n FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+            GROUP BY 1
+        """,
+        "pivot_case": """
+            SELECT o_orderstatus,
+                   SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_1,
+                   SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_2,
+                   SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS n_3
+            FROM orders GROUP BY 1
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, event_id,
+                     FLOOR(EPOCH(ts))::BIGINT - FLOOR(EPOCH(LAG(ts) OVER w))::BIGINT AS gap
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT user_id,
+                     SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM g
+            )
+            SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+            FROM s GROUP BY 1
         """,
         "window_running_sum": """
             SELECT o_custkey, o_orderkey,

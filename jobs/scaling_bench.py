@@ -37,13 +37,16 @@ from ingest_spark.operators.tiling import salt_hot_cells
 from ingest_spark.sources import pages as pages_src
 
 spark = get_spark(master=f"local[{cpus}]", app_name=f"scaling_{cpus}",
-                  shuffle_partitions=max(cpus * 2, 16))
+                  shuffle_partitions=max(cpus * 2, 16),
+                  # split parquet inputs finely so scan stages expose
+                  # enough tasks for 32 cores even on small-ish files
+                  extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)})
 spark.sparkContext.setLogLevel("ERROR")
 cfg = EngineConfig()
 
 pages_path = f"/tmp/_scaling_pages_{n_pages}"
 if not os.path.exists(pages_path + "/_SUCCESS"):
-    pages_src.pages(spark, n_filler=n_pages).write.mode("overwrite").parquet(pages_path)
+    pages_src.pages(spark, n_filler=n_pages).repartition(128).write.mode("overwrite").parquet(pages_path)
 pages = spark.read.parquet(pages_path)
 
 from pyspark.sql import functions as F
@@ -96,7 +99,7 @@ def run_worker(repo: str, cpus: int, n_pages: int, runs: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", type=int, default=800_000)
+    ap.add_argument("--pages", type=int, default=3_200_000)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--n", type=int, default=8)
     args = ap.parse_args()
