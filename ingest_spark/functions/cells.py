@@ -295,3 +295,28 @@ def hex_cell(lon, lat, res: int = 8) -> np.ndarray:
             dtype=np.int64,
         )
     return hex_cell_id(lon, lat, res)
+
+
+def hex_cover_bbox(x0: float, y0: float, x1: float, y1: float, res: int = 8) -> list[int]:
+    """All hex cells whose center could own a point in the bbox —
+    the covering set for an indexed bbox read (eyros tree-descent
+    analog: turns a spatial predicate into a cell-id IN-list that
+    prunes a (cell-sorted) table's row groups). Padded by one cell so
+    boundary points binned to a neighboring center are included."""
+    size = hex_edge_deg(res)
+    pad = 2.0 * size
+    qs, rs = [], []
+    # enumerate axial rows covering the padded lat range, then q range
+    # per row from the lon range (pointy-top axial geometry)
+    r_min = int(math.floor((y0 - pad) * 2.0 / 3.0 / size))
+    r_max = int(math.ceil((y1 + pad) * 2.0 / 3.0 / size))
+    out = []
+    for r in range(r_min, r_max + 1):
+        # lon = size*sqrt(3)*(q + r/2) → q bounds from lon bounds
+        q_min = int(math.floor(((x0 - pad) / (_SQRT3 * size)) - r / 2.0))
+        q_max = int(math.ceil(((x1 + pad) / (_SQRT3 * size)) - r / 2.0))
+        for q in range(q_min, q_max + 1):
+            out.append(
+                (res << 56) | ((q + _AXIAL_OFFSET) << 28) | (r + _AXIAL_OFFSET)
+            )
+    return out

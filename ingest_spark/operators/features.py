@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
-from pyspark.sql.types import BinaryType
+from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
 
 from ..functions import areas as _areas
 from ..functions import georender as gr
@@ -111,94 +111,132 @@ def relation_is_area_col(tags_col: Column, n_members_col: Column) -> Column:
     return (n_members_col > 0) & tags_col.getItem("type").isin("multipolygon", "boundary")
 
 
-# ---------------------------------------------------------------- E1-E3
+# ------------------------------------------------- E1-E3 (fused F1/F2)
+#
+# Classification is fused into the Arrow-batched encode UDFs: the rows
+# already cross into Python for varint/earcut encoding, and a dict
+# lookup there costs ~1µs/row, while the declarative alternative costs
+# two broadcast joins per element branch (6 broadcast builds + extra
+# stages per pipeline run — measured multi-second fixed overhead).
+# `with_feature_type` above remains the standalone declarative operator
+# (same semantics, property-tested equal); the fused path is the
+# pipeline default. place.other / encode errors yield null structs
+# (F2/F9) dropped by the post-UDF filter (F3).
 
-@F.pandas_udf(BinaryType())
+_FE_STRUCT = StructType([
+    StructField("feature_type", IntegerType(), True),
+    StructField("encoded", BinaryType(), True),
+])
+
+
+def _null_fe(fts: list, outs: list) -> None:
+    fts.append(None)
+    outs.append(None)
+
+
+@F.pandas_udf(_FE_STRUCT)
 def _encode_point_udf(
-    osm_id: pd.Series, ftype: pd.Series, lon: pd.Series, lat: pd.Series, name: pd.Series
-) -> pd.Series:
-    out = []
-    for i, ft, x, y, nm in zip(osm_id, ftype, lon, lat, name):
-        try:  # F9: encode errors drop the row (src/lib.rs:152), counted
+    osm_id: pd.Series, lon: pd.Series, lat: pd.Series, tags: pd.Series
+) -> pd.DataFrame:
+    po = tg.place_other_id()
+    fts: list = []
+    outs: list = []
+    for i, x, y, t in zip(osm_id, lon, lat, tags):
+        try:
+            ft = tg.classify(t)
+            if ft == po:  # F2
+                _null_fe(fts, outs)
+                continue
             fid = gr.feature_id(int(i), gr.KIND_NODE)
-            out.append(gr.encode_point(fid, int(ft), x, y, gr.pack_labels(nm)))
-        except Exception:
-            out.append(None)
-    return pd.Series(out)
+            outs.append(gr.encode_point(fid, ft, x, y, gr.pack_labels(tg.label_name(t))))
+            fts.append(ft)
+        except Exception:  # F9
+            _null_fe(fts, outs)
+    return pd.DataFrame({"feature_type": pd.array(fts, dtype="Int32"), "encoded": outs})
 
 
-@F.pandas_udf(BinaryType())
+@F.pandas_udf(_FE_STRUCT)
 def _encode_way_udf(
-    osm_id: pd.Series,
-    ftype: pd.Series,
-    is_area: pd.Series,
-    closed: pd.Series,
-    xs: pd.Series,
-    ys: pd.Series,
-    name: pd.Series,
-) -> pd.Series:
-    out = []
-    for i, ft, ia, cl, x_arr, y_arr, nm in zip(osm_id, ftype, is_area, closed, xs, ys, name):
-      try:  # F9
-        fid = gr.feature_id(int(i), gr.KIND_WAY)
-        labels = gr.pack_labels(nm)
-        n = len(x_arr)
-        pos = [0.0] * (2 * n)
-        pos[0::2] = [float(v) for v in x_arr]
-        pos[1::2] = [float(v) for v in y_arr]
-        if ia:
-            if cl and n >= 2:
-                pos = pos[:-2]  # drop closing duplicate ref's point
-            cells = _earcut(pos, [], 2)
-            out.append(gr.encode_area(fid, int(ft), pos, cells, labels))
-        else:
-            out.append(gr.encode_line(fid, int(ft), pos, labels))
-      except Exception:
-        out.append(None)
-    return pd.Series(out)
+    way_id: pd.Series, refs: pd.Series, xs: pd.Series, ys: pd.Series, tags: pd.Series
+) -> pd.DataFrame:
+    po = tg.place_other_id()
+    fts: list = []
+    outs: list = []
+    for i, rf, x_arr, y_arr, t in zip(way_id, refs, xs, ys, tags):
+        try:
+            ft = tg.classify(t)
+            if ft == po:
+                _null_fe(fts, outs)
+                continue
+            fid = gr.feature_id(int(i), gr.KIND_WAY)
+            labels = gr.pack_labels(tg.label_name(t))
+            rf = list(rf)
+            is_area = _areas.way_is_area(t, rf)  # F6
+            closed = len(rf) >= 2 and rf[0] == rf[-1]
+            n = len(x_arr)
+            pos = [0.0] * (2 * n)
+            pos[0::2] = [float(v) for v in x_arr]
+            pos[1::2] = [float(v) for v in y_arr]
+            if is_area:
+                if closed and n >= 2:
+                    pos = pos[:-2]  # drop closing duplicate ref's point
+                cells = _earcut(pos, [], 2)
+                outs.append(gr.encode_area(fid, ft, pos, cells, labels))
+            else:
+                outs.append(gr.encode_line(fid, ft, pos, labels))
+            fts.append(ft)
+        except Exception:  # F9
+            _null_fe(fts, outs)
+    return pd.DataFrame({"feature_type": pd.array(fts, dtype="Int32"), "encoded": outs})
 
 
-@F.pandas_udf(BinaryType())
+@F.pandas_udf(_FE_STRUCT)
 def _encode_relation_udf(
     rel_id: pd.Series,
-    ftype: pd.Series,
     xs: pd.Series,
     ys: pd.Series,
     ring_lens: pd.Series,
     ring_roles: pd.Series,
     ring_closed: pd.Series,
-    name: pd.Series,
-) -> pd.Series:
-    out = []
-    for i, ft, x_arr, y_arr, lens, roles, closed, nm in zip(
-        rel_id, ftype, xs, ys, ring_lens, ring_roles, ring_closed, name
+    tags: pd.Series,
+) -> pd.DataFrame:
+    po = tg.place_other_id()
+    fts: list = []
+    outs: list = []
+    for i, x_arr, y_arr, lens, roles, closed, t in zip(
+        rel_id, xs, ys, ring_lens, ring_roles, ring_closed, tags
     ):
-      try:  # F9
-        fid = gr.feature_id(int(i), gr.KIND_RELATION)
-        labels = gr.pack_labels(nm)
-        pos: list[float] = []
-        holes: list[int] = []
-        off = 0
-        for ln, role, cl in zip(lens, roles, closed):
-            ring_x = x_arr[off : off + ln]
-            ring_y = y_arr[off : off + ln]
-            off += ln
-            if cl and ln >= 2:
-                ring_x = ring_x[:-1]
-                ring_y = ring_y[:-1]
-            if len(ring_x) == 0:
+        try:
+            ft = tg.classify(t)
+            if ft == po:
+                _null_fe(fts, outs)
                 continue
-            start = len(pos) // 2
-            if role == "inner" and start > 0:
-                holes.append(start)
-            for vx, vy in zip(ring_x, ring_y):
-                pos.append(float(vx))
-                pos.append(float(vy))
-        cells = _earcut(pos, holes, 2)
-        out.append(gr.encode_area(fid, int(ft), pos, cells, labels))
-      except Exception:
-        out.append(None)
-    return pd.Series(out)
+            fid = gr.feature_id(int(i), gr.KIND_RELATION)
+            labels = gr.pack_labels(tg.label_name(t))
+            pos: list[float] = []
+            holes: list[int] = []
+            off = 0
+            for ln, role, cl in zip(lens, roles, closed):
+                ring_x = x_arr[off : off + ln]
+                ring_y = y_arr[off : off + ln]
+                off += ln
+                if cl and ln >= 2:
+                    ring_x = ring_x[:-1]
+                    ring_y = ring_y[:-1]
+                if len(ring_x) == 0:
+                    continue
+                start = len(pos) // 2
+                if role == "inner" and start > 0:
+                    holes.append(start)
+                for vx, vy in zip(ring_x, ring_y):
+                    pos.append(float(vx))
+                    pos.append(float(vy))
+            cells = _earcut(pos, holes, 2)
+            outs.append(gr.encode_area(fid, ft, pos, cells, labels))
+            fts.append(ft)
+        except Exception:  # F9
+            _null_fe(fts, outs)
+    return pd.DataFrame({"feature_type": pd.array(fts, dtype="Int32"), "encoded": outs})
 
 
 # ------------------------------------------------------------- pipelines
@@ -210,48 +248,40 @@ FEATURE_COLS = [
 
 
 def node_features(nodes: DataFrame, spark: SparkSession) -> DataFrame:
-    """Node path (reference src/lib.rs:121-178): classify → drop
-    place.other → encode point → Scalar geometry (minx==maxx)."""
-    df = drop_place_other(with_feature_type(nodes, spark))
+    """Node path (reference src/lib.rs:121-178): fused classify/encode →
+    drop place.other + errors → Scalar geometry (minx==maxx)."""
     x = F.col("lon").cast("float")
     y = F.col("lat").cast("float")
-    df = df.select(
-        (F.col("id") * 3 + gr.KIND_NODE).alias("id"),
-        F.col("id").alias("osm_id"),
-        F.lit(gr.KIND_NODE).cast("tinyint").alias("kind"),
-        "feature_type",
-        x.alias("minx"), y.alias("miny"), x.alias("maxx"), y.alias("maxy"),
-        _encode_point_udf(
-            F.col("id"), "feature_type", "lon", "lat",
-            F.element_at("tags", F.lit("name")),
-        ).alias("encoded"),
+    df = nodes.withColumn("_fe", _encode_point_udf("id", "lon", "lat", "tags"))
+    return (
+        df.where(F.col("_fe.encoded").isNotNull())  # F2/F3/F9
+        .select(
+            (F.col("id") * 3 + gr.KIND_NODE).alias("id"),
+            F.col("id").alias("osm_id"),
+            F.lit(gr.KIND_NODE).cast("tinyint").alias("kind"),
+            F.col("_fe.feature_type").alias("feature_type"),
+            x.alias("minx"), y.alias("miny"), x.alias("maxx"), y.alias("maxy"),
+            F.col("_fe.encoded").alias("encoded"),
+        )
     )
-    return df.where(F.length("encoded") > 0)  # F3
 
 
 def way_features(ways: DataFrame, nodes: DataFrame, spark: SparkSession) -> DataFrame:
-    """Way path (reference src/lib.rs:180-271): assemble → classify →
-    F2/F4 → area flag → encode line/area → Interval geometry."""
+    """Way path (reference src/lib.rs:180-271): assemble → F4 → fused
+    classify/area-rule/encode → Interval geometry."""
     asm = assemble_ways(ways, nodes)
-    df = drop_place_other(with_feature_type(asm, spark))
-    df = df.where(F.col("n_nodes") >= 2)  # F4 (src/lib.rs:229)
-    closed = (F.size("refs") >= 2) & (
-        F.element_at("refs", 1) == F.element_at("refs", -1)
-    )
-    df = df.withColumn("is_area", way_is_area_col(F.col("tags"), F.col("refs")))
+    df = asm.where(F.col("n_nodes") >= 2)  # F4 (src/lib.rs:229)
+    df = df.withColumn("_fe", _encode_way_udf("way_id", "refs", "xs", "ys", "tags"))
     return (
-        df.select(
+        df.where(F.col("_fe.encoded").isNotNull())
+        .select(
             (F.col("way_id") * 3 + gr.KIND_WAY).alias("id"),
             F.col("way_id").alias("osm_id"),
             F.lit(gr.KIND_WAY).cast("tinyint").alias("kind"),
-            "feature_type",
+            F.col("_fe.feature_type").alias("feature_type"),
             "minx", "miny", "maxx", "maxy",
-            _encode_way_udf(
-                "way_id", "feature_type", "is_area", closed, "xs", "ys",
-                F.element_at("tags", F.lit("name")),
-            ).alias("encoded"),
+            F.col("_fe.encoded").alias("encoded"),
         )
-        .where(F.length("encoded") > 0)
     )
 
 
@@ -259,28 +289,28 @@ def relation_features(
     relations: DataFrame, ways: DataFrame, nodes: DataFrame, spark: SparkSession
 ) -> DataFrame:
     """Relation path (reference src/lib.rs:273-397): F5 area gate + F7
-    member filter → two-hop assembly → classify → F2/F4 → encode
-    multipolygon with holes."""
+    member filter → two-hop assembly → F4 → fused classify/encode."""
     rels = relations.where(
         relation_is_area_col(F.col("tags"), F.size("members"))
     )
     asm = assemble_relations(rels, ways, nodes)
-    df = drop_place_other(with_feature_type(asm, spark))
-    df = df.where(F.col("n_nodes") >= 2)  # F4 (src/lib.rs:356)
+    df = asm.where(F.col("n_nodes") >= 2)  # F4 (src/lib.rs:356)
+    df = df.withColumn(
+        "_fe",
+        _encode_relation_udf(
+            "rel_id", "xs", "ys", "ring_lens", "ring_roles", "ring_closed", "tags"
+        ),
+    )
     return (
-        df.select(
+        df.where(F.col("_fe.encoded").isNotNull())
+        .select(
             (F.col("rel_id") * 3 + gr.KIND_RELATION).alias("id"),
             F.col("rel_id").alias("osm_id"),
             F.lit(gr.KIND_RELATION).cast("tinyint").alias("kind"),
-            "feature_type",
+            F.col("_fe.feature_type").alias("feature_type"),
             "minx", "miny", "maxx", "maxy",
-            _encode_relation_udf(
-                "rel_id", "feature_type", "xs", "ys",
-                "ring_lens", "ring_roles", "ring_closed",
-                F.element_at("tags", F.lit("name")),
-            ).alias("encoded"),
+            F.col("_fe.encoded").alias("encoded"),
         )
-        .where(F.length("encoded") > 0)
     )
 
 

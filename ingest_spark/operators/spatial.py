@@ -282,3 +282,25 @@ def knn_brute_force(
             F.col("_qid").alias(query_id), F.col("_pid").alias(point_id), "dist", "rank"
         )
     )
+
+
+def bbox_query_indexed(
+    features: DataFrame,
+    x0: float, y0: float, x1: float, y1: float,
+    cfg: EngineConfig = DEFAULT,
+    cell_col: str = "hex_cell",
+) -> DataFrame:
+    """Index-assisted bbox query: prefilter by the hex-cell covering set
+    (an IN-list Catalyst pushes into the parquet scan — on a table
+    written sorted by cell this prunes row groups like an eyros tree
+    descent), then apply the exact interval predicate (S11).
+
+    Falls back to the plain predicate when the covering set is too big
+    for a useful IN-list (large boxes scan most of the table anyway).
+    """
+    cover = cell_fn.hex_cover_bbox(x0, y0, x1, y1, cfg.hex_res)
+    if len(cover) > 50_000:
+        return bbox_query(features, x0, y0, x1, y1)
+    return bbox_query(
+        features.where(F.col(cell_col).isin(cover)), x0, y0, x1, y1
+    )

@@ -45,6 +45,13 @@ def get_spark(
     if pkg_root not in pp.split(":"):
         os.environ["PYTHONPATH"] = f"{pkg_root}:{pp}" if pp else pkg_root
 
+    # shuffle/spill dirs: RAM-backed tmpfs when available (the sandbox's
+    # virtio disk caps at ~700MB/s single-queue, which would serialize
+    # shuffle IO); on a real cluster this is node-local NVMe
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark_local"
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -61,6 +68,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -44,7 +44,7 @@ spark = get_spark(master=f"local[{cpus}]", app_name=f"scaling_{cpus}",
 spark.sparkContext.setLogLevel("ERROR")
 cfg = EngineConfig()
 
-pages_path = f"/tmp/_scaling_pages_{n_pages}"
+pages_path = f"/dev/shm/_scaling_pages_{n_pages}"
 if not os.path.exists(pages_path + "/_SUCCESS"):
     pages_src.pages(spark, n_filler=n_pages).repartition(128).write.mode("overwrite").parquet(pages_path)
 pages = spark.read.parquet(pages_path)
@@ -60,15 +60,15 @@ def pipeline_once(run_id):
     # parquet encode), which is what must scale 8 -> 32 cores.
     tag = f"{cpus}_{run_id}"
     n_, w_, r_ = extract.parse_elements(pages)
-    n_.write.mode("overwrite").parquet(f"/tmp/_sc_nodes_{tag}")
-    w_.write.mode("overwrite").parquet(f"/tmp/_sc_ways_{tag}")
-    r_.write.mode("overwrite").parquet(f"/tmp/_sc_rels_{tag}")
+    n_.write.mode("overwrite").parquet(f"/dev/shm/_sc_nodes_{tag}")
+    w_.write.mode("overwrite").parquet(f"/dev/shm/_sc_ways_{tag}")
+    r_.write.mode("overwrite").parquet(f"/dev/shm/_sc_rels_{tag}")
     feats = with_cells(build_features(
-        spark.read.parquet(f"/tmp/_sc_nodes_{tag}"),
-        spark.read.parquet(f"/tmp/_sc_ways_{tag}"),
-        spark.read.parquet(f"/tmp/_sc_rels_{tag}"), spark), cfg)
+        spark.read.parquet(f"/dev/shm/_sc_nodes_{tag}"),
+        spark.read.parquet(f"/dev/shm/_sc_ways_{tag}"),
+        spark.read.parquet(f"/dev/shm/_sc_rels_{tag}"), spark), cfg)
     salted = salt_hot_cells(feats, "hex_cell", cfg, bucket_max=10_000)
-    out = f"/tmp/_scaling_out_{tag}"
+    out = f"/dev/shm/_scaling_out_{tag}"
     (salted.repartitionByRange(max(cpus * 2, 16), F.col("hex_cell"), F.col("salt"))
            .sortWithinPartitions("hex_cell", "id")
            .write.mode("overwrite").parquet(out))
@@ -99,7 +99,7 @@ def run_worker(repo: str, cpus: int, n_pages: int, runs: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", type=int, default=3_200_000)
+    ap.add_argument("--pages", type=int, default=12_800_000)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--n", type=int, default=8)
     args = ap.parse_args()
