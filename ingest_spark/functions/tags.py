@@ -177,3 +177,18 @@ def label_name(tags: dict[str, str] | None) -> str | None:
     if not tags:
         return None
     return tags.get("name")
+
+
+def classify_kv(key: str | None, value: str | None) -> int:
+    """F1 from a pre-extracted (first-priority-key, value) pair — the
+    UDF-side half of the split classification: the key scan over the
+    tags map runs JVM-side (a 27-way coalesce), so only two small
+    strings cross the Arrow boundary instead of the whole map.
+    Equivalent to ``classify`` (property-tested)."""
+    if key is None:
+        return place_other_id()
+    ids = type_ids()
+    t = ids.get(f"{key}.{value}")
+    if t is not None:
+        return t
+    return ids.get(f"{key}.other", place_other_id())

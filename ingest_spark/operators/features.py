@@ -136,19 +136,20 @@ def _null_fe(fts: list, outs: list) -> None:
 
 @F.pandas_udf(_FE_STRUCT)
 def _encode_point_udf(
-    osm_id: pd.Series, lon: pd.Series, lat: pd.Series, tags: pd.Series
+    osm_id: pd.Series, lon: pd.Series, lat: pd.Series,
+    k: pd.Series, v: pd.Series, name: pd.Series,
 ) -> pd.DataFrame:
     po = tg.place_other_id()
     fts: list = []
     outs: list = []
-    for i, x, y, t in zip(osm_id, lon, lat, tags):
+    for i, x, y, kk, vv, nm in zip(osm_id, lon, lat, k, v, name):
         try:
-            ft = tg.classify(t)
+            ft = tg.classify_kv(kk, vv)
             if ft == po:  # F2
                 _null_fe(fts, outs)
                 continue
             fid = gr.feature_id(int(i), gr.KIND_NODE)
-            outs.append(gr.encode_point(fid, ft, x, y, gr.pack_labels(tg.label_name(t))))
+            outs.append(gr.encode_point(fid, ft, x, y, gr.pack_labels(nm)))
             fts.append(ft)
         except Exception:  # F9
             _null_fe(fts, outs)
@@ -157,22 +158,23 @@ def _encode_point_udf(
 
 @F.pandas_udf(_FE_STRUCT)
 def _encode_way_udf(
-    way_id: pd.Series, refs: pd.Series, xs: pd.Series, ys: pd.Series, tags: pd.Series
+    way_id: pd.Series, is_area_s: pd.Series, closed_s: pd.Series,
+    xs: pd.Series, ys: pd.Series,
+    k: pd.Series, v: pd.Series, name: pd.Series,
 ) -> pd.DataFrame:
     po = tg.place_other_id()
     fts: list = []
     outs: list = []
-    for i, rf, x_arr, y_arr, t in zip(way_id, refs, xs, ys, tags):
+    for i, is_area, closed, x_arr, y_arr, kk, vv, nm in zip(
+        way_id, is_area_s, closed_s, xs, ys, k, v, name
+    ):
         try:
-            ft = tg.classify(t)
+            ft = tg.classify_kv(kk, vv)
             if ft == po:
                 _null_fe(fts, outs)
                 continue
             fid = gr.feature_id(int(i), gr.KIND_WAY)
-            labels = gr.pack_labels(tg.label_name(t))
-            rf = list(rf)
-            is_area = _areas.way_is_area(t, rf)  # F6
-            closed = len(rf) >= 2 and rf[0] == rf[-1]
+            labels = gr.pack_labels(nm)
             n = len(x_arr)
             pos = [0.0] * (2 * n)
             pos[0::2] = [float(v) for v in x_arr]
@@ -198,21 +200,21 @@ def _encode_relation_udf(
     ring_lens: pd.Series,
     ring_roles: pd.Series,
     ring_closed: pd.Series,
-    tags: pd.Series,
+    k: pd.Series, v: pd.Series, name: pd.Series,
 ) -> pd.DataFrame:
     po = tg.place_other_id()
     fts: list = []
     outs: list = []
-    for i, x_arr, y_arr, lens, roles, closed, t in zip(
-        rel_id, xs, ys, ring_lens, ring_roles, ring_closed, tags
+    for i, x_arr, y_arr, lens, roles, closed, kk, vv, nm in zip(
+        rel_id, xs, ys, ring_lens, ring_roles, ring_closed, k, v, name
     ):
         try:
-            ft = tg.classify(t)
+            ft = tg.classify_kv(kk, vv)
             if ft == po:
                 _null_fe(fts, outs)
                 continue
             fid = gr.feature_id(int(i), gr.KIND_RELATION)
-            labels = gr.pack_labels(tg.label_name(t))
+            labels = gr.pack_labels(nm)
             pos: list[float] = []
             holes: list[int] = []
             off = 0
@@ -247,12 +249,26 @@ FEATURE_COLS = [
 ]
 
 
+def _kv_cols(df: DataFrame) -> DataFrame:
+    """JVM-side half of F1: first priority key + its value + name, so
+    the Arrow boundary carries 3 small strings instead of the tags map
+    (map→dict materialization measured as the dominant UDF cost)."""
+    key = _first_priority_key(F.col("tags"))
+    return (
+        df.withColumn("_k", key)
+        .withColumn("_v", F.element_at("tags", F.coalesce(F.col("_k"), F.lit("\u0000"))))
+        .withColumn("_nm", F.element_at("tags", F.lit("name")))
+    )
+
+
 def node_features(nodes: DataFrame, spark: SparkSession) -> DataFrame:
     """Node path (reference src/lib.rs:121-178): fused classify/encode →
     drop place.other + errors → Scalar geometry (minx==maxx)."""
     x = F.col("lon").cast("float")
     y = F.col("lat").cast("float")
-    df = nodes.withColumn("_fe", _encode_point_udf("id", "lon", "lat", "tags"))
+    df = _kv_cols(nodes).withColumn(
+        "_fe", _encode_point_udf("id", "lon", "lat", "_k", "_v", "_nm")
+    )
     return (
         df.where(F.col("_fe.encoded").isNotNull())  # F2/F3/F9
         .select(
@@ -271,7 +287,16 @@ def way_features(ways: DataFrame, nodes: DataFrame, spark: SparkSession) -> Data
     classify/area-rule/encode → Interval geometry."""
     asm = assemble_ways(ways, nodes)
     df = asm.where(F.col("n_nodes") >= 2)  # F4 (src/lib.rs:229)
-    df = df.withColumn("_fe", _encode_way_udf("way_id", "refs", "xs", "ys", "tags"))
+    closed = (F.size("refs") >= 2) & (
+        F.element_at("refs", 1) == F.element_at("refs", -1)
+    )
+    df = _kv_cols(df).withColumn(
+        "_fe",
+        _encode_way_udf(
+            "way_id", way_is_area_col(F.col("tags"), F.col("refs")), closed,
+            "xs", "ys", "_k", "_v", "_nm",
+        ),
+    )
     return (
         df.where(F.col("_fe.encoded").isNotNull())
         .select(
@@ -295,10 +320,11 @@ def relation_features(
     )
     asm = assemble_relations(rels, ways, nodes)
     df = asm.where(F.col("n_nodes") >= 2)  # F4 (src/lib.rs:356)
-    df = df.withColumn(
+    df = _kv_cols(df).withColumn(
         "_fe",
         _encode_relation_udf(
-            "rel_id", "xs", "ys", "ring_lens", "ring_roles", "ring_closed", "tags"
+            "rel_id", "xs", "ys", "ring_lens", "ring_roles", "ring_closed",
+            "_k", "_v", "_nm",
         ),
     )
     return (
