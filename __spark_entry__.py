@@ -29,7 +29,36 @@ from pyspark.sql.window import Window
 
 # --------------------------------------------------------------- helpers
 
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship the ingest_spark package to executor Python workers via
+    addPyFile — the driver harness creates its own SparkSession whose
+    workers don't have this repo on PYTHONPATH (the `spark-submit
+    --py-files` analog, done lazily)."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import os
+    import zipfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    zip_path = "/tmp/_ingest_spark_pyfiles.zip"
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            pkg = os.path.join(repo, "ingest_spark")
+            for root, _dirs, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        zf.write(full, os.path.relpath(full, repo))
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -84,6 +113,7 @@ def entry(spark: SparkSession) -> DataFrame:
     spine on sf0.001)."""
     from ingest_spark.operators import spatial
 
+    _ensure_shipped(spark)
     sf_dir = "/root/testdata/sf0.001"
     pts = spatial.with_cells(_points(spark, sf_dir), lon_col="lon", lat_col="lat")
     polys = spatial.make_polygons_df(spark, _POLYGONS)
@@ -540,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---------------- georender fixture pipeline (rows-only)
 
     def georender_features(spark, sf):  # rows-only: binary encoding kernel
+        _ensure_shipped(spark)
         from ingest_spark.operators import extract
         from ingest_spark.operators.features import build_features
         from ingest_spark.sources import pages as pages_src
