@@ -297,6 +297,16 @@ def hex_cell(lon, lat, res: int = 8) -> np.ndarray:
     return hex_cell_id(lon, lat, res)
 
 
+def hex_cover_size(x0: float, y0: float, x1: float, y1: float, res: int = 8) -> int:
+    """Upper-bound count of hex_cover_bbox without enumerating —
+    callers use it to fall back to a plain scan for huge boxes."""
+    size = hex_edge_deg(res)
+    pad = 2.0 * size
+    rows = int(math.ceil((y1 - y0 + 2 * pad) * 2.0 / 3.0 / size)) + 2
+    cols = int(math.ceil((x1 - x0 + 2 * pad) / (_SQRT3 * size))) + 2
+    return max(rows, 0) * max(cols, 0)
+
+
 def hex_cover_bbox(x0: float, y0: float, x1: float, y1: float, res: int = 8) -> list[int]:
     """All hex cells whose center could own a point in the bbox —
     the covering set for an indexed bbox read (eyros tree-descent

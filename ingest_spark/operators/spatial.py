@@ -298,9 +298,9 @@ def bbox_query_indexed(
     Falls back to the plain predicate when the covering set is too big
     for a useful IN-list (large boxes scan most of the table anyway).
     """
-    cover = cell_fn.hex_cover_bbox(x0, y0, x1, y1, cfg.hex_res)
-    if len(cover) > 50_000:
+    if cell_fn.hex_cover_size(x0, y0, x1, y1, cfg.hex_res) > 50_000:
         return bbox_query(features, x0, y0, x1, y1)
+    cover = cell_fn.hex_cover_bbox(x0, y0, x1, y1, cfg.hex_res)
     return bbox_query(
         features.where(F.col(cell_col).isin(cover)), x0, y0, x1, y1
     )
