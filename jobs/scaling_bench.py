@@ -69,8 +69,10 @@ from ingest_spark.session import get_spark
 from ingest_spark.config import EngineConfig
 from ingest_spark.operators.tiling import salt_hot_cells
 
+# identical job at both levels: same shuffle partition count, same
+# output layout (64 files) — only the thread count varies
 spark = get_spark(master=f"local[{cpus}]", app_name=f"scaling_{cpus}",
-                  shuffle_partitions=max(cpus * 2, 16))
+                  shuffle_partitions=64)
 spark.sparkContext.setLogLevel("ERROR")
 cfg = EngineConfig()
 feats = spark.read.parquet(feats_path)
@@ -79,7 +81,7 @@ n = feats.count()
 def tile_once():
     salted = salt_hot_cells(feats, "hex_cell", cfg, bucket_max=50_000)
     out = f"/dev/shm/_scaling_out_{cpus}"
-    (salted.repartitionByRange(max(cpus * 2, 16), F.col("hex_cell"), F.col("salt"))
+    (salted.repartitionByRange(64, F.col("hex_cell"), F.col("salt"))
            .sortWithinPartitions("hex_cell", "id")
            .write.mode("overwrite").parquet(out))
     return out
