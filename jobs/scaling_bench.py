@@ -86,13 +86,21 @@ def tile_once():
            .write.mode("overwrite").parquet(out))
     return out
 
+def read_steal():
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8])  # steal jiffies
+
 tile_once()  # warm-up, discarded
 times = []
+steals = []
 for _ in range(n_runs):
+    s0 = read_steal()
     t0 = time.time()
     tile_once()
     times.append(time.time() - t0)
-print(json.dumps({"cpus": cpus, "n_features": n, "times": times}))
+    # normalized steal: stolen CPU-seconds per wall-second during the run
+    steals.append(round((read_steal() - s0) / 100.0 / times[-1], 3))
+print(json.dumps({"cpus": cpus, "n_features": n, "times": times, "steal_rate": steals}))
 spark.stop()
 """
 
@@ -125,21 +133,24 @@ def main() -> None:
     # the sandbox shares a host and drifts over minutes; interleave
     # fresh-JVM rounds of the two levels so drift hits both equally,
     # then take the median of per-JVM best times
-    all_times: dict[int, list[list[float]]] = {args.n: [], args.n * 4: []}
+    all_runs: dict[int, list[dict]] = {args.n: [], args.n * 4: []}
     n_features = None
     for _ in range(args.rounds):
         for cpus in (args.n, args.n * 4):
             r = json.loads(_run(_WORKER, [str(cpus), str(args.runs), feats_path], repo))
-            all_times[cpus].append(r["times"])
+            all_runs[cpus].append(r)
             n_features = r["n_features"]
 
     results = {}
-    for cpus, rounds in all_times.items():
-        best_per_jvm = [min(ts) for ts in rounds]
+    for cpus, rounds in all_runs.items():
+        best_per_jvm = [min(r["times"]) for r in rounds]
         med = statistics.median(best_per_jvm)
         results[cpus] = {
             "median_of_jvm_best_sec": round(med, 3),
-            "per_jvm_times": [[round(t, 3) for t in ts] for ts in rounds],
+            "per_jvm_times": [[round(t, 3) for t in r["times"]] for r in rounds],
+            # hypervisor steal (stolen CPU-sec per wall-sec) per timed run —
+            # quantifies the shared-host confound alongside each time
+            "per_jvm_steal_rate": [r.get("steal_rate", []) for r in rounds],
             "n_features": n_features,
             "features_tiled_per_sec": round(n_features / med, 1),
         }
