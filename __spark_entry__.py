@@ -255,15 +255,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["a5_counts"] = a5_counts
 
     def a6_rolling_rate(spark, sf):
+        # Cross-engine hash stability: per-row rate is floored into integer
+        # micro-units (exact BIGINT sum, no float non-associativity), and the
+        # final average is FLOOR(sum/count) — a single IEEE division on
+        # identical integers, bit-identical in Spark and DuckDB.
         e = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         rate = (F.col("value") - F.lag("value").over(w)) / F.greatest(
             F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)), F.lit(1)
         )
+        rate_micro = F.floor(rate * F.lit(1000000.0)).cast("long")
         return (
-            e.withColumn("rate", rate)
+            e.withColumn("rate_micro", rate_micro)
             .groupBy("user_id")
-            .agg(F.round(F.avg("rate"), 4).alias("avg_rate"), F.count("*").alias("n"))
+            .agg(
+                F.floor(
+                    F.sum("rate_micro").cast("double") / F.count("rate_micro")
+                ).cast("long").alias("avg_rate_micro"),
+                F.count("*").alias("n"),
+            )
         )
     q["a6_rolling_rate"] = a6_rolling_rate
 
@@ -534,7 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         o = _t(spark, sf, "orders")
         return o.groupBy("o_orderstatus").agg(
             *[
-                F.sum(F.when(F.col("o_orderpriority") == pr, 1).otherwise(0)).alias(f"n_{pr.split('-')[0]}")
+                F.sum(F.when(F.col("o_orderpriority") == pr, 1).otherwise(0)).cast("long").alias(f"n_{pr.split('-')[0]}")
                 for pr in ["1-URGENT", "2-HIGH", "3-MEDIUM"]
             ]
         )
@@ -552,7 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return (
             e.withColumn("session_id", sess)
             .groupBy("user_id")
-            .agg(F.max("session_id").alias("n_sessions"), F.count("*").alias("n_events"))
+            .agg(F.max("session_id").cast("long").alias("n_sessions"), F.count("*").alias("n_events"))
         )
     q["sessionize"] = sessionize
 
@@ -662,12 +672,15 @@ def oracle_sql() -> dict[str, str]:
         "a6_rolling_rate": """
             WITH r AS (
               SELECT user_id,
-                     (value - LAG(value) OVER w) /
-                     GREATEST(FLOOR(EPOCH(ts))::BIGINT - FLOOR(EPOCH(LAG(ts) OVER w))::BIGINT, 1) AS rate
+                     FLOOR(((value - LAG(value) OVER w) /
+                     GREATEST(FLOOR(EPOCH(ts))::BIGINT - FLOOR(EPOCH(LAG(ts) OVER w))::BIGINT, 1)
+                     ) * 1000000.0)::BIGINT AS rate_micro
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
-            SELECT user_id, ROUND(AVG(rate), 4) AS avg_rate, COUNT(*) AS n
+            SELECT user_id,
+                   FLOOR(SUM(rate_micro)::DOUBLE / COUNT(rate_micro))::BIGINT AS avg_rate_micro,
+                   COUNT(*) AS n
             FROM r GROUP BY 1
         """,
         "a7_distinct": "SELECT DISTINCT user_id, event_type FROM events",
@@ -851,9 +864,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pivot_case": """
             SELECT o_orderstatus,
-                   SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_1,
-                   SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_2,
-                   SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS n_3
+                   SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS n_1,
+                   SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS n_2,
+                   SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)::BIGINT AS n_3
             FROM orders GROUP BY 1
         """,
         "sessionize": """
@@ -869,7 +882,7 @@ def oracle_sql() -> dict[str, str]:
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
               FROM g
             )
-            SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+            SELECT user_id, MAX(session_id)::BIGINT AS n_sessions, COUNT(*) AS n_events
             FROM s GROUP BY 1
         """,
         "window_running_sum": """

@@ -22,7 +22,7 @@ tests/ingest.rs:29-34) — to the north_rule's operator set. Design:
   k_ring(cell, R) (dimension-side explode, so the big point table
   shuffles once per round on cell id), take top-k per query, and a
   geometric guarantee decides exactness: any point outside rings 0..R
-  is at distance > edge·((R+1)·√3 − 2). Unresolved queries expand R
+  is at distance > edge·(1.5·(R+1) − 2). Unresolved queries expand R
   (driver loop, bounded), with a brute-force fallback for stragglers —
   the result is EXACT kNN, verified against a cross-join oracle.
 """
@@ -91,20 +91,46 @@ def bbox_query(features: DataFrame, x0: float, y0: float, x1: float, y1: float) 
 
 # ------------------------------------------------------------------ PIP
 
+_RAY_CAST_CHUNK = 4096
+
+
 def _ray_cast(px: np.ndarray, py: np.ndarray, xs, ys) -> np.ndarray:
-    """Vectorized even-odd ray casting: for each row i, is point
+    """Fully vectorized even-odd ray casting: for each row i, is point
     (px[i], py[i]) inside ring (xs[i], ys[i])? Half-open edge rule
-    ((yi > p) != (yj > p)) — deterministic on shared boundaries."""
-    out = np.zeros(len(px), dtype=bool)
-    for i in range(len(px)):
-        rx = np.asarray(xs[i], dtype=np.float64)
-        ry = np.asarray(ys[i], dtype=np.float64)
-        x, y = px[i], py[i]
-        j = np.roll(np.arange(len(rx)), 1)
-        cond = (ry > y) != (ry[j] > y)
+    ((yi > p) != (yj > p)) — deterministic on shared boundaries.
+
+    Rings are padded to the chunk's max length by repeating the last
+    vertex; every padded edge is degenerate (equal endpoints → the
+    crossing condition is False), so padding never changes parity.
+    One numpy broadcast per chunk — no per-row Python loop.
+    """
+    n = len(px)
+    out = np.zeros(n, dtype=bool)
+    for lo in range(0, n, _RAY_CAST_CHUNK):
+        hi = min(lo + _RAY_CAST_CHUNK, n)
+        rings_x = [np.asarray(xs[i], dtype=np.float64) for i in range(lo, hi)]
+        rings_y = [np.asarray(ys[i], dtype=np.float64) for i in range(lo, hi)]
+        m = max((len(r) for r in rings_x), default=0)
+        if m == 0:
+            continue
+        cn = hi - lo
+        rx = np.empty((cn, m), dtype=np.float64)
+        ry = np.empty((cn, m), dtype=np.float64)
+        for i, (ax, ay) in enumerate(zip(rings_x, rings_y)):
+            li = len(ax)
+            rx[i, :li] = ax
+            ry[i, :li] = ay
+            if li < m:  # pad: degenerate edges contribute no crossings
+                rx[i, li:] = ax[-1] if li else 0.0
+                ry[i, li:] = ay[-1] if li else 0.0
+        rxj = np.roll(rx, 1, axis=1)
+        ryj = np.roll(ry, 1, axis=1)
+        x = px[lo:hi, None]
+        y = py[lo:hi, None]
+        cond = (ry > y) != (ryj > y)
         with np.errstate(divide="ignore", invalid="ignore"):
-            xint = (rx[j] - rx) * (y - ry) / (ry[j] - ry) + rx
-        out[i] = (cond & (x < xint)).sum() % 2 == 1
+            xint = (rxj - rx) * (y - ry) / (ryj - ry) + rx
+        out[lo:hi] = (cond & (x < xint)).sum(axis=1) % 2 == 1
     return out
 
 
@@ -224,7 +250,14 @@ def knn_join(
         cand = exp.join(pts, "_pcell", "inner")
         topk = _topk(cand).cache()
 
-        guarantee = edge * ((ring + 1) * math.sqrt(3.0) - 2.0)
+        # Any point outside rings 0..R sits in a cell at hex distance
+        # >= R+1; on this pointy-top grid the minimum center spacing at
+        # hex distance m is 1.5*m*edge (the diagonal direction — NOT
+        # sqrt(3)*m, which only holds along the straight axes). Subtract
+        # one circumradius (= edge) each for the query's and the point's
+        # offset from their cell centers. Verified numerically against
+        # adversarial layouts for R = 1, 2, 4 (test_spatial.py).
+        guarantee = edge * (1.5 * (ring + 1) - 2.0)
         counts = topk.groupBy("_qid").agg(
             F.count("*").alias("_n"), F.max("dist").alias("_kth")
         )

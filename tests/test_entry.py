@@ -48,10 +48,44 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    """Coarse dtype class used to predict the driver's value-hash.
+
+    The driver hashes raw values, so a DuckDB HUGEINT/Decimal (object
+    dtype) vs a Spark BIGINT (int64) mismatches even when the integers
+    are equal. Flag any kind drift here before the driver does.
+    """
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if s.dtype == object:
+        sample = s.dropna()
+        if len(sample) and all(isinstance(v, str) for v in sample.head(50)):
+            return "str"
+        if len(sample) and all(
+            isinstance(v, (list, np.ndarray, bytes)) for v in sample.head(50)
+        ):
+            return "nested"
+        return "object"
+    return str(s.dtype)
+
+
 def _assert_frames_equal(name: str, got: pd.DataFrame, want: pd.DataFrame):
     assert sorted(got.columns) == sorted(want.columns), (
         f"{name}: column mismatch {sorted(got.columns)} vs {sorted(want.columns)}"
     )
+    for c in got.columns:
+        gk, wk = _dtype_kind(got[c]), _dtype_kind(want[c])
+        assert gk == wk, (
+            f"{name}: column {c} dtype-kind drift: spark={gk} ({got[c].dtype}) "
+            f"vs oracle={wk} ({want[c].dtype}) — the driver's value-hash "
+            f"will mismatch; cast both engines to the same type"
+        )
     g = _normalize(got)
     w = _normalize(want)
     assert len(g) == len(w), f"{name}: row count {len(g)} vs {len(w)}"

@@ -91,6 +91,120 @@ class TestKNN:
         w = {(r.qid, r.rank): r.id for r in want.collect()}
         assert g == w
 
+    def test_ring_guarantee_sound_and_old_bound_unsound(self):
+        """Numeric verification of the exactness bound used by knn_join.
+
+        For every R in {1, 2, 4}: scan a dense grid of candidate points
+        around a query cell; every point whose cell is OUTSIDE
+        k_ring(qcell, R) must be at distance >= edge*(1.5*(R+1)-2) from
+        every position inside the query cell. Also demonstrates that
+        the previous bound edge*((R+1)*sqrt(3)-2) is violated in the
+        diagonal direction (the round-1 ADVICE finding).
+        """
+        import itertools
+        from ingest_spark.functions import cells as C
+
+        res = 6
+        edge = C.hex_edge_deg(res)
+        qcell = int(C.hex_cell(np.array([0.31 * edge]), np.array([0.17 * edge]), res)[0])
+        cx, cy = C.hex_center(np.array([qcell]))
+        cx, cy = float(cx[0]), float(cy[0])
+
+        # positions inside the query cell (dense sub-grid, filtered by cell id)
+        g = np.linspace(-1.0, 1.0, 21) * edge
+        qx, qy = np.meshgrid(cx + g, cy + g)
+        qx, qy = qx.ravel(), qy.ravel()
+        inside_q = C.hex_cell(qx, qy, res) == qcell
+        qx, qy = qx[inside_q], qy[inside_q]
+        assert len(qx) > 50
+
+        for ring in (1, 2, 4):
+            ring_set = set(C.hex_k_ring(qcell, ring))
+            span = (ring + 3) * 2.0 * edge
+            gg = np.linspace(-span, span, 301)
+            px, py = np.meshgrid(cx + gg, cy + gg)
+            px, py = px.ravel(), py.ravel()
+            pcell = C.hex_cell(px, py, res)
+            outside = ~np.isin(pcell, np.fromiter(ring_set, dtype=np.int64))
+            px, py = px[outside], py[outside]
+            # min over all (query position, outside point) pairs
+            d2 = (px[None, :] - qx[:, None]) ** 2 + (py[None, :] - qy[:, None]) ** 2
+            min_dist = float(np.sqrt(d2.min()))
+            new_bound = edge * (1.5 * (ring + 1) - 2.0)
+            old_bound = edge * ((ring + 1) * np.sqrt(3.0) - 2.0)
+            assert min_dist >= new_bound, (
+                f"R={ring}: new bound {new_bound:.6g} unsound, saw {min_dist:.6g}"
+            )
+            assert min_dist < old_bound, (
+                f"R={ring}: expected the old sqrt(3) bound {old_bound:.6g} to be "
+                f"violated (adversarial diagonal), but min outside dist is {min_dist:.6g}"
+            )
+
+    def test_knn_adversarial_diagonal_layout(self, spark):
+        """End-to-end: a decoy inside ring 1 whose distance is under the
+        OLD (unsound) bound, and a true nearest neighbor in the diagonal
+        cell just outside ring 1. knn_join must keep expanding and agree
+        with brute force (it would have returned the decoy before the
+        guarantee fix)."""
+        from ingest_spark.functions import cells as C
+
+        res = 6
+        edge = C.hex_edge_deg(res)
+        qcell = int(C.hex_cell(np.array([0.0]), np.array([0.0]), res)[0])
+        cx, cy = C.hex_center(np.array([qcell]))
+        cx, cy = float(cx[0]), float(cy[0])
+        _, q0, r0 = C.hex_unpack(np.array([qcell]))
+        # diagonal cell at hex distance 2 (outside ring 1): (q+1, r+1)
+        diag = (
+            (np.int64(res) << np.int64(56))
+            | ((q0[0] + 1 + (1 << 27)) << np.int64(28))
+            | (r0[0] + 1 + (1 << 27))
+        )
+        dx, dy = C.hex_center(np.array([int(diag)]))
+        dx, dy = float(dx[0]), float(dy[0])
+        assert int(diag) not in set(C.hex_k_ring(qcell, 1))
+
+        def max_toward(ox, oy, tx, ty, cell):
+            """Largest t in [0,1] with (o + t*(t-o)) still inside cell."""
+            lo, hi = 0.0, 1.0
+            for _ in range(50):
+                mid = (lo + hi) / 2.0
+                x, y = ox + mid * (tx - ox), oy + mid * (ty - oy)
+                if int(C.hex_cell(np.array([x]), np.array([y]), res)[0]) == cell:
+                    lo = mid
+                else:
+                    hi = mid
+            return lo * 0.999
+
+        # query near its cell's corner toward the diagonal cell
+        t = max_toward(cx, cy, dx, dy, qcell)
+        qx, qy = cx + t * (dx - cx), cy + t * (dy - cy)
+        assert int(C.hex_cell(np.array([qx]), np.array([qy]), res)[0]) == qcell
+        # true NN: in the diagonal cell, at its corner toward the query
+        s = max_toward(dx, dy, cx, cy, int(diag))
+        nx, ny = dx + s * (cx - dx), dy + s * (cy - dy)
+        assert int(C.hex_cell(np.array([nx]), np.array([ny]), res)[0]) == int(diag)
+        d_true = float(np.hypot(nx - qx, ny - qy))
+        old_bound = edge * (2 * np.sqrt(3.0) - 2.0)
+        assert d_true < old_bound  # the old bound would wrongly certify a decoy
+        # decoy: inside the query cell itself (ring 0), farther than the
+        # true NN but under the old bound
+        decoy_d = (d_true + old_bound) / 2.0
+        ux, uy = (cx - qx), (cy - qy)
+        un = np.hypot(ux, uy) or 1.0
+        ex, ey = qx + ux / un * decoy_d, qy + uy / un * decoy_d
+
+        pts = spark.createDataFrame(
+            [(1, float(ex), float(ey)), (2, float(nx), float(ny))],
+            "id long, lon double, lat double",
+        )
+        q = spark.createDataFrame([(1, float(qx), float(qy))], "qid long, lon double, lat double")
+        cfg = EngineConfig(knn_max_ring=64)
+        got = {r.rank: r.id for r in spatial.knn_join(pts, q, k=1, res=res, cfg=cfg).collect()}
+        want = {r.rank: r.id for r in spatial.knn_brute_force(pts, q, k=1).collect()}
+        assert want == {1: 2}
+        assert got == want
+
     def test_knn_deterministic_tiebreak(self, spark):
         # two candidates at identical distance → lower id wins rank 1
         pts = spark.createDataFrame(
@@ -100,6 +214,47 @@ class TestKNN:
         q = spark.createDataFrame([(1, 0.0, 0.0)], "qid long, lon double, lat double")
         got = {r.rank: r.id for r in spatial.knn_brute_force(pts, q, k=2).collect()}
         assert got == {1: 2, 2: 10}
+
+
+class TestRayCastKernel:
+    def test_vectorized_matches_scalar_reference(self):
+        """Mixed ring lengths + multiple chunks: the padded broadcast
+        kernel must agree with a per-row scalar even-odd reference."""
+        rng = np.random.default_rng(11)
+        rings = [
+            [(0, 0), (1, 0), (1, 1), (0, 1)],
+            [(2, 0), (4, 0), (3, 2)],
+            [(5, 0), (8, 0), (8, 3), (5, 3), (5, 2), (7, 2), (7, 1), (5, 1)],
+            [(float(np.cos(t)), float(np.sin(t))) for t in np.linspace(0, 2 * np.pi, 33)[:-1]],
+        ]
+        n = 600
+        idx = rng.integers(0, len(rings), n)
+        px = rng.uniform(-1, 9, n)
+        py = rng.uniform(-1, 4, n)
+        xs = [[p[0] for p in rings[i]] for i in idx]
+        ys = [[p[1] for p in rings[i]] for i in idx]
+
+        def scalar(x, y, rx, ry):
+            inside = False
+            j = len(rx) - 1
+            for i in range(len(rx)):
+                if (ry[i] > y) != (ry[j] > y) and x < (rx[j] - rx[i]) * (y - ry[i]) / (ry[j] - ry[i]) + rx[i]:
+                    inside = not inside
+                j = i
+            return inside
+
+        want = np.array([scalar(px[i], py[i], xs[i], ys[i]) for i in range(n)])
+        got = spatial._ray_cast(px, py, xs, ys)
+        assert (got == want).all()
+
+        # force chunking to exercise the chunk boundary path
+        orig = spatial._RAY_CAST_CHUNK
+        try:
+            spatial._RAY_CAST_CHUNK = 64
+            got2 = spatial._ray_cast(px, py, xs, ys)
+        finally:
+            spatial._RAY_CAST_CHUNK = orig
+        assert (got2 == want).all()
 
 
 class TestBboxQuery:
