@@ -31,9 +31,10 @@ def char_shingles(text: str, n: int = 5) -> np.ndarray:
     windows = np.lib.stride_tricks.sliding_window_view(b, n)
     powers = np.empty(n, dtype=np.uint64)
     powers[0] = np.uint64(1)
-    for i in range(1, n):
-        powers[i] = powers[i - 1] * base
-    hashes = (windows * powers[::-1]).sum(axis=1, dtype=np.uint64)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        for i in range(1, n):
+            powers[i] = powers[i - 1] * base
+        hashes = (windows * powers[::-1]).sum(axis=1, dtype=np.uint64)
     return np.unique(hashes)
 
 
@@ -48,8 +49,9 @@ def word_shingles(text: str, n: int = 3) -> np.ndarray:
     windows = np.lib.stride_tricks.sliding_window_view(hs, n)
     mix = np.uint64(0x9E3779B97F4A7C15)
     out = np.zeros(len(windows), dtype=np.uint64)
-    for i in range(n):
-        out = (out ^ windows[:, i]) * mix
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        for i in range(n):
+            out = (out ^ windows[:, i]) * mix
     return np.unique(out)
 
 
@@ -57,8 +59,9 @@ def hash_str(s: str, seed: int = 0) -> np.uint64:
     """Deterministic FNV-1a 64 of a string (no PYTHONHASHSEED dependence)."""
     h = np.uint64(0xCBF29CE484222325 ^ seed)
     p = np.uint64(0x100000001B3)
-    for byte in s.encode("utf-8"):
-        h = (h ^ np.uint64(byte)) * p
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        for byte in s.encode("utf-8"):
+            h = (h ^ np.uint64(byte)) * p
     return h
 
 
@@ -80,11 +83,12 @@ def minhash_bands(signature: np.ndarray, bands: int = 16) -> np.ndarray:
     rows = k // bands
     mix = np.uint64(0x9E3779B97F4A7C15)
     out = np.zeros(bands, dtype=np.uint64)
-    for b in range(bands):
-        h = np.uint64(b + 1)
-        for v in signature[b * rows : (b + 1) * rows]:
-            h = (h ^ np.uint64(v)) * mix
-        out[b] = h
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        for b in range(bands):
+            h = np.uint64(b + 1)
+            for v in signature[b * rows : (b + 1) * rows]:
+                h = (h ^ np.uint64(v)) * mix
+            out[b] = h
     return out
 
 

@@ -27,6 +27,30 @@ def encode(n: int) -> bytes:
             return bytes(out)
 
 
+def encode_matrix(vals) -> tuple["np.ndarray", "np.ndarray"]:
+    """Vectorized LEB128: (n,) non-negative ints → ((n, 10) uint8 byte
+    matrix, (n,) lengths). Row i's varint is ``mat[i, :lens[i]]`` —
+    byte-identical to ``encode(vals[i])`` (property-tested). Powers the
+    numpy point-payload assembly in operators/features.py."""
+    import numpy as np
+
+    v = np.asarray(vals, dtype=np.uint64).copy()
+    n = len(v)
+    out = np.zeros((n, 10), dtype=np.uint8)
+    lens = np.zeros(n, dtype=np.int64)
+    active = np.ones(n, dtype=bool)
+    for j in range(10):
+        if not active.any():
+            break
+        byte = (v & np.uint64(0x7F)).astype(np.uint8)
+        v = v >> np.uint64(7)
+        more = (v > 0) & active
+        out[active, j] = byte[active] | (more[active].astype(np.uint8) << 7)
+        lens[active] += 1
+        active = more
+    return out, lens
+
+
 def decode(buf: bytes, offset: int = 0) -> tuple[int, int]:
     """Decode a varint at ``offset``; returns (bytes_consumed, value).
 

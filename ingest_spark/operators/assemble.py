@@ -52,6 +52,18 @@ def assemble_ways(ways: DataFrame, nodes: DataFrame) -> DataFrame:
         .agg(
             _pts_agg().alias("pts"),
             F.countDistinct("node_id").alias("n_nodes"),
+            # ring closure from the RESOLVED sequence: if the closing
+            # node id failed to resolve (dropped by the inner join), the
+            # way is no longer closed and the encode strip must not
+            # remove a genuine last vertex (the reference skips
+            # unresolved refs without dropping real points)
+            (
+                (F.count("*") >= 2)
+                & (
+                    F.min(F.struct("ref_pos", "node_id")).getField("node_id")
+                    == F.max(F.struct("ref_pos", "node_id")).getField("node_id")
+                )
+            ).alias("resolved_closed"),
             F.min("x").alias("minx"),
             F.min("y").alias("miny"),
             F.max("x").alias("maxx"),
@@ -68,6 +80,7 @@ def assemble_ways(ways: DataFrame, nodes: DataFrame) -> DataFrame:
             F.transform("pts", lambda s: s.x).alias("xs"),
             F.transform("pts", lambda s: s.y).alias("ys"),
             "n_nodes",
+            "resolved_closed",
             "minx", "miny", "maxx", "maxy",
         )
     )
@@ -101,10 +114,6 @@ def assemble_relations(relations: DataFrame, ways: DataFrame, nodes: DataFrame) 
 
     member_nodes = member_ways.select(
         "rel_id", "member_pos", "role", "way_id",
-        # id-based ring-closure flag (the reference drops the closing
-        # duplicate ref at encode, keyed on ref ids not coords)
-        ((F.size("refs") >= 2)
-         & (F.element_at("refs", 1) == F.element_at("refs", -1))).alias("ring_closed"),
         F.posexplode("refs").alias("ref_pos", "node_id"),
     )
     nodes_bare = nodes.select(
@@ -118,7 +127,16 @@ def assemble_relations(relations: DataFrame, ways: DataFrame, nodes: DataFrame) 
         joined.groupBy("rel_id", "member_pos", "role")
         .agg(
             _pts_agg().alias("pts"),
-            F.first("ring_closed").alias("ring_closed"),
+            # ring closure from the RESOLVED member sequence (see
+            # assemble_ways): an unresolved closing ref must not cause
+            # the encode strip to drop a real vertex
+            (
+                (F.count("*") >= 2)
+                & (
+                    F.min(F.struct("ref_pos", "node_id")).getField("node_id")
+                    == F.max(F.struct("ref_pos", "node_id")).getField("node_id")
+                )
+            ).alias("ring_closed"),
             F.countDistinct("node_id").alias("ring_nodes"),
             F.min("x").alias("minx"),
             F.min("y").alias("miny"),

@@ -13,11 +13,18 @@ Spark-first shape — an Iceberg ``MERGE INTO`` keyed on feature id:
 
 1. merge element deltas into the element tables (anti-join + union);
 2. compute the *affected closure*: changed elements, ways referencing
-   changed nodes, relations referencing changed ways/nodes;
+   changed nodes, relations referencing changed ways — **entirely as
+   DataFrame semi-joins**: no id set ever materializes in the driver,
+   so a mega-way closure or a bulk changeset with millions of touched
+   elements streams through the shuffle layer like any other join;
 3. recompute features for the affected subset only (the full element
    tables feed the joins, but the build is semi-join-pruned to the
    closure — at 10^12 scale this touches a sliver of the data);
 4. merge: old features ∖ affected ∪ recomputed.
+
+Join sizing: the closure id frames are usually tiny next to the element
+tables, so AQE picks broadcast sides at runtime; no broadcast() hints
+are forced because a bulk changeset can make any of them large.
 """
 
 from __future__ import annotations
@@ -25,8 +32,6 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-
-
 
 
 @dataclass
@@ -40,16 +45,26 @@ class Changeset:
     relation_deletes: list[int] = field(default_factory=list)
 
 
-def _merge_elements(
-    spark: SparkSession, base: DataFrame, upsert: DataFrame | None, deletes: list[int]
+def _ids_df(spark: SparkSession, ids: list[int]) -> DataFrame:
+    if ids:
+        return spark.createDataFrame([(int(i),) for i in sorted(set(ids))], "id long")
+    return spark.createDataFrame([], "id long")
+
+
+def _changed_ids(
+    spark: SparkSession, upsert: DataFrame | None, deletes: list[int]
 ) -> DataFrame:
-    out = base
-    gone = set(deletes)
+    """Deletes ∪ upsert ids, as a (id long) DataFrame — never collected."""
+    out = _ids_df(spark, deletes)
     if upsert is not None:
-        gone |= {r.id for r in upsert.select("id").collect()}
-    if gone:
-        gone_df = spark.createDataFrame([(int(i),) for i in sorted(gone)], "id long")
-        out = out.join(F.broadcast(gone_df), "id", "left_anti")
+        out = out.unionByName(upsert.select("id")).distinct()
+    return out
+
+
+def _merge_elements(
+    base: DataFrame, upsert: DataFrame | None, gone: DataFrame
+) -> DataFrame:
+    out = base.join(gone, "id", "left_anti")
     if upsert is not None:
         out = out.unionByName(upsert)
     return out
@@ -64,81 +79,57 @@ def apply_changeset(
     cs: Changeset,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Returns (features', nodes', ways', relations')."""
-    nodes2 = _merge_elements(spark, nodes, cs.nodes_upsert, cs.node_deletes)
-    ways2 = _merge_elements(spark, ways, cs.ways_upsert, cs.way_deletes)
-    rels2 = _merge_elements(spark, relations, cs.relations_upsert, cs.relation_deletes)
+    changed_nodes = _changed_ids(spark, cs.nodes_upsert, cs.node_deletes)
+    changed_ways_direct = _changed_ids(spark, cs.ways_upsert, cs.way_deletes)
+    changed_rels_direct = _changed_ids(spark, cs.relations_upsert, cs.relation_deletes)
 
-    # ---- affected closure
-    changed_nodes = set(cs.node_deletes)
-    if cs.nodes_upsert is not None:
-        changed_nodes |= {r.id for r in cs.nodes_upsert.select("id").collect()}
-    changed_ways = set(cs.way_deletes)
-    if cs.ways_upsert is not None:
-        changed_ways |= {r.id for r in cs.ways_upsert.select("id").collect()}
-    changed_rels = set(cs.relation_deletes)
-    if cs.relations_upsert is not None:
-        changed_rels |= {r.id for r in cs.relations_upsert.select("id").collect()}
+    nodes2 = _merge_elements(nodes, cs.nodes_upsert, changed_nodes)
+    ways2 = _merge_elements(ways, cs.ways_upsert, changed_ways_direct)
+    rels2 = _merge_elements(relations, cs.relations_upsert, changed_rels_direct)
 
-    if changed_nodes:
-        cn = spark.createDataFrame([(int(i),) for i in sorted(changed_nodes)], "node_id long")
-        # ways (old ∪ new definitions) referencing a changed node
-        both_ways = ways.unionByName(ways2)
-        hit = (
-            both_ways.select("id", F.explode("refs").alias("node_id"))
-            .join(F.broadcast(cn), "node_id", "left_semi")
-            .select("id").distinct().collect()
-        )
-        changed_ways |= {r.id for r in hit}
+    # ---- affected closure, all DataFrame semi-joins
+    # ways (old ∪ new definitions) referencing a changed node
+    both_ways = ways.unionByName(ways2)
+    ways_via_nodes = (
+        both_ways.select("id", F.explode("refs").alias("node_id"))
+        .join(changed_nodes.select(F.col("id").alias("node_id")), "node_id", "left_semi")
+        .select("id")
+    )
+    changed_ways = changed_ways_direct.unionByName(ways_via_nodes).distinct()
 
-    if changed_ways or changed_nodes:
-        cw = spark.createDataFrame(
-            [(int(i),) for i in sorted(changed_ways)] or [(-1,)], "way_id long"
-        )
-        both_rels = relations.unionByName(rels2)
-        mem = both_rels.select("id", F.explode("members").alias("m")).select(
-            "id", F.col("m.ref").alias("way_id"), F.col("m.mtype").alias("mtype")
-        ).where(F.col("mtype") == "way")
-        hit = mem.join(F.broadcast(cw), "way_id", "left_semi").select("id").distinct().collect()
-        changed_rels |= {r.id for r in hit}
+    # relations (old ∪ new) with a changed way member
+    both_rels = relations.unionByName(rels2)
+    members = (
+        both_rels.select("id", F.explode("members").alias("m"))
+        .where(F.col("m.mtype") == "way")
+        .select("id", F.col("m.ref").alias("way_id"))
+    )
+    rels_via_ways = members.join(
+        changed_ways.select(F.col("id").alias("way_id")), "way_id", "left_semi"
+    ).select("id")
+    changed_rels = changed_rels_direct.unionByName(rels_via_ways).distinct()
 
     # ---- recompute the affected slice only (semi-join pruning)
-    def _only(df: DataFrame, ids: set[int]) -> DataFrame:
-        if not ids:
-            return df.limit(0)
-        ids_df = spark.createDataFrame([(int(i),) for i in sorted(ids)], "id long")
-        return df.join(F.broadcast(ids_df), "id", "left_semi")
-
     from .features import node_features, relation_features, way_features
 
-    parts = []
-    if changed_nodes:
-        parts.append(node_features(_only(nodes2, changed_nodes), spark))
-    if changed_ways:
-        # pruned ways join against the FULL node table (unchanged member
-        # nodes must resolve) — the join prunes the node scan for us
-        parts.append(way_features(_only(ways2, changed_ways), nodes2, spark))
-    if changed_rels:
-        parts.append(relation_features(_only(rels2, changed_rels), ways2, nodes2, spark))
-
-    if parts:
-        recomputed = parts[0]
-        for p in parts[1:]:
-            recomputed = recomputed.unionByName(p)
-    else:
-        recomputed = features.limit(0)
+    recomputed = node_features(nodes2.join(changed_nodes, "id", "left_semi"), spark)
+    # pruned ways join against the FULL node table (unchanged member
+    # nodes must resolve) — the join prunes the node scan for us
+    recomputed = recomputed.unionByName(
+        way_features(ways2.join(changed_ways, "id", "left_semi"), nodes2, spark)
+    )
+    recomputed = recomputed.unionByName(
+        relation_features(rels2.join(changed_rels, "id", "left_semi"), ways2, nodes2, spark)
+    )
 
     # MERGE: drop every affected feature id (deleted ones stay dropped),
     # append the recomputed slice
     affected_fids = (
-        {i * 3 + 0 for i in changed_nodes}
-        | {i * 3 + 1 for i in changed_ways}
-        | {i * 3 + 2 for i in changed_rels}
+        changed_nodes.select((F.col("id") * 3 + 0).alias("id"))
+        .unionByName(changed_ways.select((F.col("id") * 3 + 1).alias("id")))
+        .unionByName(changed_rels.select((F.col("id") * 3 + 2).alias("id")))
     )
-    merged = features
-    if affected_fids:
-        fid_df = spark.createDataFrame(
-            [(int(i),) for i in sorted(affected_fids)], "id long"
-        )
-        merged = features.join(F.broadcast(fid_df), "id", "left_anti")
-    merged = merged.unionByName(recomputed.select(*features.columns))
+    merged = features.join(affected_fids, "id", "left_anti").unionByName(
+        recomputed.select(*features.columns)
+    )
     return merged, nodes2, ways2, rels2

@@ -28,6 +28,7 @@ from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
 from ..functions import areas as _areas
 from ..functions import georender as gr
 from ..functions import tags as tg
+from ..functions import varint
 from ..functions.earcut import earcut as _earcut
 from .assemble import assemble_relations, assemble_ways
 
@@ -139,21 +140,80 @@ def _encode_point_udf(
     osm_id: pd.Series, lon: pd.Series, lat: pd.Series,
     k: pd.Series, v: pd.Series, name: pd.Series,
 ) -> pd.DataFrame:
+    """Fully vectorized node path (the hot branch — nodes dominate row
+    count at scale): classification via Series.map over the type dict,
+    payload assembly as one flat numpy byte buffer per Arrow batch
+    (vectorized varints via varint.encode_matrix, f32 coords via a
+    single view cast), split into per-row bytes at the end. Byte
+    parity with gr.encode_point is covered by the golden-ingest tests
+    and a property test in test_functions.py."""
+    import numpy as np
+
+    ids = tg.type_ids()
     po = tg.place_other_id()
-    fts: list = []
-    outs: list = []
-    for i, x, y, kk, vv, nm in zip(osm_id, lon, lat, k, v, name):
-        try:
-            ft = tg.classify_kv(kk, vv)
-            if ft == po:  # F2
-                _null_fe(fts, outs)
-                continue
-            fid = gr.feature_id(int(i), gr.KIND_NODE)
-            outs.append(gr.encode_point(fid, ft, x, y, gr.pack_labels(nm)))
-            fts.append(ft)
-        except Exception:  # F9
-            _null_fe(fts, outs)
-    return pd.DataFrame({"feature_type": pd.array(fts, dtype="Int32"), "encoded": outs})
+    n = len(osm_id)
+
+    # F1 classify: key.value → id, else key.other → id, else place.other
+    ft = (k + "." + v.fillna("\x00")).map(ids)
+    ft = ft.fillna((k + ".other").map(ids)).fillna(po).astype("int64")
+    # F2 (place.other) + F9 (nulls that the scalar path dropped via
+    # exceptions: missing id/coords)
+    valid = (
+        (ft.to_numpy() != po)
+        & osm_id.notna().to_numpy()
+        & lon.notna().to_numpy()
+        & lat.notna().to_numpy()
+    )
+    idx = np.nonzero(valid)[0]
+    outs: list = [None] * n
+    if len(idx):
+        ft_v = ft.to_numpy()[idx]
+        # nullable longs arrive as float64+NaN from Arrow; cast only the
+        # valid slice (all non-null there)
+        fid_v = osm_id.to_numpy()[idx].astype(np.int64) * 3 + gr.KIND_NODE
+        names = name.to_numpy(dtype=object)[idx]
+        labels = [gr.pack_labels(nm) for nm in names]
+        lab_len = np.fromiter((len(b) for b in labels), dtype=np.int64, count=len(idx))
+
+        ft_mat, ft_len = varint.encode_matrix(ft_v)
+        fid_mat, fid_len = varint.encode_matrix(fid_v)
+        body_len = 1 + ft_len + fid_len + 8 + lab_len
+        bl_mat, bl_len = varint.encode_matrix(body_len)
+
+        total = bl_len + body_len
+        starts = np.zeros(len(idx) + 1, dtype=np.int64)
+        np.cumsum(total, out=starts[1:])
+        buf = np.zeros(starts[-1], dtype=np.uint8)
+
+        def _fill_varint(pos, mat, lens):
+            for j in range(int(lens.max())):
+                m = lens > j
+                buf[pos[m] + j] = mat[m, j]
+
+        pos = starts[:-1].copy()
+        _fill_varint(pos, bl_mat, bl_len)
+        pos += bl_len
+        buf[pos] = gr.GEOM_POINT
+        pos += 1
+        _fill_varint(pos, ft_mat, ft_len)
+        pos += ft_len
+        _fill_varint(pos, fid_mat, fid_len)
+        pos += fid_len
+        coords = np.empty((len(idx), 2), dtype="<f4")
+        coords[:, 0] = lon.to_numpy(dtype=np.float64)[idx]
+        coords[:, 1] = lat.to_numpy(dtype=np.float64)[idx]
+        cb = coords.view(np.uint8).reshape(len(idx), 8)
+        for j in range(8):
+            buf[pos + j] = cb[:, j]
+        pos += 8
+        for i, lb in enumerate(labels):  # variable-width tail
+            buf[pos[i]:pos[i] + lab_len[i]] = np.frombuffer(lb, dtype=np.uint8)
+
+        for r, i in enumerate(idx):
+            outs[i] = buf[starts[r]:starts[r + 1]].tobytes()
+
+    ft_out = ft.astype("Int32").mask(~pd.Series(valid, index=ft.index))
+    return pd.DataFrame({"feature_type": ft_out, "encoded": outs})
 
 
 @F.pandas_udf(_FE_STRUCT)
@@ -287,13 +347,14 @@ def way_features(ways: DataFrame, nodes: DataFrame, spark: SparkSession) -> Data
     classify/area-rule/encode → Interval geometry."""
     asm = assemble_ways(ways, nodes)
     df = asm.where(F.col("n_nodes") >= 2)  # F4 (src/lib.rs:229)
-    closed = (F.size("refs") >= 2) & (
-        F.element_at("refs", 1) == F.element_at("refs", -1)
-    )
     df = _kv_cols(df).withColumn(
         "_fe",
         _encode_way_udf(
-            "way_id", way_is_area_col(F.col("tags"), F.col("refs")), closed,
+            # closure from the resolved sequence (assemble_ways), NOT
+            # raw refs: an unresolved closing ref must not strip a
+            # genuine last vertex before earcut
+            "way_id", way_is_area_col(F.col("tags"), F.col("refs")),
+            "resolved_closed",
             "xs", "ys", "_k", "_v", "_nm",
         ),
     )

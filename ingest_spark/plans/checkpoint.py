@@ -24,7 +24,8 @@ import time
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 
 @dataclass
@@ -59,14 +60,45 @@ class Manifest:
         return s["snapshot_id"] if s else None
 
 
-def _snapshot_id(stage: str, input_snapshots: list[str], rows: int, schema: str) -> str:
+def _snapshot_id(
+    stage: str, input_snapshots: list[str], rows: int, schema: str, digest: str
+) -> str:
     h = hashlib.sha256()
     h.update(stage.encode())
     for s in input_snapshots:
         h.update(s.encode())
     h.update(str(rows).encode())
     h.update(schema.encode())
+    h.update(digest.encode())
     return h.hexdigest()[:16]
+
+
+def _hashable(dt: T.DataType) -> bool:
+    """xxhash64 rejects MapType (anywhere in the type tree)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hashable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    return True
+
+
+def _count_and_digest(out: DataFrame) -> tuple[int, str]:
+    """One pass: row count + an order-independent content digest
+    (sum of per-row xxhash64 over every hashable column). Folding this
+    into the snapshot id means an upstream re-run that happens to keep
+    the same row count and schema still invalidates its dependents."""
+    cols = [f.name for f in out.schema.fields if _hashable(f.dataType)]
+    agg = [F.count(F.lit(1)).alias("_n")]
+    if cols:
+        # decimal sum: exact and ANSI-safe (a long sum of 2^63-scale
+        # hashes overflows under ansi.enabled)
+        agg.append(
+            F.sum(F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")).alias("_d")
+        )
+    row = out.agg(*agg).first()
+    return int(row["_n"]), (str(row["_d"]) if cols else "nocols")
 
 
 def run_stage(
@@ -76,14 +108,20 @@ def run_stage(
     fn: Callable[[], DataFrame],
     inputs: list[str] | None = None,
     metrics: "object | None" = None,
+    source_fingerprint: str | None = None,
 ) -> DataFrame:
     """Run (or resume) one pipeline stage.
 
     - output path: ``{manifest.root}/{stage}``
-    - skip when: manifest has the stage, the parquet output exists, and
+    - skip when: manifest has the stage, the parquet output exists,
       every input stage's recorded snapshot still matches its current
-      snapshot (upstream change ⇒ invalidate downstream).
-    - on run: write parquet, count rows, record snapshot + lineage.
+      snapshot (upstream change ⇒ invalidate downstream), and the
+      recorded ``source_fingerprint`` matches — root stages (inputs=[])
+      reading external data MUST pass one, otherwise re-running against
+      a different source on the same out_root silently returns stale
+      output.
+    - on run: write parquet, count rows + content digest in one pass,
+      record snapshot + lineage.
     """
     inputs = inputs or []
     out_path = os.path.join(manifest.root, stage)
@@ -94,6 +132,7 @@ def run_stage(
         entry is not None
         and os.path.exists(os.path.join(out_path, "_SUCCESS"))
         and entry.get("input_snapshots") == input_snaps
+        and entry.get("source_fingerprint") == source_fingerprint
     ):
         return spark.read.parquet(out_path)
 
@@ -101,17 +140,19 @@ def run_stage(
     df = fn()
     df.write.mode("overwrite").parquet(out_path)
     out = spark.read.parquet(out_path)
-    rows = out.count()
+    rows, digest = _count_and_digest(out)
     wall = time.time() - t0
 
-    snap = _snapshot_id(stage, input_snaps, rows, out.schema.simpleString())
+    snap = _snapshot_id(stage, input_snaps, rows, out.schema.simpleString(), digest)
     manifest.stages[stage] = {
         "snapshot_id": snap,
         "path": out_path,
         "rows": rows,
         "schema": out.schema.simpleString(),
+        "content_digest": digest,
         "input_snapshots": input_snaps,
         "inputs": inputs,
+        "source_fingerprint": source_fingerprint,
         "wall_secs": round(wall, 3),
     }
     manifest.save()

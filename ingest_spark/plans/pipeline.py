@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import DEFAULT, EngineConfig
 from ..operators import extract
@@ -35,6 +35,18 @@ class PipelineResult:
     optimized: DataFrame | None
 
 
+def pages_fingerprint(pages: DataFrame) -> str:
+    """Cheap source identity for the resume gate: row count + an
+    order-independent hash over the page keys (url, warc_ts). One
+    columnar scan of two small columns — never touches html/text. On a
+    real Iceberg table, pass the snapshot id to run_ingest instead."""
+    row = pages.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.xxhash64("url", "warc_ts").cast("decimal(38,0)")).alias("_h"),
+    ).first()
+    return f"{row['_n']}:{row['_h']}"
+
+
 def run_ingest(
     spark: SparkSession,
     pages: DataFrame,
@@ -44,9 +56,14 @@ def run_ingest(
     ingest_nodes: bool = True,
     ingest_ways: bool = True,
     ingest_relations: bool = True,
+    source_fingerprint: str | None = None,
 ) -> PipelineResult:
     manifest = Manifest.load(out_root)
     metrics = MetricsCollector(out_root)
+    # root stages must know their source: a re-run against a different
+    # pages table on the same out_root re-extracts instead of silently
+    # returning stale parquet
+    src_fp = source_fingerprint or pages_fingerprint(pages)
 
     # -------- stage: extract (pass 1a) — materialize the element tables
     # once so downstream joins never re-run html→text→parse (the feature
@@ -57,14 +74,17 @@ def run_ingest(
     nodes = run_stage(
         spark, manifest, "extract_nodes",
         lambda: extract.parse_nodes(pages), inputs=[], metrics=metrics,
+        source_fingerprint=src_fp,
     )
     ways = run_stage(
         spark, manifest, "extract_ways",
         lambda: extract.parse_ways(pages), inputs=[], metrics=metrics,
+        source_fingerprint=src_fp,
     )
     relations = run_stage(
         spark, manifest, "extract_relations",
         lambda: extract.parse_relations(pages), inputs=[], metrics=metrics,
+        source_fingerprint=src_fp,
     )
 
     # -------- stage: scan (pass 1b — stats/ScanTable analog)

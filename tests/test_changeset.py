@@ -110,3 +110,58 @@ class TestChangeset:
         d = gr.decode(bytes(after[9000].encoded))
         assert d["feature_type"] == tg.get_type("amenity.pub")
         assert d["labels"] == gr.pack_labels("new pub")
+
+
+class TestMegaClosure:
+    def test_100k_way_closure_never_touches_driver(self, spark):
+        """One moved node referenced by 10^5 ways: the affected closure
+        must flow through semi-joins only — any DataFrame.collect /
+        toPandas during plan construction fails the test. The merged
+        output then recomputes all 10^5 line features."""
+        n_ways = 100_000
+        nodes = spark.range(1, 3).select(
+            F.col("id"),
+            (F.col("id") * 1.0).alias("lon"),
+            (F.col("id") * 2.0).alias("lat"),
+            F.map_from_arrays(F.array(), F.array()).cast("map<string,string>").alias("tags"),
+        )
+        ways = spark.range(1_000_000, 1_000_000 + n_ways).select(
+            F.col("id"),
+            F.array(F.lit(1).cast("long"), F.lit(2).cast("long")).alias("refs"),
+            F.create_map(F.lit("highway"), F.lit("primary")).alias("tags"),
+        )
+        rels = spark.createDataFrame(
+            [],
+            "id long, tags map<string,string>, "
+            "members array<struct<mtype:string,ref:long,role:string>>",
+        )
+        from ingest_spark.operators.features import way_features
+        feats = way_features(ways.limit(0), nodes, spark)  # empty, right schema
+
+        moved = spark.createDataFrame(
+            [(1, 5.0, 5.0, {})], "id long, lon double, lat double, tags map<string,string>"
+        )
+
+        import pyspark.sql.dataframe as _dfmod
+        banned = {}
+        for name in ("collect", "toPandas", "toLocalIterator"):
+            banned[name] = getattr(_dfmod.DataFrame, name)
+
+            def _boom(self, *a, _n=name, **kw):
+                raise AssertionError(f"driver materialization via {_n} during apply_changeset")
+
+            setattr(_dfmod.DataFrame, name, _boom)
+        try:
+            merged, n2, w2, r2 = apply_changeset(
+                spark, feats, nodes, ways, rels, Changeset(nodes_upsert=moved)
+            )
+        finally:
+            for name, fn in banned.items():
+                setattr(_dfmod.DataFrame, name, fn)
+
+        assert merged.count() == n_ways  # every way recomputed (closure hit)
+        assert n2.where(F.col("id") == 1).first().lon == 5.0
+        # recomputed geometry reflects the moved node
+        one = merged.limit(1).collect()[0]
+        d = gr.decode(bytes(one.encoded))
+        assert d["positions"][:2] == [5.0, 5.0]

@@ -143,3 +143,80 @@ class TestGoldenFeatures:
         payload and equals the id column."""
         for r in features.collect():
             assert gr.get_id(bytes(r.encoded)) == r.id
+
+
+class TestVectorizedPointEncode:
+    def test_parity_with_scalar_codec(self, spark):
+        """The numpy batch assembly in _encode_point_udf must be
+        byte-identical to the scalar gr.encode_point composition for
+        every classification/null branch."""
+        from ingest_spark.operators.features import node_features
+
+        rows = [
+            (1, 12.5, -3.25, {"amenity": "cafe", "name": "corner cafe"}),
+            (2, 0.1, 0.2, {"leisure": "park"}),                     # unnamed
+            (3, 5.0, 6.0, {"shop": "weirdvalue"}),                  # → shop.other
+            (4, 7.0, 8.0, {"randomkey": "x"}),                      # place.other → dropped
+            (5, None, 2.0, {"amenity": "pub"}),                     # null coord → dropped
+            (6, 1.0, 2.0, {}),                                      # no tags → dropped
+            (2**40 + 7, -100.0, 45.0, {"natural": "peak", "name": "big id"}),  # multi-byte varint
+        ]
+        nodes = spark.createDataFrame(
+            rows, "id long, lon double, lat double, tags map<string,string>"
+        )
+        got = {r.osm_id: r for r in node_features(nodes, spark).collect()}
+        assert set(got) == {1, 2, 3, 2**40 + 7}
+        for osm_id, lon, lat, tags in rows:
+            if osm_id not in got:
+                continue
+            ft = tg.classify(tags)
+            want = gr.encode_point(
+                gr.feature_id(osm_id, gr.KIND_NODE), ft, lon, lat,
+                gr.pack_labels(tags.get("name")),
+            )
+            assert bytes(got[osm_id].encoded) == want
+            assert got[osm_id].feature_type == ft
+
+
+class TestUnresolvedClosingRef:
+    def test_closing_ref_unresolved_keeps_last_vertex(self, spark):
+        """A closed area way whose closing node id never resolves: the
+        resolved sequence is open, so the encode strip must NOT remove
+        the genuine last vertex (the reference skips unresolved refs
+        without dropping real points)."""
+        from ingest_spark.operators.features import way_features
+
+        ways = spark.createDataFrame(
+            [(100, [1, 2, 3, 4, 1], {"leisure": "park", "name": "p"})],
+            "id long, refs array<long>, tags map<string,string>",
+        )
+        # node 1 (the closing ref) is missing
+        nodes = spark.createDataFrame(
+            [(2, 0.0, 0.0, {}), (3, 4.0, 0.0, {}), (4, 4.0, 4.0, {})],
+            "id long, lon double, lat double, tags map<string,string>",
+        )
+        feats = way_features(ways, nodes, spark).collect()
+        assert len(feats) == 1
+        dec = gr.decode(bytes(feats[0].encoded))
+        # all 3 resolved vertices survive (the raw-refs closure flag
+        # would have stripped (4.0, 4.0))
+        assert len(dec["positions"]) == 6
+        assert dec["positions"][4:6] == f32([4.0, 4.0])
+
+    def test_resolved_closed_way_still_strips_duplicate(self, spark):
+        """Control: when the closing ref resolves, the duplicate closing
+        vertex is stripped before earcut exactly as before."""
+        from ingest_spark.operators.features import way_features
+
+        ways = spark.createDataFrame(
+            [(100, [1, 2, 3, 4, 1], {"leisure": "park"})],
+            "id long, refs array<long>, tags map<string,string>",
+        )
+        nodes = spark.createDataFrame(
+            [(1, 0.0, 4.0, {}), (2, 0.0, 0.0, {}), (3, 4.0, 0.0, {}), (4, 4.0, 4.0, {})],
+            "id long, lon double, lat double, tags map<string,string>",
+        )
+        feats = way_features(ways, nodes, spark).collect()
+        assert len(feats) == 1
+        dec = gr.decode(bytes(feats[0].encoded))
+        assert len(dec["positions"]) == 8  # 4 unique vertices, no duplicate

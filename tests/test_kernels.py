@@ -38,6 +38,19 @@ class TestVarint:
         buf = b"\xff" + varint.encode(300)
         assert varint.decode(buf, 1) == (2, 300)
 
+    @given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=1, max_size=50))
+    def test_encode_matrix_parity(self, vals):
+        mat, lens = varint.encode_matrix(np.array(vals, dtype=np.uint64))
+        for i, v in enumerate(vals):
+            assert mat[i, : lens[i]].tobytes() == varint.encode(v)
+
+    def test_encode_matrix_boundaries(self):
+        # 7-bit group boundaries where varint length changes
+        vals = [0, 127, 128, 16383, 16384, 2**63 - 1]
+        mat, lens = varint.encode_matrix(np.array(vals, dtype=np.uint64))
+        for i, v in enumerate(vals):
+            assert mat[i, : lens[i]].tobytes() == varint.encode(v)
+
 
 class TestEarcut:
     def test_golden_lake_with_hole(self):

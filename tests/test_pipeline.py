@@ -86,6 +86,44 @@ class TestCheckpointResume:
             k: v["snapshot_id"] for k, v in stages1.items()
         }
 
+    def test_source_change_invalidates_root_stages(self, spark, pages, tmp_path):
+        """Re-running against a DIFFERENT pages table on the same
+        out_root must re-extract (and cascade), not return stale
+        parquet — the extract stages track a source fingerprint."""
+        root = str(tmp_path / "pipe_src")
+        res1 = run_ingest(spark, pages, root, EngineConfig(), optimize_grid=None)
+        n1 = res1.features.count()
+
+        smaller = pages.limit(60)
+        res2 = run_ingest(spark, smaller, root, EngineConfig(), optimize_grid=None)
+        n2 = res2.features.count()
+        assert res2.manifest.stages["extract_nodes"]["source_fingerprint"] != \
+            res1.manifest.stages["extract_nodes"]["source_fingerprint"]
+        assert n2 != n1  # stale features would have kept n1
+
+    def test_content_change_same_shape_invalidates_downstream(self, spark, tmp_path):
+        """Upstream re-run with identical row count and schema but
+        different VALUES gets a new snapshot id (content digest) and
+        invalidates dependents."""
+        root = str(tmp_path / "ckpt3")
+        m = Manifest.load(root)
+        run_stage(spark, m, "a", lambda: spark.range(5), source_fingerprint="v1")
+        snap1 = m.snapshot_of("a")
+        calls = []
+        run_stage(spark, m, "b", lambda: (calls.append(1), spark.range(3))[1], inputs=["a"])
+        assert len(calls) == 1
+
+        # same rows (5), same schema, different values; new fingerprint
+        # forces the re-run, the content digest must change the snapshot
+        m2 = Manifest.load(root)
+        run_stage(
+            spark, m2, "a",
+            lambda: spark.range(100, 105), source_fingerprint="v2",
+        )
+        assert m2.snapshot_of("a") != snap1
+        run_stage(spark, m2, "b", lambda: (calls.append(1), spark.range(3))[1], inputs=["a"])
+        assert len(calls) == 2
+
     def test_metrics_recorded(self, spark, pages, tmp_path):
         root = str(tmp_path / "pipe_m")
         run_ingest(spark, pages, root, EngineConfig(), optimize_grid=None)

@@ -177,6 +177,46 @@ class TestDedup:
         for i in range(10):
             assert found.get((i, i + 100000)) == pytest.approx(1.0)
 
+    def test_ngram_jaccard_hot_gram_skew_parity(self, spark):
+        """Hot-gram corpus: a boilerplate trigram shared by EVERY doc
+        (the naive explode-join would produce n² candidate rows on it).
+        The prefix-filtered plan must still return the exact pair set —
+        verified against a brute-force Python computation."""
+        import itertools
+        import re
+
+        boiler = "all rights reserved worldwide"
+        bodies = [
+            f"unique text {i} alpha beta gamma delta epsilon {boiler}" for i in range(40)
+        ] + [
+            # true near-dups of doc 0 (high Jaccard)
+            f"unique text 0 alpha beta gamma delta epsilon {boiler}",
+            f"unique text 0 alpha beta gamma delta zeta {boiler}",
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(bodies)], "doc_id long, text string"
+        )
+        t = 0.5
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=t).collect()
+        }
+
+        def gramset(s):
+            w = re.sub(r"[^a-z0-9]+", " ", s.lower()).split()
+            return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+        sets = [gramset(b) for b in bodies]
+        want = {}
+        for a, b in itertools.combinations(range(len(bodies)), 2):
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if uni and inter / uni >= t:
+                want[(a, b)] = inter / uni
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k])
+
     def test_embedding_cosine_pairs(self, spark, embeddings):
         # exact copies of 5 vectors
         copies = embeddings.where(F.col("vec_id") < 5).select(
