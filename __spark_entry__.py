@@ -105,6 +105,257 @@ def _polygon_edges_sql() -> str:
 _CLASS_DIM = [("ECONOMY", "budget"), ("PROMO", "deal"), ("STANDARD", "core")]
 
 
+_U64 = 1 << 64
+_I64 = 1 << 63
+_MERS61 = (1 << 61) - 1
+_MIX64 = 0x9E3779B97F4A7C15
+
+
+def _minhash_oracle_sql(threshold: float = 0.8) -> str:
+    """Exact SQL twin of operators.dedup.minhash_lsh_pairs: char-5
+    shingle rolling hashes (mod-2^64 Horner), 64-perm MinHash over the
+    same embedded (a, b) parameters, 16-band fold, banded candidate
+    join, signature-equality Jaccard estimate. All uint64 wraparound is
+    HUGEINT arithmetic mod 2^64 — bit-exact vs the numpy kernels."""
+    from ingest_spark.config import DEFAULT as _cfg
+    from ingest_spark.functions import sketches as _sk
+
+    k = _cfg.minhash_perms
+    bands = _cfg.minhash_bands
+    rows = k // bands
+    assert rows == 4, "oracle fold is written for 4 rows/band"
+    a, b = _sk._rand_params(k)
+    params = ",".join(f"({i},{int(a[i])},{int(b[i])})" for i in range(k))
+    B = 1000003  # shingle polynomial base (sketches.char_shingles)
+
+    def _byte(off: str) -> str:
+        return f"CASE WHEN i+{off} <= length(text) THEN ascii(text[i+{off}]) ELSE 0 END"
+
+    def _mulmod64(x: str) -> str:
+        # (x * MIX) mod 2^64 without overflowing INT128: split x into
+        # 32-bit halves (x,MIX < 2^64 so the direct product can exceed
+        # 127 bits)
+        return (
+            f"((({x}) & 4294967295) * {_MIX64}::HUGEINT % {_U64} + "
+            f"((((({x}) >> 32) * {_MIX64}::HUGEINT) % 4294967296) << 32)) % {_U64}"
+        )
+
+    fold = f"(band + 1)::HUGEINT"
+    for j in range(rows):
+        fold = _mulmod64(f"xor({fold}, v{j}::HUGEINT)")
+    return f"""
+        WITH prm(pidx, a, b) AS (VALUES {params}),
+        d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+        sh0 AS (
+          SELECT doc_id,
+            (((((ascii(text[i])::HUGEINT * {B} + {_byte(1)}) % {_U64}
+               ) * {B} + {_byte(2)}) % {_U64}
+               * {B} + {_byte(3)}) % {_U64}
+               * {B} + {_byte(4)}) % {_U64} AS h
+          FROM d, UNNEST(range(1, GREATEST(length(text)-3, 2)::BIGINT)) AS u(i)
+        ),
+        sh AS (SELECT DISTINCT doc_id, h FROM sh0),
+        sig AS (
+          SELECT doc_id, pidx,
+            MIN( ((a::HUGEINT * (h % {_MERS61})) % {_U64} + b) % {_U64} % {_MERS61} )::BIGINT AS s
+          FROM sh, prm GROUP BY 1, 2
+        ),
+        bv AS (
+          SELECT doc_id, pidx // {rows} AS band,
+            MAX(CASE WHEN pidx % {rows} = 0 THEN s END) AS v0,
+            MAX(CASE WHEN pidx % {rows} = 1 THEN s END) AS v1,
+            MAX(CASE WHEN pidx % {rows} = 2 THEN s END) AS v2,
+            MAX(CASE WHEN pidx % {rows} = 3 THEN s END) AS v3
+          FROM sig GROUP BY 1, 2
+        ),
+        bh AS (SELECT doc_id, band, {fold} AS h FROM bv),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bh x JOIN bh y ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id
+        ),
+        est AS (
+          SELECT c.doc_a, c.doc_b,
+                 SUM(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) AS eq
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.doc_a
+          JOIN sig sb ON sb.doc_id = c.doc_b AND sb.pidx = sa.pidx
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, ROUND(eq / {float(k)}, 4) AS est_jaccard
+        FROM est WHERE eq / {float(k)} >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """Exact SQL twin of operators.dedup.simhash_pairs: FNV-1a-64 token
+    hashes (whitespace tokens, duplicates kept), Charikar bit votes,
+    pigeonhole block join, exact hamming re-check."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    blocks = " UNION ALL ".join(
+        f"SELECT doc_id, sh_i, {i} AS block_idx, "
+        f"(hu >> {i * width}) & {(1 << width) - 1} AS block_val FROM sim"
+        for i in range(nblocks)
+    )
+    return f"""
+        WITH d AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+        toks AS (
+          SELECT doc_id, t AS tok
+          FROM d, UNNEST(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS u(t)
+        ),
+        th AS (
+          SELECT doc_id,
+            list_reduce(
+              list_prepend({0xCBF29CE484222325}::HUGEINT,
+                list_transform(range(1, length(tok)+1), i -> ascii(tok[i])::HUGEINT)),
+              (acc, c) -> (xor(acc, c) * {0x100000001B3}::HUGEINT) % {_U64}) AS h
+          FROM toks
+        ),
+        votes AS (
+          SELECT doc_id, bit,
+                 SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM th, UNNEST(range(0, 64)) AS u(bit)
+          GROUP BY 1, 2
+        ),
+        simv AS (
+          SELECT doc_id, SUM(CASE WHEN v > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS hu
+          FROM votes GROUP BY 1
+        ),
+        sim AS (
+          SELECT d.doc_id, COALESCE(s.hu, 0::HUGEINT) AS hu,
+                 CASE WHEN COALESCE(s.hu, 0::HUGEINT) >= {_I64}::HUGEINT
+                      THEN (COALESCE(s.hu, 0::HUGEINT) - {_U64}::HUGEINT)::BIGINT
+                      ELSE COALESCE(s.hu, 0::HUGEINT)::BIGINT END AS sh_i
+          FROM d LEFT JOIN simv s USING (doc_id)
+        ),
+        blk AS ({blocks}),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS doc_a, x.sh_i AS sa, y.doc_id AS doc_b, y.sh_i AS sb
+          FROM blk x JOIN blk y
+            ON x.block_idx = y.block_idx AND x.block_val = y.block_val
+           AND x.doc_id < y.doc_id
+        )
+        SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+def _rint_sql(x: str) -> str:
+    """Exact round-half-to-EVEN (numpy rint semantics; DuckDB ROUND is
+    half-away-from-zero). x - FLOOR(x) is exact for |x| < 2^52."""
+    return (
+        f"(CASE WHEN {x} - FLOOR({x}) > 0.5 THEN FLOOR({x})+1 "
+        f"WHEN {x} - FLOOR({x}) < 0.5 THEN FLOOR({x}) "
+        f"ELSE FLOOR({x}) + CASE WHEN CAST(FLOOR({x}) AS BIGINT)%2=0 THEN 0 ELSE 1 END END)"
+    )
+
+
+def _hex_cell_sql(points_sql: str, res: int = 8) -> str:
+    """Exact SQL twin of functions.cells.hex_cell: axial projection,
+    cube rounding (half-even, mirroring np.rint), id packing. Float
+    constants are repr()-exact so every IEEE op matches the kernel."""
+    import math as _m
+    from ingest_spark.functions import cells as _c
+
+    size = repr(_c.hex_edge_deg(res))
+    c1 = repr(_m.sqrt(3.0) / 3.0)
+    return f"""
+    SELECT id, ({res}::BIGINT << 56) | ((q + 134217728) << 28) | (r + 134217728) AS hex_cell
+    FROM (
+      SELECT id,
+        CAST(CASE WHEN dq > dr AND dq > ds THEN -r - s ELSE q END AS BIGINT) AS q,
+        CAST(CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds THEN -q - s ELSE r END AS BIGINT) AS r
+      FROM (
+        SELECT id, q, r, s,
+               ABS(q - qf) AS dq, ABS(r - rf) AS dr, ABS(s - sf) AS ds
+        FROM (
+          SELECT id, qf, rf, sf,
+                 {_rint_sql('qf')} AS q, {_rint_sql('rf')} AS r, {_rint_sql('sf')} AS s
+          FROM (
+            SELECT id, qf, rf, -qf - rf AS sf
+            FROM (
+              SELECT id, ({c1} * lon - lat/3.0) / {size} AS qf,
+                     (2.0/3.0 * lat) / {size} AS rf
+              FROM {points_sql} hexp
+            )
+          )
+        )
+      )
+    )
+    """
+
+
+def _s2_cell_ctes(points_sql: str, level: int = 12) -> str:
+    """Exact SQL twin of functions.cells.s2_cell_id: face/uv projection,
+    quadratic ST, Hilbert curve via the same 1024-entry 4-bit lookup
+    table (embedded as VALUES), uint64 semantics via HUGEINT. Returns a
+    CTE block (to splice after WITH); the final relation is ``s2cells``
+    with columns (id, s2_cell)."""
+    import math as _m
+    from ingest_spark.functions import cells as _c
+
+    lut_rows = ",".join(f"({i},{int(v)})" for i, v in enumerate(_c._LOOKUP_POS))
+    d2r = repr(_m.pi / 180.0)
+    lsb = 1 << (2 * (30 - level))
+    steps = ""
+    prev = "s2base"
+    for k in range(7, -1, -1):
+        steps += f"""
+    s2s{k} AS (
+      SELECT t.id, t.i, t.j,
+             t.n | ((l.val >> 2)::HUGEINT * {2 ** (8 * k)}::HUGEINT) AS n,
+             (l.val & 3)::BIGINT AS orient
+      FROM {prev} t JOIN s2lut l
+        ON l.idx = (((t.i >> {4 * k}) & 15) << 6) | (((t.j >> {4 * k}) & 15) << 2) | t.orient
+    ),"""
+        prev = f"s2s{k}"
+    return f"""s2lut(idx, val) AS (VALUES {lut_rows}),
+    s2xyz AS (
+      SELECT id,
+        COS(lat * {d2r}) * COS(lon * {d2r}) AS x,
+        COS(lat * {d2r}) * SIN(lon * {d2r}) AS y,
+        SIN(lat * {d2r}) AS z
+      FROM {points_sql} s2p),
+    s2fc AS (
+      SELECT id, x, y, z,
+        CASE WHEN ABS(x) > ABS(y) THEN (CASE WHEN ABS(x) > ABS(z) THEN 0 ELSE 2 END)
+             ELSE (CASE WHEN ABS(y) > ABS(z) THEN 1 ELSE 2 END) END AS f0
+      FROM s2xyz),
+    s2fuv AS (
+      SELECT id,
+        f0 + CASE WHEN (CASE f0 WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0 THEN 3 ELSE 0 END AS face,
+        x, y, z FROM s2fc),
+    s2uv AS (
+      SELECT id, face,
+        CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                  WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+        CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                  WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+      FROM s2fuv),
+    s2st AS (
+      SELECT id, face,
+        CASE WHEN u >= 0 THEN 0.5*SQRT(1.0+3.0*ABS(u)) ELSE 1.0 - 0.5*SQRT(1.0+3.0*ABS(u)) END AS su,
+        CASE WHEN v >= 0 THEN 0.5*SQRT(1.0+3.0*ABS(v)) ELSE 1.0 - 0.5*SQRT(1.0+3.0*ABS(v)) END AS sv
+      FROM s2uv),
+    s2base AS (
+      SELECT id,
+        LEAST(GREATEST(CAST(FLOOR(su * 1073741824.0) AS BIGINT), 0), 1073741823) AS i,
+        LEAST(GREATEST(CAST(FLOOR(sv * 1073741824.0) AS BIGINT), 0), 1073741823) AS j,
+        (face::HUGEINT * 1152921504606846976::HUGEINT) AS n,
+        (face::BIGINT & 1) AS orient
+      FROM s2st),
+    {steps}
+    s2fin AS (
+      SELECT id, 2::HUGEINT * ((n & ~({lsb // 2 - 1}::HUGEINT)) | {lsb // 2}::HUGEINT) AS h
+      FROM s2s0
+    ),
+    s2cells AS (
+      SELECT id, CASE WHEN h >= 9223372036854775808::HUGEINT
+                  THEN (h - 18446744073709551616::HUGEINT)::BIGINT ELSE h::BIGINT END AS s2_cell
+      FROM s2fin
+    )"""
+
+
 # ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -330,7 +581,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["tile_xyz"] = tile_xyz
 
-    def cells_hex_s2(spark, sf):  # rows-only: cell ids are engine kernels
+    def cells_hex_s2(spark, sf):
+        # oracle-backed: both cell kernels are re-expressed in exact
+        # SQL arithmetic (see _hex_cell_sql / _s2_cell_sql)
         from ingest_spark.operators.spatial import with_cells
         return with_cells(_points(spark, sf), lon_col="lon", lat_col="lat").select(
             "id", "hex_cell", "s2_cell"
@@ -387,13 +640,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select("doc_id", tx.md5_fingerprint(F.col("text")).alias("fp"))
     q["fingerprint_md5"] = fingerprint_md5
 
-    def fingerprint_rolling(spark, sf):  # rows-only: engine kernel
+    def fingerprint_rolling(spark, sf):
+        # oracle-backed: Karp-Rabin mod-2^64 Horner fold has an exact
+        # HUGEINT twin in DuckDB (list_reduce over character codes)
         from ingest_spark.functions import text as tx
         d = _t(spark, sf, "documents")
         return d.select("doc_id", tx.rolling_fingerprint(F.col("text")).alias("fp64"))
     q["fingerprint_rolling"] = fingerprint_rolling
 
-    def minhash_lsh(spark, sf):  # rows-only: sketch kernel
+    def minhash_lsh(spark, sf):
+        # oracle-backed: the full MinHash+LSH pipeline (shingle hash,
+        # 64-perm signatures, banded join, estimate) has an exact
+        # HUGEINT SQL twin (_minhash_oracle_sql)
         from ingest_spark.operators.dedup import minhash_lsh_pairs
         d = _t(spark, sf, "documents")
         return minhash_lsh_pairs(d, threshold=0.8).select(
@@ -401,7 +659,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["minhash_lsh"] = minhash_lsh
 
-    def simhash_dups(spark, sf):  # rows-only: sketch kernel
+    def simhash_dups(spark, sf):
+        # oracle-backed: FNV-1a token hashes + Charikar votes + block
+        # join re-expressed exactly in SQL (_simhash_oracle_sql)
         from ingest_spark.operators.dedup import simhash_pairs
         d = _t(spark, sf, "documents")
         return simhash_pairs(d, max_hamming=3)
@@ -426,6 +686,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = cosine_topk(emb, queries_df, k=5)
         return out.select("qid", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
     q["ann_topk"] = ann_topk
+
+    def ann_lsh_topk(spark, sf):  # rows-only: the SCALE path (multi-probe
+        # hyperplane LSH — bucketed join, no cross join); recall vs the
+        # exact cosine_topk oracle is bounded in test_webtext.py
+        from ingest_spark.operators.similarity import ann_topk as ann_lsh
+        emb = _t(spark, sf, "embeddings").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        queries_df = emb.where(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        out = ann_lsh(emb, queries_df, k=5, n_planes=4, n_probe=5, n_tables=8)
+        return out.select("qid", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
+    q["ann_lsh_topk"] = ann_lsh_topk
 
     def event_windows(spark, sf):
         e = _t(spark, sf, "events")
@@ -566,7 +840,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["sessionize"] = sessionize
 
-    def raster_tiles_q(spark, sf):  # rows-only: binary raster grids
+    def raster_tiles_q(spark, sf):
+        # oracle-able projection: per-tile point counts (the binary grid
+        # itself is golden-tested in test_tiling; md5 of numpy-built
+        # bytes has no SQL twin)
         from ingest_spark.operators.tiling import raster_tiles
         p = _points(spark, sf).select(
             F.col("id"), F.lit(0).cast("tinyint").alias("kind"),
@@ -574,7 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("lon").alias("maxx"), F.col("lat").alias("maxy"),
         )
         r = raster_tiles(p, z=4, px=64)
-        return r.select("tile_z", "tile_x", "tile_y", "px", "n_points", F.md5("grid").alias("grid_md5"))
+        return r.select("tile_z", "tile_x", "tile_y", "px", "n_points")
     q["raster_tiles"] = raster_tiles_q
 
     # ---------------- georender fixture pipeline (rows-only)
@@ -775,6 +1052,41 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _quality_sql(),
         "lang_id": _lang_id_sql(),
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "minhash_lsh": _minhash_oracle_sql(threshold=0.8),
+        "simhash_dups": _simhash_oracle_sql(max_hamming=3),
+        "fingerprint_rolling": """
+            SELECT doc_id,
+              CASE WHEN h >= 9223372036854775808::HUGEINT
+                   THEN (h - 18446744073709551616::HUGEINT)::BIGINT
+                   ELSE h::BIGINT END AS fp64
+            FROM (
+              SELECT doc_id,
+                CASE WHEN text IS NULL OR length(text) = 0 THEN 0::HUGEINT
+                ELSE list_reduce(
+                  list_prepend(0::HUGEINT,
+                    list_transform(range(1, length(text)+1), i -> ascii(text[i])::HUGEINT)),
+                  (acc, b) -> (acc * 1000003::HUGEINT + b) % 18446744073709551616::HUGEINT)
+                END AS h
+              FROM documents)
+        """,
+        "cells_hex_s2": f"""
+            WITH {_s2_cell_ctes(_POINTS_SQL)}
+            SELECT s.id, h.hex_cell, s.s2_cell
+            FROM s2cells s JOIN ({_hex_cell_sql(_POINTS_SQL)}) h USING (id)
+        """,
+        "raster_tiles": f"""
+            WITH t AS (
+              SELECT 4 AS tile_z,
+                GREATEST(0, LEAST(15, FLOOR((lon + 180.0) / 360.0 * 16)::BIGINT)) AS tile_x,
+                GREATEST(0, LEAST(15, FLOOR(
+                  (1.0 - LN(TAN(RADIANS(GREATEST(-85.05112878, LEAST(85.05112878, lat))))
+                          + 1.0 / COS(RADIANS(GREATEST(-85.05112878, LEAST(85.05112878, lat)))))
+                   / PI()) / 2.0 * 16)::BIGINT)) AS tile_y
+              FROM {_POINTS_SQL} p
+            )
+            SELECT tile_z, tile_x, tile_y, 64 AS px, COUNT(*) AS n_points
+            FROM t GROUP BY 1, 2, 3
+        """,
         "embedding_cosine": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             pairs AS (

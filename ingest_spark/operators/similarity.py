@@ -56,25 +56,21 @@ def cosine_topk(
     )
 
 
-def _code_udf(n_planes: int):
-    @F.pandas_udf(LongType())
+def _codes_udf(n_planes: int, n_tables: int):
+    """One LSH sign-code per table (independent hyperplanes per table,
+    seeded deterministically) — returned as an array so the vector
+    crosses the Arrow boundary once for all tables."""
+    @F.pandas_udf(ArrayType(LongType()))
     def _u(vec: pd.Series) -> pd.Series:
         mat = np.stack([np.asarray(x, dtype=np.float64) for x in vec])
-        return pd.Series(sk.hyperplane_buckets(mat, n_planes))
-    return _u
-
-
-def _probe_codes_udf(n_planes: int, n_probe: int):
-    """A query probes its own LSH code plus the codes within hamming
-    distance 1 (up to n_probe total) — multi-probe LSH."""
-    @F.pandas_udf(ArrayType(LongType()))
-    def _u(code: pd.Series) -> pd.Series:
-        out = []
-        for c in code:
-            c = int(c)
-            probes = [c] + [c ^ (1 << i) for i in range(n_planes)]
-            out.append(probes[: n_probe])
-        return pd.Series(out)
+        codes = np.stack(
+            [
+                sk.hyperplane_buckets(mat, n_planes, seed=sk._SEED + 7919 * t)
+                for t in range(n_tables)
+            ],
+            axis=1,
+        )
+        return pd.Series(list(codes))
     return _u
 
 
@@ -84,26 +80,39 @@ def ann_topk(
     k: int = 10,
     n_planes: int = 8,
     n_probe: int = 9,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "qid",
     query_vec: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: hyperplane-bucketed join + per-query rank."""
+    """Approximate top-k: multi-table multi-probe hyperplane LSH.
+
+    ``n_tables`` independent tables of ``n_planes`` hyperplanes each
+    (classic E2LSH OR-construction — recall 1-(1-p_probe^1)^L); within
+    a table a query probes its own code plus hamming-distance-1 codes
+    (up to ``n_probe``). The big vector table shuffles once on
+    (table, code); no cross join anywhere. Recall-vs-exact bounds in
+    test_webtext.py. Probe-code fan-out is a JVM-side XOR expression."""
     v = vectors.select(
         F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"),
-        _code_udf(n_planes)(F.col(vec_col)).alias("_code"),
+        F.posexplode(_codes_udf(n_planes, n_tables)(F.col(vec_col))).alias("_tbl", "_code"),
     )
-    q = queries.select(
-        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_q"),
-        F.explode(
-            _probe_codes_udf(n_planes, n_probe)(_code_udf(n_planes)(F.col(query_vec)))
-        ).alias("_code"),
+    probe_arr = F.array(
+        F.col("_c0"), *[F.col("_c0").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    )
+    q = (
+        queries.select(
+            F.col(query_id).alias("_qid"), F.col(query_vec).alias("_q"),
+            F.posexplode(_codes_udf(n_planes, n_tables)(F.col(query_vec))).alias("_tbl", "_c0"),
+        )
+        .withColumn("_code", F.explode(F.slice(probe_arr, 1, n_probe)))
+        .drop("_c0")
     )
     cos = _cosine("_q", "_v")
     w = Window.partitionBy("_qid").orderBy(F.desc("cosine"), F.asc("_vid"))
     return (
-        q.join(v, "_code")
+        q.join(v, ["_tbl", "_code"])
         .dropDuplicates(["_qid", "_vid"])
         .withColumn("cosine", cos)
         .withColumn("rank", F.row_number().over(w))

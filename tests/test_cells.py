@@ -89,3 +89,25 @@ class TestHex:
         a = int(C.hex_cell_id([50.0], [0.0], 8)[0])
         b = int(C.hex_cell_id([50.0 + e], [0.0], 8)[0])
         assert b in C.hex_k_ring(a, 2)
+
+
+class TestRealH3Gate:
+    """The SPARK_GRAFT_USE_H3=1 branch: exercised conditionally when the
+    real `h3` package is importable (it is not shipped in this sandbox —
+    the skip below documents that honestly)."""
+
+    def test_real_h3_branch(self, monkeypatch):
+        h3 = pytest.importorskip("h3")
+        monkeypatch.setattr(C, "_USE_REAL_H3", True)
+        monkeypatch.setattr(C, "_HAVE_H3", True)
+        monkeypatch.setattr(C, "_h3", h3)
+        got = C.hex_cell(np.array([2.35]), np.array([48.86]), 8)
+        want = h3.str_to_int(h3.latlng_to_cell(48.86, 2.35, 8))
+        assert int(got[0]) == want
+
+    def test_builtin_grid_is_default(self):
+        # without the env flag the deterministic builtin grid answers —
+        # and its ids are reproducible across calls/processes
+        a = C.hex_cell(np.array([2.35]), np.array([48.86]), 8)
+        b = C.hex_cell_id(np.array([2.35]), np.array([48.86]), 8)
+        assert (a == b).all()

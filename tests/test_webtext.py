@@ -235,6 +235,31 @@ class TestDedup:
 
 
 class TestSimilarity:
+    def test_ann_lsh_contract_recall_bound(self, spark):
+        """The contract's scale-path ANN entry (ann_lsh_topk) must keep
+        recall >= 0.9 against the exact brute-force oracle on the
+        driver's own testdata and parameters."""
+        from ingest_spark.operators.similarity import ann_topk, cosine_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        queries = emb.where(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        exact = {
+            (r.qid, r.vec_id)
+            for r in cosine_topk(emb, queries, k=5).collect()
+        }
+        approx = {
+            (r.qid, r.vec_id)
+            for r in ann_topk(
+                emb, queries, k=5, n_planes=4, n_probe=5, n_tables=8
+            ).collect()
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.9, f"ANN recall {recall:.3f} < 0.9"
+
     def test_exact_topk_self_match(self, spark, embeddings):
         queries = embeddings.where(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("qid"), "embedding"
