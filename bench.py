@@ -73,16 +73,16 @@ def main() -> None:
     pages = timed("corpus_gen", _corpus)
 
     def _ingest():
-        # materialize element tables once (the pipeline's extract stage),
-        # then build features from the parsed store — parse is not
-        # recomputed per join branch
-        n, w, r = extract.parse_elements(pages)
-        n.write.mode("overwrite").parquet("/tmp/_bench_nodes")
-        w.write.mode("overwrite").parquet("/tmp/_bench_ways")
-        r.write.mode("overwrite").parquet("/tmp/_bench_rels")
-        nodes = spark.read.parquet("/tmp/_bench_nodes")
-        ways = spark.read.parquet("/tmp/_bench_ways")
-        rels = spark.read.parquet("/tmp/_bench_rels")
+        # single-pass extract (ONE corpus scan, etype-partitioned store —
+        # the pipeline's extract stage), then build features from the
+        # parsed store: parse is never recomputed per join branch and
+        # the corpus is read exactly once
+        extract.parse_all(pages).write.mode("overwrite").partitionBy("etype").parquet(
+            "/tmp/_bench_elements"
+        )
+        nodes, ways, rels = extract.element_views(
+            spark.read.parquet("/tmp/_bench_elements")
+        )
         feats = with_cells(build_features(nodes, ways, rels, spark), cfg)
         feats.write.mode("overwrite").parquet("/tmp/_bench_features")
         return spark.read.parquet("/tmp/_bench_features")

@@ -150,3 +150,75 @@ def parse_relations(pages: DataFrame) -> DataFrame:
 
 def parse_elements(pages: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     return parse_nodes(pages), parse_ways(pages), parse_relations(pages)
+
+
+# ------------------------------------------------- single-pass extract
+#
+# parse_elements consumes the corpus THREE times (one scan per element
+# table). At 10^12 pages the corpus scan dominates total pipeline cost,
+# so the pipeline's extract stage uses this single-pass variant: one
+# scan classifies each page and parses all element kinds into one
+# unified table written partitioned by etype. Downstream readers get
+# the typed views back via partition pruning (the etype=... filter
+# prunes directories before any IO). Cuts pass-1 IO 3x.
+
+_MEMBER_T = "array<struct<ref:bigint,role:string,mtype:string>>"
+
+
+def parse_all(pages: DataFrame) -> DataFrame:
+    """One-scan unified element table:
+    (etype, id, lon, lat, refs, members, tags)."""
+    t = F.col("text")
+    etype = (
+        F.when(t.startswith("geo:node "), "node")
+        .when(t.startswith("geo:way "), "way")
+        .when(t.startswith("geo:relation "), "relation")
+    )
+    rx_n = r"^geo:node id=(\d+) lon=(-?[\d.]+) lat=(-?[\d.]+) tags=(.*)$"
+    rx_w = r"^geo:way id=(\d+) refs=([\d,]+) tags=(.*)$"
+    rx_r = r"^geo:relation id=(\d+) members=([\w:;]+) tags=(.*)$"
+    is_n = F.col("etype") == "node"
+    is_w = F.col("etype") == "way"
+    is_r = F.col("etype") == "relation"
+    member = F.transform(
+        F.split(F.regexp_extract(t, rx_r, 2), ";"),
+        lambda m: F.struct(
+            F.get(F.split(m, ":"), 2).try_cast("long").alias("ref"),
+            F.get(F.split(m, ":"), 1).alias("role"),
+            F.get(F.split(m, ":"), 0).alias("mtype"),
+        ),
+    )
+    return (
+        pages.select("text")
+        .withColumn("etype", etype)
+        .where(F.col("etype").isNotNull())
+        .select(
+            "etype",
+            F.when(is_n, F.regexp_extract(t, rx_n, 1))
+            .when(is_w, F.regexp_extract(t, rx_w, 1))
+            .otherwise(F.regexp_extract(t, rx_r, 1))
+            .try_cast("long").alias("id"),
+            F.when(is_n, F.regexp_extract(t, rx_n, 2).try_cast("double")).alias("lon"),
+            F.when(is_n, F.regexp_extract(t, rx_n, 3).try_cast("double")).alias("lat"),
+            F.when(
+                is_w, F.split(F.regexp_extract(t, rx_w, 2), ",").try_cast("array<long>")
+            ).alias("refs"),
+            F.when(is_r, member).cast(_MEMBER_T).alias("members"),
+            _tags_map(
+                F.when(is_n, F.regexp_extract(t, rx_n, 4))
+                .when(is_w, F.regexp_extract(t, rx_w, 3))
+                .otherwise(F.regexp_extract(t, rx_r, 3))
+            ).alias("tags"),
+        )
+    )
+
+
+def element_views(elements: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Typed (nodes, ways, relations) views of a unified element table.
+    On an etype-partitioned parquet table the filters become partition
+    pruning; the selects restore the parse_nodes/ways/relations
+    schemas exactly."""
+    nodes = elements.where(F.col("etype") == "node").select("id", "lon", "lat", "tags")
+    ways = elements.where(F.col("etype") == "way").select("id", "refs", "tags")
+    rels = elements.where(F.col("etype") == "relation").select("id", "members", "tags")
+    return nodes, ways, rels

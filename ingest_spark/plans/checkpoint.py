@@ -109,6 +109,7 @@ def run_stage(
     inputs: list[str] | None = None,
     metrics: "object | None" = None,
     source_fingerprint: str | None = None,
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """Run (or resume) one pipeline stage.
 
@@ -138,7 +139,10 @@ def run_stage(
 
     t0 = time.time()
     df = fn()
-    df.write.mode("overwrite").parquet(out_path)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out_path)
     out = spark.read.parquet(out_path)
     rows, digest = _count_and_digest(out)
     wall = time.time() - t0

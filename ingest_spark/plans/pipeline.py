@@ -65,33 +65,26 @@ def run_ingest(
     # returning stale parquet
     src_fp = source_fingerprint or pages_fingerprint(pages)
 
-    # -------- stage: extract (pass 1a) — materialize the element tables
-    # once so downstream joins never re-run html→text→parse (the feature
-    # build consumes nodes 3×, ways 2×; at 10^12 pages re-parsing would
-    # dominate). This is the reference's two-pass shape: parse once,
-    # then join against the parsed store (src/denorm.rs re-scans blobs
-    # by offset — our "offsets" are the parquet element tables).
-    nodes = run_stage(
-        spark, manifest, "extract_nodes",
-        lambda: extract.parse_nodes(pages), inputs=[], metrics=metrics,
-        source_fingerprint=src_fp,
+    # -------- stage: extract (pass 1a) — ONE corpus scan parses every
+    # element kind into one etype-partitioned table (extract.parse_all).
+    # At 10^12 pages the corpus scan dominates total cost, so pass 1
+    # must read it exactly once; downstream joins then consume the
+    # parsed store (nodes 3×, ways 2×) via partition-pruned views.
+    # This is the reference's two-pass shape: parse once, then join
+    # against the parsed store (src/denorm.rs re-scans blobs by offset
+    # — our "offsets" are the etype partitions).
+    elements = run_stage(
+        spark, manifest, "extract",
+        lambda: extract.parse_all(pages), inputs=[], metrics=metrics,
+        source_fingerprint=src_fp, partition_by=["etype"],
     )
-    ways = run_stage(
-        spark, manifest, "extract_ways",
-        lambda: extract.parse_ways(pages), inputs=[], metrics=metrics,
-        source_fingerprint=src_fp,
-    )
-    relations = run_stage(
-        spark, manifest, "extract_relations",
-        lambda: extract.parse_relations(pages), inputs=[], metrics=metrics,
-        source_fingerprint=src_fp,
-    )
+    nodes, ways, relations = extract.element_views(elements)
 
     # -------- stage: scan (pass 1b — stats/ScanTable analog)
     run_stage(
         spark, manifest, "scan",
         lambda: scan_src.element_stats(nodes, ways, relations),
-        inputs=["extract_nodes", "extract_ways", "extract_relations"],
+        inputs=["extract"],
         metrics=metrics,
     )
 
@@ -107,7 +100,7 @@ def run_ingest(
 
     features = run_stage(
         spark, manifest, "ingest", _ingest,
-        inputs=["extract_nodes", "extract_ways", "extract_relations", "scan"],
+        inputs=["extract", "scan"],
         metrics=metrics,
     )
 

@@ -37,6 +37,39 @@ class TestScanStats:
         assert 1 <= pruned.count() <= total
 
 
+class TestSinglePassExtract:
+    def test_parse_all_matches_per_type_parses(self, spark, pages):
+        """The single-scan unified parse must reproduce the three
+        per-type parses exactly (same rows, same schemas)."""
+        from ingest_spark.operators.extract import element_views, parse_all
+
+        uni = parse_all(pages)
+        n1, w1, r1 = element_views(uni)
+        n2 = extract.parse_nodes(pages)
+        w2 = extract.parse_ways(pages)
+        r2 = extract.parse_relations(pages)
+        assert n1.schema == n2.schema
+        assert w1.schema == w2.schema
+        # map/struct columns aren't exceptAll-comparable — compare
+        # sorted collected rows
+        for a, b in ((n1, n2), (w1, w2), (r1, r2)):
+            ra = sorted(a.collect(), key=lambda r: r.id)
+            rb = sorted(b.collect(), key=lambda r: r.id)
+            assert ra == rb
+
+    def test_partition_pruning_on_etype(self, spark, pages, tmp_path):
+        """element_views over the partitioned table must prune to one
+        etype directory (PartitionFilters in the scan)."""
+        from ingest_spark.operators.extract import element_views, parse_all
+
+        out = str(tmp_path / "elements")
+        parse_all(pages).write.partitionBy("etype").parquet(out)
+        nodes, _, _ = element_views(spark.read.parquet(out))
+        plan = nodes._jdf.queryExecution().executedPlan().toString()
+        assert "etype" in plan  # partition filter present
+        assert nodes.count() == extract.parse_nodes(pages).count()
+
+
 class TestCheckpointResume:
     def test_stage_runs_then_skips(self, spark, tmp_path):
         root = str(tmp_path / "ckpt")
@@ -97,8 +130,8 @@ class TestCheckpointResume:
         smaller = pages.limit(60)
         res2 = run_ingest(spark, smaller, root, EngineConfig(), optimize_grid=None)
         n2 = res2.features.count()
-        assert res2.manifest.stages["extract_nodes"]["source_fingerprint"] != \
-            res1.manifest.stages["extract_nodes"]["source_fingerprint"]
+        assert res2.manifest.stages["extract"]["source_fingerprint"] != \
+            res1.manifest.stages["extract"]["source_fingerprint"]
         assert n2 != n1  # stale features would have kept n1
 
     def test_content_change_same_shape_invalidates_downstream(self, spark, tmp_path):
