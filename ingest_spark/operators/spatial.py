@@ -240,9 +240,29 @@ def knn_join(
             .where(F.col("rank") <= k)
         )
 
+    # Seed the first ring from a global density estimate (one cheap agg
+    # over the point table): the smallest R whose k_ring covers an
+    # expected ~3k candidates. Saves the early driver rounds that a
+    # fixed ring=1 start walks through on sparse data; correctness is
+    # unaffected — the distance guarantee still gates every answer and
+    # unresolved queries keep expanding.
+    stats = pts.agg(
+        F.count("*").alias("n"),
+        (F.max("_px") - F.min("_px")).alias("dx"),
+        (F.max("_py") - F.min("_py")).alias("dy"),
+    ).first()
+    ring = 1
+    if stats and stats.n and stats.dx and stats.dy:
+        area = float(stats.dx) * float(stats.dy)
+        cell_area = 1.5 * math.sqrt(3.0) * edge * edge  # hex area
+        density = stats.n / area if area > 0 else float("inf")
+        per_cell = max(density * cell_area, 1e-12)
+        need_cells = 3.0 * k / per_cell
+        while ring < cfg.knn_max_ring / 2 and 1 + 3 * ring * (ring + 1) < need_cells:
+            ring *= 2
+
     result = None
     remaining = qs
-    ring = 1
     while ring <= cfg.knn_max_ring:
         exp = remaining.withColumn(
             "_cells", _ring_cells_udf(res, ring)("_qcell")

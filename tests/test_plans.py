@@ -74,3 +74,54 @@ class TestPlanQuality:
         from ingest_spark.operators.tiling import with_tile_xyz
         plan = _plan(with_tile_xyz(feats_parquet, 12))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestNewOperatorPlans:
+    def test_ann_lsh_has_no_cartesian_product(self, spark):
+        """The multi-table LSH ANN path must be a bucketed equi-join on
+        (table, code) — never a cross join of queries x vectors."""
+        from ingest_spark.operators.similarity import ann_topk
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        queries = emb.where(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("qid"), "embedding"
+        )
+        plan = _plan(ann_topk(emb, queries, k=5, n_planes=4, n_probe=5, n_tables=8))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_ngram_prefix_join_is_equi_join_on_gram(self, spark):
+        """Prefix-filtered Jaccard: the candidate join must be an
+        equi-join keyed on gram (hash or sort-merge), no cross join."""
+        from ingest_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        plan = _plan(ngram_jaccard_pairs(docs, n=3, threshold=0.8))
+        assert "CartesianProduct" not in plan
+        assert "gram" in plan
+
+    def test_single_pass_extract_scans_text_only(self, spark, pages_parquet):
+        """parse_all must read only the text column (column pruning at
+        the scan) and classify in one pass."""
+        plan = _plan(extract.parse_all(pages_parquet))
+        scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
+        assert scan_lines and all("html" not in l for l in scan_lines)
+
+    def test_changeset_closure_has_no_collect_limit(self, spark, pages_parquet):
+        """Affected-closure plan builds without any driver action (plan
+        construction itself proves no collect — see also the mega
+        closure test); the merge is anti-join + union."""
+        from ingest_spark.operators.changeset import Changeset, apply_changeset
+        from ingest_spark.operators.features import build_features
+
+        n, w, r = extract.parse_elements(pages_parquet)
+        feats = build_features(n, w, r, spark)
+        upsert = spark.createDataFrame(
+            [(1, 1.0, 2.0, {"amenity": "pub"})],
+            "id long, lon double, lat double, tags map<string,string>",
+        )
+        merged, *_ = apply_changeset(spark, feats, n, w, r, Changeset(nodes_upsert=upsert))
+        plan = _plan(merged)
+        assert "LeftAnti" in plan  # the merge discipline

@@ -331,3 +331,41 @@ class TestMultimodal:
         out = multimodal.repartition_by_bytes(media, bytes_per_partition=2000)
         assert out.rdd.getNumPartitions() >= 4
         assert out.count() == 100
+
+
+class TestNgramPrefixFilterProperty:
+    @pytest.mark.parametrize("seed,t", [(1, 0.3), (2, 0.5), (3, 0.7), (4, 0.9)])
+    def test_random_corpora_match_brute_force(self, spark, seed, t):
+        """Prefix filtering is provably lossless — verify on random
+        small-vocab corpora (which maximize shared grams and stress
+        the prefix bound) across thresholds."""
+        import itertools
+        import re
+
+        rng = np.random.default_rng(seed)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+        bodies = [
+            " ".join(rng.choice(vocab, rng.integers(3, 12)))
+            for _ in range(30)
+        ]
+        docs = spark.createDataFrame(
+            [(i, b) for i, b in enumerate(bodies)], "doc_id long, text string"
+        )
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=t).collect()
+        }
+
+        def gramset(s):
+            w = re.sub(r"[^a-z0-9]+", " ", s.lower()).split()
+            return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+        sets = [gramset(b) for b in bodies]
+        want = set()
+        for a, b in itertools.combinations(range(len(bodies)), 2):
+            if not sets[a] or not sets[b]:
+                continue
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j >= t:
+                want.add((a, b))
+        assert got == want
