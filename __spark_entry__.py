@@ -701,6 +701,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("qid", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
     q["ann_lsh_topk"] = ann_lsh_topk
 
+    def vector_tiles_q(spark, sf):
+        # oracle-backed projection of vector-tile materialization
+        # (groupBy tile -> applyInPandas payload pack): per-tile feature
+        # counts; payload bytes are golden-tested in test_tiling
+        from ingest_spark.operators.tiling import vector_tiles
+        p = _points(spark, sf).select(
+            F.col("id"),
+            F.col("lon").alias("minx"), F.col("lat").alias("miny"),
+            F.encode(F.concat(F.lit("pt:"), F.col("id")), "UTF-8").alias("encoded"),
+        )
+        vt = vector_tiles(p, z=5)
+        return vt.select("tile_z", "tile_x", "tile_y", "n_features")
+    q["vector_tiles"] = vector_tiles_q
+
     def event_windows(spark, sf):
         e = _t(spark, sf, "events")
         bucket = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
@@ -1073,6 +1087,19 @@ def oracle_sql() -> dict[str, str]:
             WITH {_s2_cell_ctes(_POINTS_SQL)}
             SELECT s.id, h.hex_cell, s.s2_cell
             FROM s2cells s JOIN ({_hex_cell_sql(_POINTS_SQL)}) h USING (id)
+        """,
+        "vector_tiles": f"""
+            WITH t AS (
+              SELECT 5 AS tile_z,
+                GREATEST(0, LEAST(31, FLOOR((lon + 180.0) / 360.0 * 32)::BIGINT)) AS tile_x,
+                GREATEST(0, LEAST(31, FLOOR(
+                  (1.0 - LN(TAN(RADIANS(GREATEST(-85.05112878, LEAST(85.05112878, lat))))
+                          + 1.0 / COS(RADIANS(GREATEST(-85.05112878, LEAST(85.05112878, lat)))))
+                   / PI()) / 2.0 * 32)::BIGINT)) AS tile_y
+              FROM {_POINTS_SQL} p
+            )
+            SELECT tile_z, tile_x, tile_y, COUNT(*) AS n_features
+            FROM t GROUP BY 1, 2, 3
         """,
         "raster_tiles": f"""
             WITH t AS (

@@ -113,22 +113,28 @@ def decode_image(media: DataFrame, fake: bool = False) -> DataFrame:
 
     def _decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            pdf = pdf[pdf["kind"] == "image"]
             rows = {"media_id": [], "height": [], "width": [], "pixels": []}
-            for _, r in pdf.iterrows():
-                if r["kind"] != "image":
-                    continue
-                w = int(r["width"] or 16)
-                h = int(r["height"] or 16)
+            # decode is inherently per-image; iterate plain numpy arrays
+            # (no per-row pandas Series construction)
+            for mid, content, w0, h0 in zip(
+                pdf["media_id"].to_numpy(),
+                pdf["content"].to_numpy(),
+                pdf["width"].to_numpy(),
+                pdf["height"].to_numpy(),
+            ):
+                w = int(w0) if not pd.isna(w0) else 16
+                h = int(h0) if not pd.isna(h0) else 16
                 if use_fake:
-                    px = _fake_pixels(bytes(r["content"]), w, h)
+                    px = _fake_pixels(bytes(content), w, h)
                 else:  # pragma: no cover
                     import io
                     px = np.asarray(
-                        _PIL.open(io.BytesIO(bytes(r["content"]))).convert("RGB"),
+                        _PIL.open(io.BytesIO(bytes(content))).convert("RGB"),
                         dtype=np.float32,
                     ) / 255.0
                     h, w = px.shape[:2]
-                rows["media_id"].append(int(r["media_id"]))
+                rows["media_id"].append(int(mid))
                 rows["height"].append(h)
                 rows["width"].append(w)
                 rows["pixels"].append(px.reshape(-1).tolist())
@@ -142,13 +148,16 @@ def resize(decoded: DataFrame, out_w: int = 8, out_h: int = 8) -> DataFrame:
     def _resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"media_id": [], "height": [], "width": [], "pixels": []}
-            for _, r in pdf.iterrows():
-                h, w = int(r["height"]), int(r["width"])
-                px = np.asarray(r["pixels"], dtype=np.float32).reshape(h, w, 3)
+            for mid, h, w, pixels in zip(
+                pdf["media_id"].to_numpy(), pdf["height"].to_numpy(),
+                pdf["width"].to_numpy(), pdf["pixels"].to_numpy(),
+            ):
+                h, w = int(h), int(w)
+                px = np.asarray(pixels, dtype=np.float32).reshape(h, w, 3)
                 yi = (np.arange(out_h) * h // out_h)
                 xi = (np.arange(out_w) * w // out_w)
                 rs = px[yi][:, xi]
-                out["media_id"].append(int(r["media_id"]))
+                out["media_id"].append(int(mid))
                 out["height"].append(out_h)
                 out["width"].append(out_w)
                 out["pixels"].append(rs.reshape(-1).tolist())
@@ -169,9 +178,12 @@ def feature_extract(decoded: DataFrame, dim: int = 16) -> DataFrame:
     def _feat(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"media_id": [], "embedding": []}
-            for _, r in pdf.iterrows():
-                h, w = int(r["height"]), int(r["width"])
-                px = np.asarray(r["pixels"], dtype=np.float32).reshape(h, w, 3)
+            for mid, h, w, pixels in zip(
+                pdf["media_id"].to_numpy(), pdf["height"].to_numpy(),
+                pdf["width"].to_numpy(), pdf["pixels"].to_numpy(),
+            ):
+                h, w = int(h), int(w)
+                px = np.asarray(pixels, dtype=np.float32).reshape(h, w, 3)
                 means = px.mean(axis=(0, 1))  # 3
                 grid = px.mean(axis=2)
                 qh = max(1, h // 2)
@@ -182,7 +194,7 @@ def feature_extract(decoded: DataFrame, dim: int = 16) -> DataFrame:
                 ]
                 vec = np.concatenate([means, quads, grid.std(axis=0)[: dim - 7]])
                 vec = np.pad(vec, (0, max(0, dim - len(vec))))[:dim]
-                out["media_id"].append(int(r["media_id"]))
+                out["media_id"].append(int(mid))
                 out["embedding"].append(vec.astype(np.float32).tolist())
             yield pd.DataFrame(out)
 
