@@ -461,3 +461,51 @@ def raster_to_vector(rasters: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return rasters.mapInPandas(_vectorize, RASTER_POINTS_SCHEMA)
+
+
+def retile_incremental(
+    old_tiles: DataFrame,
+    old_features: DataFrame,
+    new_features: DataFrame,
+    changed_feature_ids: DataFrame,
+    z: int,
+) -> DataFrame:
+    """Incremental vector-tile maintenance after a changeset: recompute
+    ONLY the tiles whose content changed; every other tile row passes
+    through untouched.
+
+    Extends the changeset capability (operators/changeset.py — itself
+    beyond the reference, which left updates `unimplemented!` at
+    /root/reference/src/bin.rs:229-231) from the feature table to the
+    materialized tile layer.
+
+    Inputs: ``old_tiles`` = vector_tiles output for ``old_features``;
+    ``old_features`` / ``new_features`` = the feature table before and
+    after apply_changeset; ``changed_feature_ids`` = 1-column (id)
+    frame of affected feature ids (created + modified + deleted).
+
+    affected tiles = tiles of changed ids in the OLD table (covers
+    moves + deletes, whose stale payloads must re-pack) ∪ tiles of
+    changed ids in the NEW table (covers creates + move targets);
+    result = old_tiles ∖ affected ∪ vector_tiles(new features in
+    affected tiles).
+
+    Scale shape: affected-tile discovery is two semi-joins; the
+    anti-join passes the (overwhelmingly unaffected) tile majority
+    through by key only; re-packing touches only affected tiles'
+    features.
+    """
+    def _tiles_of(features: DataFrame) -> DataFrame:
+        changed = features.join(changed_feature_ids, "id", "left_semi")
+        return with_tile_xyz(changed, z).select("tile_z", "tile_x", "tile_y")
+
+    affected = _tiles_of(old_features).unionByName(
+        _tiles_of(new_features)
+    ).distinct()
+
+    kept = old_tiles.join(affected, ["tile_z", "tile_x", "tile_y"], "left_anti")
+    affected_feats = with_tile_xyz(new_features, z).join(
+        affected, ["tile_z", "tile_x", "tile_y"], "left_semi"
+    ).drop("tile_z", "tile_x", "tile_y")
+    repacked = vector_tiles(affected_feats, z)
+    return kept.unionByName(repacked)

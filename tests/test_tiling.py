@@ -167,3 +167,62 @@ class TestTilePyramid:
         # pixel centers land within ~1 pixel of the original points
         paris = [x for x in rows if abs(x.lon - 2.35) < 0.01]
         assert paris and all(abs(x.lat - 48.86) < 0.01 for x in paris)
+
+
+class TestIncrementalRetile:
+    def _feats(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, float(x), float(y), f"pt:{i}".encode()) for i, x, y in rows],
+            "id long, minx double, miny double, encoded binary",
+        )
+
+    def test_create_modify_move_delete(self, spark):
+        from ingest_spark.operators.tiling import retile_incremental, vector_tiles
+
+        z = 5
+        old = [
+            (1, 2.35, 48.86),    # unchanged (Paris tile)
+            (2, 2.36, 48.87),    # unchanged, same tile as 1
+            (3, -74.0, 40.7),    # will MOVE to another tile (NYC → LA)
+            (4, 139.7, 35.7),    # will be DELETED (Tokyo)
+            (5, 151.2, -33.9),   # unchanged (Sydney)
+        ]
+        new = [
+            (1, 2.35, 48.86),
+            (2, 2.36, 48.87),
+            (3, -118.2, 34.05),  # moved
+            (5, 151.2, -33.9),
+            (6, 37.6, 55.75),    # CREATED (Moscow)
+        ]
+        old_f = self._feats(spark, old)
+        new_f = self._feats(spark, new)
+        changed = spark.createDataFrame([(3,), (4,), (6,)], "id long")
+
+        old_tiles = vector_tiles(old_f, z)
+        got = retile_incremental(old_tiles, old_f, new_f, changed, z)
+        want = vector_tiles(new_f, z)  # full rebuild = ground truth
+
+        def key(df):
+            return {
+                (r.tile_z, r.tile_x, r.tile_y): (r.n_features, bytes(r.payload))
+                for r in df.collect()
+            }
+
+        assert key(got) == key(want)
+        # the unchanged tiles' payload rows passed through by identity
+        # (same bytes), and the Tokyo tile is gone
+        gk = key(got)
+        ok = key(old_tiles)
+        unchanged = [k for k, v in ok.items() if k in gk and gk[k] == v]
+        assert len(unchanged) >= 2  # Paris + Sydney tiles survived untouched
+
+    def test_no_changes_is_identity(self, spark):
+        from ingest_spark.operators.tiling import retile_incremental, vector_tiles
+
+        f = self._feats(spark, [(1, 2.35, 48.86), (2, 151.2, -33.9)])
+        tiles = vector_tiles(f, 5)
+        empty = spark.createDataFrame([], "id long")
+        got = retile_incremental(tiles, f, f, empty, 5)
+        a = {(r.tile_x, r.tile_y): bytes(r.payload) for r in got.collect()}
+        b = {(r.tile_x, r.tile_y): bytes(r.payload) for r in tiles.collect()}
+        assert a == b
