@@ -91,6 +91,79 @@ def windowed_event_counts(
     )
 
 
+def stream_tile_maintenance(
+    feature_stream: DataFrame,
+    store_root: str,
+    checkpoint_dir: str,
+    z: int,
+    available_now: bool = True,
+):
+    """Continuous vector-tile maintenance: each micro-batch of newly
+    ingested features appends to a feature store and re-packs ONLY the
+    tiles the batch touches (the streaming face of
+    tiling.retile_incremental, create-only ingest like
+    stream_node_features).
+
+    Layout under ``store_root``: ``features/`` (append-only parquet) and
+    ``tiles/`` (replaced per batch via staging-dir swap — on a real
+    deployment this is an Iceberg overwrite commit; the swap here is
+    the sandbox analog, same caveat as plans/checkpoint.py).
+
+    Scale shape per batch: one append write, tile-id semi/anti-joins,
+    and re-pack restricted to affected tiles' features — unaffected
+    tiles stream through the anti-join by key only.
+    """
+    import os
+    import shutil
+
+    from ..operators.tiling import vector_tiles, with_tile_xyz
+
+    feats_path = os.path.join(store_root, "features")
+    tiles_path = os.path.join(store_root, "tiles")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            batch_df.write.mode("append").parquet(feats_path)
+            all_feats = spark.read.parquet(feats_path)
+            affected = (
+                with_tile_xyz(batch_df, z)
+                .select("tile_z", "tile_x", "tile_y").distinct()
+            )
+            affected_feats = (
+                with_tile_xyz(all_feats, z)
+                .join(affected, ["tile_z", "tile_x", "tile_y"], "left_semi")
+                .drop("tile_z", "tile_x", "tile_y")
+            )
+            repacked = vector_tiles(affected_feats, z)
+            if os.path.exists(os.path.join(tiles_path, "_SUCCESS")):
+                kept = spark.read.parquet(tiles_path).join(
+                    affected, ["tile_z", "tile_x", "tile_y"], "left_anti"
+                )
+                new_tiles = kept.unionByName(repacked)
+            else:
+                new_tiles = repacked
+            staging = tiles_path + f"._staging_{batch_id}"
+            new_tiles.write.mode("overwrite").parquet(staging)
+            if os.path.exists(tiles_path):
+                shutil.rmtree(tiles_path)
+            os.rename(staging, tiles_path)
+        finally:
+            batch_df.unpersist()
+
+    w = (
+        feature_stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 _HOT_STATE_SCHEMA = StructType([StructField("count", LongType(), False)])
 _HOT_OUT_SCHEMA = StructType([
     StructField("hex_cell", LongType(), False),

@@ -201,3 +201,52 @@ class TestStreaming:
         agg = windowed_event_counts(events, window="1 hour", watermark="2 hours")
         rows = agg.agg(F.sum("n")).first()[0]
         assert rows == events.count()
+
+
+class TestStreamTileMaintenance:
+    def test_incremental_tiles_match_full_rebuild(self, spark, tmp_path):
+        """Two stream drains of feature files: after each drain the
+        maintained tiles must equal a full vector_tiles rebuild over
+        everything ingested so far."""
+        from ingest_spark.operators.tiling import vector_tiles
+        from ingest_spark.streaming import stream as strm
+
+        src = str(tmp_path / "in")
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ck")
+        z = 5
+        schema = "id long, minx double, miny double, encoded binary"
+
+        def feats(rows):
+            return spark.createDataFrame(
+                [(i, float(x), float(y), f"pt:{i}".encode()) for i, x, y in rows],
+                schema,
+            )
+
+        def tile_map(df):
+            return {
+                (r.tile_x, r.tile_y): (r.n_features, bytes(r.payload))
+                for r in df.collect()
+            }
+
+        # drain 1
+        feats([(1, 2.35, 48.86), (2, 151.2, -33.9)]).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 8).parquet(src)
+        )
+        strm.stream_tile_maintenance(stream, store, ckpt, z).awaitTermination(120)
+        got = tile_map(spark.read.parquet(f"{store}/tiles"))
+        want = tile_map(vector_tiles(spark.read.parquet(f"{store}/features"), z))
+        assert got == want and len(got) == 2
+
+        # drain 2: one new tile (Moscow) + one into an existing tile (Paris)
+        feats([(3, 37.6, 55.75), (4, 2.36, 48.87)]).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 8).parquet(src)
+        )
+        strm.stream_tile_maintenance(stream, store, ckpt, z).awaitTermination(120)
+        got = tile_map(spark.read.parquet(f"{store}/tiles"))
+        all_feats = spark.read.parquet(f"{store}/features")
+        assert all_feats.count() == 4
+        want = tile_map(vector_tiles(all_feats, z))
+        assert got == want and len(got) == 3
