@@ -5,10 +5,14 @@
                       SURVEY.md §2 (+ north_rule spatial ops + webtext
                       training-data ops), each over the driver's
                       testdata tables.
-``oracle_sql()``    — DuckDB twins. Omitted keys (sketches, cell ids,
-                      georender encoding) are non-SQL-expressible and
-                      get the driver's rows-only check; their exact
-                      semantics are covered by pytest goldens instead.
+``oracle_sql()``    — DuckDB twins for 44 of 46 queries, including the
+                      S2 Hilbert pipeline, MinHash+LSH, SimHash, and
+                      rolling-hash kernels re-expressed in exact
+                      HUGEINT/epsilon-safe SQL. The two omitted keys:
+                      georender_features (binary payload md5 — covered
+                      by byte-exact pytest goldens) and ann_lsh_topk
+                      (approximate by design — covered by a recall≥0.9
+                      bound vs the exact oracle in pytest).
 
 Cross-engine determinism rules used throughout:
 - derived geo points use pure int64 LCG arithmetic then /1e6 (bit-equal
