@@ -95,23 +95,31 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate pairs sharing ≥1 LSH band, scored by signature-equality
     Jaccard estimate, filtered at ``threshold``. Returns
-    (doc_a, doc_b, est_jaccard) with doc_a < doc_b."""
-    sigs = with_minhash(docs, cfg, id_col, text_col)
+    (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
+
+    Shuffle shape: the banded self-join carries (doc id, band) ONLY —
+    at 128 perms × 8 B the full signature is ~1-2 kB/row/side, so
+    joining ids first and re-attaching signatures by id afterwards
+    halves the band-join shuffle bytes (the candidate set is orders of
+    magnitude smaller than the banded table). The signature table is
+    materialized once (eager localCheckpoint) so the MinHash UDF does
+    not recompute for the band explode and both re-attach sides; its
+    blocks are released by the ContextCleaner when the plan is GC'd
+    (no session-lifetime persist)."""
+    sigs = with_minhash(docs, cfg, id_col, text_col).localCheckpoint(eager=True)
     banded = sigs.select(
         F.col(id_col).alias("doc"),
-        "minhash",
         F.posexplode(_bands_udf(cfg.minhash_bands)("minhash")).alias("band_idx", "band_hash"),
     )
-    a = banded.select(
-        F.col("doc").alias("doc_a"), F.col("minhash").alias("sig_a"), "band_idx", "band_hash"
-    )
-    b = banded.select(
-        F.col("doc").alias("doc_b"), F.col("minhash").alias("sig_b"), "band_idx", "band_hash"
-    )
+    a = banded.select(F.col("doc").alias("doc_a"), "band_idx", "band_hash")
+    b = banded.select(F.col("doc").alias("doc_b"), "band_idx", "band_hash")
     pairs = (
         a.join(b, ["band_idx", "band_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+        .join(sigs.select(F.col(id_col).alias("doc_a"), F.col("minhash").alias("sig_a")), "doc_a")
+        .join(sigs.select(F.col(id_col).alias("doc_b"), F.col("minhash").alias("sig_b")), "doc_b")
     )
     # count of equal signature positions / k = Jaccard estimate
     eq_count = F.aggregate(
@@ -253,8 +261,13 @@ def ngram_jaccard_pairs(
     ).where(F.size("grams") > 0)
     # the gram table feeds four consumers (df counts, ranking, and both
     # sides of the verify join) — materialize once instead of
-    # recomputing the kernel per consumer
-    docs_g = docs_g.persist()
+    # recomputing the kernel per consumer. Eager localCheckpoint rather
+    # than persist(): blocks are freed by the ContextCleaner once the
+    # returned plan is GC'd, so repeated calls (bench loops, incremental
+    # runs) don't leak cached blocks for the SparkSession lifetime.
+    # (On a multi-node cluster prefer a reliable checkpoint dir — local
+    # checkpoint blocks die with their executor.)
+    docs_g = docs_g.localCheckpoint(eager=True)
     g = docs_g.select("doc", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram"))
 
     # global gram order: ascending document frequency, gram as tiebreak

@@ -130,11 +130,6 @@ _FE_STRUCT = StructType([
 ])
 
 
-def _null_fe(fts: list, outs: list) -> None:
-    fts.append(None)
-    outs.append(None)
-
-
 @F.pandas_udf(_FE_STRUCT)
 def _encode_point_udf(
     osm_id: pd.Series, lon: pd.Series, lat: pd.Series,
@@ -216,40 +211,60 @@ def _encode_point_udf(
     return pd.DataFrame({"feature_type": ft_out, "encoded": outs})
 
 
+def _classify_series(k: pd.Series, v: pd.Series) -> "pd.Series":
+    """Vectorized F1 over pre-extracted (key, value) pairs — the same
+    Series.map path as the node branch; semantics identical to
+    tg.classify_kv for every reachable input (a present priority key
+    always has a non-null value, so the null cases coincide)."""
+    ids = tg.type_ids()
+    ft = (k + "." + v.fillna("\x00")).map(ids)
+    return ft.fillna((k + ".other").map(ids)).fillna(tg.place_other_id()).astype("int64")
+
+
 @F.pandas_udf(_FE_STRUCT)
 def _encode_way_udf(
     way_id: pd.Series, is_area_s: pd.Series, closed_s: pd.Series,
     xs: pd.Series, ys: pd.Series,
     k: pd.Series, v: pd.Series, name: pd.Series,
 ) -> pd.DataFrame:
+    import numpy as np
+
     po = tg.place_other_id()
-    fts: list = []
-    outs: list = []
-    for i, is_area, closed, x_arr, y_arr, kk, vv, nm in zip(
-        way_id, is_area_s, closed_s, xs, ys, k, v, name
-    ):
+    n_rows = len(way_id)
+    # F1/F2 hoisted out of the per-feature loop: classification is one
+    # vectorized dict map, and dropped rows (place.other) never reach
+    # the earcut/varint encode path at all.
+    ft = _classify_series(k, v)
+    ft_np = ft.to_numpy()
+    keep = ft_np != po
+    outs: list = [None] * n_rows
+    ok = np.zeros(n_rows, dtype=bool)
+    wid = way_id.to_numpy()
+    area_np = is_area_s.to_numpy()
+    closed_np = closed_s.to_numpy()
+    names = name.to_numpy(dtype=object)
+    for i in np.nonzero(keep)[0]:
         try:
-            ft = tg.classify_kv(kk, vv)
-            if ft == po:
-                _null_fe(fts, outs)
-                continue
-            fid = gr.feature_id(int(i), gr.KIND_WAY)
-            labels = gr.pack_labels(nm)
+            fid = gr.feature_id(int(wid[i]), gr.KIND_WAY)
+            labels = gr.pack_labels(names[i])
+            x_arr = xs.iloc[i]
+            y_arr = ys.iloc[i]
             n = len(x_arr)
             pos = [0.0] * (2 * n)
-            pos[0::2] = [float(v) for v in x_arr]
-            pos[1::2] = [float(v) for v in y_arr]
-            if is_area:
-                if closed and n >= 2:
+            pos[0::2] = [float(c) for c in x_arr]
+            pos[1::2] = [float(c) for c in y_arr]
+            if area_np[i]:
+                if closed_np[i] and n >= 2:
                     pos = pos[:-2]  # drop closing duplicate ref's point
                 cells = _earcut(pos, [], 2)
-                outs.append(gr.encode_area(fid, ft, pos, cells, labels))
+                outs[i] = gr.encode_area(fid, int(ft_np[i]), pos, cells, labels)
             else:
-                outs.append(gr.encode_line(fid, ft, pos, labels))
-            fts.append(ft)
+                outs[i] = gr.encode_line(fid, int(ft_np[i]), pos, labels)
+            ok[i] = True
         except Exception:  # F9
-            _null_fe(fts, outs)
-    return pd.DataFrame({"feature_type": pd.array(fts, dtype="Int32"), "encoded": outs})
+            pass
+    ft_out = ft.astype("Int32").mask(~pd.Series(ok, index=ft.index))
+    return pd.DataFrame({"feature_type": ft_out, "encoded": outs})
 
 
 @F.pandas_udf(_FE_STRUCT)
@@ -262,19 +277,26 @@ def _encode_relation_udf(
     ring_closed: pd.Series,
     k: pd.Series, v: pd.Series, name: pd.Series,
 ) -> pd.DataFrame:
+    import numpy as np
+
     po = tg.place_other_id()
-    fts: list = []
-    outs: list = []
-    for i, x_arr, y_arr, lens, roles, closed, kk, vv, nm in zip(
-        rel_id, xs, ys, ring_lens, ring_roles, ring_closed, k, v, name
-    ):
+    n_rows = len(rel_id)
+    ft_s = _classify_series(k, v)
+    ft_np = ft_s.to_numpy()
+    keep = ft_np != po
+    outs: list = [None] * n_rows
+    ok = np.zeros(n_rows, dtype=bool)
+    rid = rel_id.to_numpy()
+    names = name.to_numpy(dtype=object)
+    for i in np.nonzero(keep)[0]:
         try:
-            ft = tg.classify_kv(kk, vv)
-            if ft == po:
-                _null_fe(fts, outs)
-                continue
-            fid = gr.feature_id(int(i), gr.KIND_RELATION)
-            labels = gr.pack_labels(nm)
+            x_arr = xs.iloc[i]
+            y_arr = ys.iloc[i]
+            lens = ring_lens.iloc[i]
+            roles = ring_roles.iloc[i]
+            closed = ring_closed.iloc[i]
+            fid = gr.feature_id(int(rid[i]), gr.KIND_RELATION)
+            labels = gr.pack_labels(names[i])
             pos: list[float] = []
             holes: list[int] = []
             off = 0
@@ -294,11 +316,12 @@ def _encode_relation_udf(
                     pos.append(float(vx))
                     pos.append(float(vy))
             cells = _earcut(pos, holes, 2)
-            outs.append(gr.encode_area(fid, ft, pos, cells, labels))
-            fts.append(ft)
+            outs[i] = gr.encode_area(fid, int(ft_np[i]), pos, cells, labels)
+            ok[i] = True
         except Exception:  # F9
-            _null_fe(fts, outs)
-    return pd.DataFrame({"feature_type": pd.array(fts, dtype="Int32"), "encoded": outs})
+            pass
+    ft_out = ft_s.astype("Int32").mask(~pd.Series(ok, index=ft_s.index))
+    return pd.DataFrame({"feature_type": ft_out, "encoded": outs})
 
 
 # ------------------------------------------------------------- pipelines

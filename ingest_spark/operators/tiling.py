@@ -433,14 +433,15 @@ def raster_to_vector(rasters: DataFrame) -> DataFrame:
     def _vectorize(it):
         for pdf in it:
             rows = {"tile_z": [], "tile_x": [], "tile_y": [], "lon": [], "lat": [], "count": []}
-            for _, r in pdf.iterrows():
-                px = int(r["px"])
-                n = float(2 ** int(r["tile_z"]))
-                grid = np.frombuffer(bytes(r["grid"]), dtype="<u4").reshape(px, px)
+            cols = (pdf[c].to_numpy() for c in ("tile_z", "tile_x", "tile_y", "px", "grid"))
+            for tz, tx_v, ty_v, px_v, grid_b in zip(*cols):
+                px = int(px_v)
+                n = float(2 ** int(tz))
+                grid = np.frombuffer(bytes(grid_b), dtype="<u4").reshape(px, px)
                 ys, xs = np.nonzero(grid)
                 if len(ys) == 0:
                     continue
-                tx, ty = int(r["tile_x"]), int(r["tile_y"])
+                tx, ty = int(tx_v), int(ty_v)
                 lon0 = tx / n * 360.0 - 180.0
                 lon1 = (tx + 1) / n * 360.0 - 180.0
 
@@ -452,7 +453,7 @@ def raster_to_vector(rasters: DataFrame) -> DataFrame:
                 lat0 = merc_lat(ty + 1)
                 lon = lon0 + (xs + 0.5) / px * (lon1 - lon0)
                 lat = lat0 + (ys + 0.5) / px * (lat1 - lat0)
-                rows["tile_z"].extend([int(r["tile_z"])] * len(ys))
+                rows["tile_z"].extend([int(tz)] * len(ys))
                 rows["tile_x"].extend([tx] * len(ys))
                 rows["tile_y"].extend([ty] * len(ys))
                 rows["lon"].extend(lon.tolist())
