@@ -22,6 +22,12 @@ class EngineConfig:
     # src/divide.rs:10
     bucket_max_records: int = 50_000
     divide_depth_limit: int = 30
+    # max rows a single Python worker may materialize as one pandas
+    # group during the quadtree optimize pass; grid cells over this are
+    # pre-split DISTRIBUTEDLY (grid-assign rounds = the first quadtree
+    # levels) before any per-group divide runs, so worker memory is
+    # bounded regardless of data volume or grid skew
+    divide_pandas_budget: int = 2_000_000
 
     # hot-cell salting: cells whose row count exceeds
     # `bucket_max_records` get `ceil(count / bucket_max_records)` salts

@@ -284,6 +284,13 @@ except ImportError:
     _HAVE_H3 = False
 
 
+def use_real_h3() -> bool:
+    """True when the genuine-H3 gate is active (SPARK_GRAFT_USE_H3=1 and
+    the h3 library is importable) — callers that have a JVM-expression
+    twin of the builtin grid must fall back to the Python kernel then."""
+    return _USE_REAL_H3 and _HAVE_H3
+
+
 def hex_cell(lon, lat, res: int = 8) -> np.ndarray:
     """Public hex encoder; genuine H3 when available+enabled, else the
     deterministic builtin grid."""

@@ -50,6 +50,43 @@ def _hex_udf(res: int):
     return _u
 
 
+def hex_cell_col(lon, lat, res: int):
+    """JVM-side twin of functions.cells.hex_cell_id — the hex assignment
+    as pure Catalyst expressions (whole-stage codegen, no Python worker
+    in the hot path). Bit-exact vs the numpy kernel: identical IEEE op
+    order, and Math.rint == np.rint (both round-half-even); no
+    transcendentals involved (property-tested equal in test_cells.py).
+    Used whenever the real-H3 gate is off (real H3 needs the library,
+    which only exists Python-side)."""
+    import math as _m
+
+    size = F.lit(cell_fn.hex_edge_deg(res))
+    qf = (F.lit(_m.sqrt(3.0) / 3.0) * lon - lat / F.lit(3.0)) / size
+    rf = (F.lit(2.0 / 3.0) * lat) / size
+    sf = (-qf) - rf
+    rint = lambda c: F.call_function("rint", c)  # noqa: E731 (half-even)
+    q0, r0, s0 = rint(qf), rint(rf), rint(sf)
+    dq, dr, ds = F.abs(q0 - qf), F.abs(r0 - rf), F.abs(s0 - sf)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = (~fix_q) & (dr > ds)
+    q = F.when(fix_q, (-r0) - s0).otherwise(q0).cast("long")
+    r = F.when(fix_r, (-q0) - s0).otherwise(r0).cast("long")
+    off = F.lit(int(cell_fn._AXIAL_OFFSET)).cast("long")
+    return (
+        F.shiftleft(F.lit(int(res)).cast("long"), 56)
+        .bitwiseOR(F.shiftleft(q + off, 28))
+        .bitwiseOR(r + off)
+    )
+
+
+def _hex_col(lon, lat, res: int):
+    """Hex cell column: Catalyst expression by default, pandas UDF when
+    the real-H3 gate is on (SPARK_GRAFT_USE_H3=1 + h3 installed)."""
+    if cell_fn.use_real_h3():
+        return _hex_udf(res)(lon, lat)
+    return hex_cell_col(lon, lat, res)
+
+
 def _s2_udf(level: int):
     @F.pandas_udf(LongType())
     def _u(lon: pd.Series, lat: pd.Series) -> pd.Series:
@@ -75,7 +112,7 @@ def with_cells(
         lon = ((F.col("minx") + F.col("maxx")) / 2).cast("double")
         lat = ((F.col("miny") + F.col("maxy")) / 2).cast("double")
     return features.withColumn("_lon", lon).withColumn("_lat", lat).withColumn(
-        "hex_cell", _hex_udf(cfg.hex_res)("_lon", "_lat")
+        "hex_cell", _hex_col(F.col("_lon"), F.col("_lat"), cfg.hex_res)
     ).withColumn("s2_cell", _s2_udf(cfg.s2_level)("_lon", "_lat")).drop("_lon", "_lat")
 
 
@@ -195,6 +232,16 @@ def _ring_cells_udf(res: int, ring: int):
     return _u
 
 
+def _ring_cells_pair_udf(res: int):
+    """k_ring with a per-row ring radius (per-query adaptive seeding)."""
+    @F.pandas_udf(ArrayType(LongType()))
+    def _u(cell: pd.Series, ring: pd.Series) -> pd.Series:
+        return pd.Series(
+            [cell_fn.hex_k_ring(int(c), int(r)) for c, r in zip(cell, ring)]
+        )
+    return _u
+
+
 def knn_join(
     points: DataFrame,
     queries: DataFrame,
@@ -213,21 +260,34 @@ def knn_join(
     once and each query touches only 1+3R(R+1) cells; the driver loop
     runs O(log) rounds. Stragglers (sparse regions) fall back to a
     broadcast brute-force pass over the remaining queries only.
+
+    Ring seeding is PER QUERY from the query cell's own point count
+    (one narrow two-column shuffle of the point table): a clustered
+    query starts at ring 1, a sparse one jumps ahead — no global
+    density estimate to overshoot on skewed data, and the first
+    explode stays bounded by the seed cap. Per-round top-k caches are
+    released before returning (the result is materialized once via an
+    eager localCheckpoint, so the union over rounds never recomputes
+    unpersisted data).
     """
-    spark = points.sparkSession
     edge = cell_fn.hex_edge_deg(res)
 
+    # The projected 4-column point table is consumed once per round
+    # (candidate join) plus once by the cell-count seed — persist it for
+    # the loop's lifetime (MEMORY_AND_DISK default: spills, never OOMs)
+    # so the cell-assignment UDF and upstream scan run exactly once;
+    # released with the round caches before returning.
     pts = points.select(
         F.col(point_id).alias("_pid"),
         F.col("lon").cast("double").alias("_px"),
         F.col("lat").cast("double").alias("_py"),
-    ).withColumn("_pcell", _hex_udf(res)("_px", "_py"))
+    ).withColumn("_pcell", _hex_col(F.col("_px"), F.col("_py"), res)).persist()
 
     qs = queries.select(
         F.col(query_id).alias("_qid"),
         F.col("lon").cast("double").alias("_qx"),
         F.col("lat").cast("double").alias("_qy"),
-    ).withColumn("_qcell", _hex_udf(res)("_qx", "_qy"))
+    ).withColumn("_qcell", _hex_col(F.col("_qx"), F.col("_qy"), res))
 
     def _topk(cand: DataFrame) -> DataFrame:
         d2 = (F.col("_px") - F.col("_qx")) ** 2 + (F.col("_py") - F.col("_qy")) ** 2
@@ -240,68 +300,114 @@ def knn_join(
             .where(F.col("rank") <= k)
         )
 
-    # Seed the first ring from a global density estimate (one cheap agg
-    # over the point table): the smallest R whose k_ring covers an
-    # expected ~3k candidates. Saves the early driver rounds that a
-    # fixed ring=1 start walks through on sparse data; correctness is
-    # unaffected — the distance guarantee still gates every answer and
-    # unresolved queries keep expanding.
-    stats = pts.agg(
-        F.count("*").alias("n"),
-        (F.max("_px") - F.min("_px")).alias("dx"),
-        (F.max("_py") - F.min("_py")).alias("dy"),
+    # Per-query ring seed from the query cell's own point count: the
+    # goal is resolving in ONE round (every driver round is a full job),
+    # so invert the guarantee itself. At local density d = local_cn /
+    # cell_area the expected kth-NN radius is r_k = sqrt(k/(pi*d)) =
+    # edge*sqrt(1.5*sqrt(3)*k/(pi*local_cn)); the round resolves when
+    # edge*(1.5(R+1)-2) >= r_k, i.e. R >= (r_k/edge + 2)/1.5 - 1. A
+    # 1.5x safety factor absorbs local fluctuation; the cap bounds the
+    # first explode; empty query cells (local=0) hit the cap. The
+    # guarantee gate keeps every answer exact regardless of the seed.
+    cnts = pts.groupBy("_pcell").agg(F.count("*").alias("_cn"))
+    local = F.greatest(F.coalesce(F.col("_cn"), F.lit(0)), F.lit(1)).cast("double")
+    rk = F.lit(1.5) * F.sqrt(F.lit(1.5 * math.sqrt(3.0) * k / math.pi) / local)
+    seed = F.ceil((rk + F.lit(2.0)) / F.lit(1.5) - F.lit(1.0)).cast("int")
+    seed_cap = int(min(max(cfg.knn_max_ring // 2, 1), 8))
+    remaining = (
+        qs.join(cnts.withColumnRenamed("_pcell", "_qcell"), "_qcell", "left")
+        .withColumn("_ring", F.least(F.greatest(seed, F.lit(1)), F.lit(seed_cap)))
+        .drop("_cn")
+    )
+
+    max_ring = cfg.knn_max_ring
+
+    # Two passes, ONE job — no driver round loop (every round trip is a
+    # full Spark job; the loop was the measured cost, not the data):
+    #
+    # Pass 1 probes the seeded rings. The distance guarantee: any point
+    # outside rings 0..R sits in a cell at hex distance >= R+1; on this
+    # pointy-top grid the minimum center spacing at hex distance m is
+    # 1.5*m*edge (the diagonal direction — NOT sqrt(3)*m, which only
+    # holds along the straight axes); subtract one circumradius (=edge)
+    # each for the query's and the point's offset from their cell
+    # centers. Verified against adversarial layouts in test_spatial.py.
+    #
+    # Pass 2 is PROVABLY terminal for every query that found >= k
+    # candidates: its pass-1 kth distance upper-bounds the true kth
+    # (subset top-k >= global top-k), so the ring R2 with
+    # guarantee(R2) >= kth_1 satisfies kth_2 <= kth_1 <= guarantee(R2)
+    # — no re-check needed. Queries with < k pass-1 candidates (near-
+    # empty regions) or R2 > knn_max_ring fall back to an exact
+    # brute-force pass over just those queries.
+    def _guar(ring_col):
+        return F.lit(edge) * (F.lit(1.5) * (ring_col + 1) - F.lit(2.0))
+
+    def _probe(qdf: DataFrame) -> DataFrame:
+        exp = qdf.withColumn(
+            "_cells", _ring_cells_pair_udf(res)("_qcell", "_ring")
+        ).select("_qid", "_qx", "_qy", "_ring", F.explode("_cells").alias("_pcell"))
+        return _topk(exp.join(pts, "_pcell", "inner"))
+
+    topk1 = _probe(remaining).cache()
+    stat1 = topk1.groupBy("_qid").agg(
+        F.count("*").alias("_n1"), F.max("dist").alias("_kth1")
+    )
+    st = remaining.join(stat1, "_qid", "left").withColumn(
+        "_n1", F.coalesce("_n1", F.lit(0))
+    ).cache()
+    resolved = (F.col("_n1") == k) & (F.col("_kth1") <= _guar(F.col("_ring")))
+    need_ring = F.greatest(
+        F.ceil(
+            (F.col("_kth1") / F.lit(edge) + F.lit(2.0)) / F.lit(1.5) - F.lit(1.0)
+        ).cast("int"),
+        F.col("_ring") + 1,
+    )
+    is_pass2 = (~resolved) & (F.col("_n1") == k) & (need_ring <= max_ring)
+    is_brute = (~resolved) & ((F.col("_n1") < k) | (need_ring > max_ring))
+    # one tiny driver aggregate decides which branches exist, so the
+    # common all-resolved-in-pass-1 case pays exactly two jobs total
+    # (this stat + the final materialization) and no pass-2/brute plans
+    tri = st.agg(
+        F.sum(F.when(resolved, 1).otherwise(0)).alias("nres"),
+        F.sum(F.when(is_pass2, 1).otherwise(0)).alias("np2"),
+        F.sum(F.when(is_brute, 1).otherwise(0)).alias("nbr"),
     ).first()
-    ring = 1
-    if stats and stats.n and stats.dx and stats.dy:
-        area = float(stats.dx) * float(stats.dy)
-        cell_area = 1.5 * math.sqrt(3.0) * edge * edge  # hex area
-        density = stats.n / area if area > 0 else float("inf")
-        per_cell = max(density * cell_area, 1e-12)
-        need_cells = 3.0 * k / per_cell
-        while ring < cfg.knn_max_ring / 2 and 1 + 3 * ring * (ring + 1) < need_cells:
-            ring *= 2
 
-    result = None
-    remaining = qs
-    while ring <= cfg.knn_max_ring:
-        exp = remaining.withColumn(
-            "_cells", _ring_cells_udf(res, ring)("_qcell")
-        ).select("_qid", "_qx", "_qy", F.explode("_cells").alias("_pcell"))
-        cand = exp.join(pts, "_pcell", "inner")
-        topk = _topk(cand).cache()
-
-        # Any point outside rings 0..R sits in a cell at hex distance
-        # >= R+1; on this pointy-top grid the minimum center spacing at
-        # hex distance m is 1.5*m*edge (the diagonal direction — NOT
-        # sqrt(3)*m, which only holds along the straight axes). Subtract
-        # one circumradius (= edge) each for the query's and the point's
-        # offset from their cell centers. Verified numerically against
-        # adversarial layouts for R = 1, 2, 4 (test_spatial.py).
-        guarantee = edge * (1.5 * (ring + 1) - 2.0)
-        counts = topk.groupBy("_qid").agg(
-            F.count("*").alias("_n"), F.max("dist").alias("_kth")
+    parts: list[DataFrame] = []
+    if tri["np2"] == 0 and tri["nbr"] == 0:
+        parts.append(topk1.select("_qid", "_pid", "dist", "rank"))
+    elif tri["nres"] > 0:
+        parts.append(
+            topk1.join(st.where(resolved).select("_qid"), "_qid", "inner").select(
+                "_qid", "_pid", "dist", "rank"
+            )
         )
-        done_q = counts.where((F.col("_n") == k) & (F.col("_kth") <= guarantee))
-        done = topk.join(done_q.select("_qid"), "_qid", "inner").select(
-            "_qid", "_pid", "dist", "rank"
+    if tri["np2"] > 0:
+        pass2_q = st.where(is_pass2).select(
+            "_qid", "_qx", "_qy", "_qcell", need_ring.alias("_ring")
         )
-        result = done if result is None else result.unionByName(done)
-        remaining = remaining.join(done_q.select("_qid"), "_qid", "left_anti")
-        if remaining.isEmpty():
-            break
-        ring *= 2
-    else:
-        # brute force the stragglers: cross join remaining × points
-        cand = remaining.crossJoin(pts)
-        bf = _topk(cand).select("_qid", "_pid", "dist", "rank")
-        result = bf if result is None else result.unionByName(bf)
+        parts.append(_probe(pass2_q).select("_qid", "_pid", "dist", "rank"))
+    if tri["nbr"] > 0:
+        brute_q = st.where(is_brute).select("_qid", "_qx", "_qy")
+        parts.append(_topk(brute_q.crossJoin(pts)).select("_qid", "_pid", "dist", "rank"))
 
-    return result.select(
+    result = parts[0]
+    for p in parts[1:]:
+        result = result.unionByName(p)
+    out = result.select(
         F.col("_qid").alias(query_id),
         F.col("_pid").alias(point_id),
         "dist",
         "rank",
     )
+    # materialize once (truncating lineage), then release the caches:
+    # consumers read the checkpointed blocks, never the unpersisted plan
+    out = out.localCheckpoint(eager=True)
+    topk1.unpersist()
+    st.unpersist()
+    pts.unpersist()
+    return out
 
 
 def knn_brute_force(

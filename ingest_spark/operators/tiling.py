@@ -37,7 +37,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
-    BinaryType, DoubleType, IntegerType, LongType, StructField, StructType,
+    BinaryType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
 )
 
 from ..config import DEFAULT, EngineConfig
@@ -67,22 +68,46 @@ def overlap_area(
     return np.where(is_scalar, scalar_in.astype(np.float32), interval_area)
 
 
+def _child_boxes(qx0, qy0, qx1, qy1):
+    """The 2×2 child boxes of a node, iy-major/ix-minor, with the exact
+    f32 arithmetic of the reference grid generator (src/divide.rs:26-41).
+    Accepts f32 scalars OR per-row f32 arrays (elementwise IEEE single
+    ops are identical either way). Returns (boxes, span_x, span_y)."""
+    span_x = qx1 - qx0
+    span_y = qy1 - qy0
+    out = []
+    for iy in range(2):
+        for ix in range(2):
+            bx0 = np.float32(ix / 2) * span_x + qx0
+            by0 = np.float32(iy / 2) * span_y + qy0
+            bx1 = np.float32((ix + 1.0) / 2) * span_x + qx0
+            by1 = np.float32((iy + 1.0) / 2) * span_y + qy0
+            out.append((bx0, by0, bx1, by1))
+    return out, span_x, span_y
+
+
 def divide(
     n: int,
     bbox: tuple[float, float, float, float],
     minx: np.ndarray, miny: np.ndarray, maxx: np.ndarray, maxy: np.ndarray,
     is_scalar: np.ndarray,
     depth_limit: int = 30,
+    return_paths: bool = False,
 ):
     """Exact port of the reference ``divide`` (src/divide.rs:9-72).
 
     Returns list of (bbox(f32 4-tuple), row-index ndarray), in the same
     emission order as the reference (BFS, children iy-major/ix-minor).
+    With ``return_paths=True`` each entry is (bbox, idx, path) — path is
+    the child-digit string from this root ('' = root leaf), the key the
+    distributed optimize pass uses to renumber buckets in global
+    emission order.
     """
     N = len(minx)
     all_idx = np.arange(N)
     if N <= n:
-        return [(tuple(np.float32(v) for v in bbox), all_idx)]
+        root = (tuple(np.float32(v) for v in bbox), all_idx)
+        return [root + ("",)] if return_paths else [root]
 
     minx = np.asarray(minx, dtype=np.float32)
     miny = np.asarray(miny, dtype=np.float32)
@@ -90,24 +115,15 @@ def divide(
     maxy = np.asarray(maxy, dtype=np.float32)
     is_scalar = np.asarray(is_scalar, dtype=bool)
 
-    nx, ny = 2, 2
     res = []
     queue = deque()
-    queue.append((0, tuple(np.float32(v) for v in bbox), all_idx))
+    queue.append((0, tuple(np.float32(v) for v in bbox), all_idx, ""))
     while queue:
-        depth, (qx0, qy0, qx1, qy1), idx = queue.popleft()
+        depth, (qx0, qy0, qx1, qy1), idx, path = queue.popleft()
         if len(idx) == 0:
             continue
-        span_x = np.float32(qx1 - qx0)
-        span_y = np.float32(qy1 - qy0)
-        boxes = []
-        for iy in range(ny):
-            for ix in range(nx):
-                bx0 = np.float32(np.float32(ix / nx) * span_x + qx0)
-                by0 = np.float32(np.float32(iy / ny) * span_y + qy0)
-                bx1 = np.float32(np.float32((ix + 1.0) / nx) * span_x + qx0)
-                by1 = np.float32(np.float32((iy + 1.0) / ny) * span_y + qy0)
-                boxes.append((bx0, by0, bx1, by1))
+        sx0, sy0, sx1, sy1 = (np.float32(v) for v in (qx0, qy0, qx1, qy1))
+        boxes, span_x, span_y = _child_boxes(sx0, sy0, sx1, sy1)
 
         # strict `>` best with first-index start (0.0, 0)
         best_area = np.zeros(len(idx), dtype=np.float32)
@@ -125,10 +141,11 @@ def divide(
         for j, bb in enumerate(boxes):
             cidx = idx[best_j == j]
             cn = len(cidx)
+            cpath = path + str(j)
             if cn == 0:
                 continue
             if cn <= n:
-                res.append((bb, cidx))
+                res.append((bb, cidx, cpath))
             elif cn == q_len:
                 span_ge = (
                     (~is_scalar[cidx])
@@ -138,14 +155,14 @@ def divide(
                     )
                 )
                 if span_ge.all() or depth + 1 >= depth_limit:
-                    res.append((bb, cidx))
+                    res.append((bb, cidx, cpath))
                 else:
-                    queue.append((depth + 1, bb, cidx))
+                    queue.append((depth + 1, bb, cidx, cpath))
             elif depth + 1 >= depth_limit:
-                res.append((bb, cidx))
+                res.append((bb, cidx, cpath))
             else:
-                queue.append((depth + 1, bb, cidx))
-    return res
+                queue.append((depth + 1, bb, cidx, cpath))
+    return res if return_paths else [(bb, idx) for bb, idx, _ in res]
 
 
 # -------------------------------------------- distributed quadtree job
@@ -205,35 +222,60 @@ def assign_grid_cell(
     )
 
 
-def quadtree_partition(
-    features: DataFrame,
-    cfg: EngineConfig = DEFAULT,
-    gx: int = 4,
-    gy: int = 4,
-    bucket_max: int | None = None,
-) -> DataFrame:
-    """The optimize pass: grid assign → per-cell quadtree divide →
-    (grid_cell, bucket, bucket bbox) per feature. Bucket numbering is
-    the reference's emission order within each grid cell."""
-    n = bucket_max or cfg.bucket_max_records
-    bounds = global_bounds(features)
-    boxes = _grid_boxes(bounds, gx, gy)
-    with_cell = assign_grid_cell(features, bounds, gx, gy)
+def _emission_order(leaf_paths) -> dict[str, int]:
+    """Bucket numbers for a set of quadtree leaf paths, in the exact
+    emission order of the reference BFS (src/divide.rs:9-72): nodes pop
+    FIFO; children 0..3 either emit (leaf) or enqueue (internal =
+    proper prefix of some leaf). Replaying from paths alone lets the
+    distributed pass number buckets identically to the single-worker
+    ``divide`` without ever co-locating a cell's rows."""
+    leafset = set(leaf_paths)
+    if "" in leafset:
+        return {"": 0}
+    internal = set()
+    for p in leafset:
+        for i in range(len(p)):
+            internal.add(p[:i])
+    order: dict[str, int] = {}
+    queue = deque([""])
+    nxt = 0
+    while queue:
+        node = queue.popleft()
+        for j in "0123":
+            c = node + j
+            if c in leafset:
+                order[c] = nxt
+                nxt += 1
+            elif c in internal:
+                queue.append(c)
+    return order
 
-    out_schema = StructType(
-        with_cell.schema.fields
-        + [
-            StructField("bucket", IntegerType(), False),
-            StructField("bminx", DoubleType(), False),
-            StructField("bminy", DoubleType(), False),
-            StructField("bmaxx", DoubleType(), False),
-            StructField("bmaxy", DoubleType(), False),
-        ]
-    )
-    depth_limit = cfg.divide_depth_limit
+
+_QT_OUT_EXTRA = [
+    StructField("bucket", IntegerType(), False),
+    StructField("bminx", DoubleType(), False),
+    StructField("bminy", DoubleType(), False),
+    StructField("bmaxx", DoubleType(), False),
+    StructField("bmaxy", DoubleType(), False),
+]
+
+
+def _divide_cells_in_pandas(
+    with_cell: DataFrame, boxes, n: int, depth_limit: int, budget: int
+) -> DataFrame:
+    """Per-grid-cell ``divide`` under applyInPandas — correct whenever a
+    cell fits one worker; the group-size guard makes a budget violation
+    a hard error instead of a silent OOM risk."""
+    out_schema = StructType(with_cell.schema.fields + _QT_OUT_EXTRA)
 
     def _divide_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
         cell = int(key[0])
+        if len(pdf) > budget:
+            raise RuntimeError(
+                f"quadtree grid cell {cell} materialized {len(pdf)} rows "
+                f"> pandas budget {budget}; the planner must route this "
+                "cell through the distributed pre-split"
+            )
         bb = boxes[cell]
         buckets = divide(
             n,
@@ -260,6 +302,364 @@ def quadtree_partition(
         return pdf
 
     return with_cell.groupBy("grid_cell").applyInPandas(_divide_cell, out_schema)
+
+
+def _descend_udf(node_map: dict, levels: int):
+    """Phase-A kernel: descend ``levels`` quadtree levels from each
+    row's current node (broadcast map "cell:path" → (f32 box, depth)),
+    with the exact f32 child boxes / strict-> max-overlap of ``divide``.
+    Returns per row the child-digit suffix plus the per-level span-ge
+    bit (computed against the PARENT span, as src/divide.rs:56-63
+    requires) so the driver can apply every termination rule from
+    aggregates alone."""
+    from pyspark.sql.types import ArrayType, BooleanType, StringType
+
+    schema = StructType([
+        StructField("suffix", StringType(), False),
+        StructField("sg", ArrayType(BooleanType()), False),
+    ])
+
+    @F.pandas_udf(schema)
+    def _u(
+        cell: pd.Series, path: pd.Series,
+        minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series,
+        kind: pd.Series,
+    ) -> pd.DataFrame:
+        n_rows = len(cell)
+        mnx = minx.to_numpy(dtype=np.float64).astype(np.float32)
+        mny = miny.to_numpy(dtype=np.float64).astype(np.float32)
+        mxx = maxx.to_numpy(dtype=np.float64).astype(np.float32)
+        mxy = maxy.to_numpy(dtype=np.float64).astype(np.float32)
+        scal = kind.to_numpy() == 0
+        bx0 = np.empty(n_rows, dtype=np.float32)
+        by0 = np.empty(n_rows, dtype=np.float32)
+        bx1 = np.empty(n_rows, dtype=np.float32)
+        by1 = np.empty(n_rows, dtype=np.float32)
+        cells = cell.to_numpy()
+        paths = path.to_numpy(dtype=object)
+        for i in range(n_rows):
+            box, _d = node_map[f"{cells[i]}:{paths[i]}"]
+            bx0[i], by0[i], bx1[i], by1[i] = box
+        digs = np.zeros((n_rows, levels), dtype=np.int8)
+        sgs = np.zeros((n_rows, levels), dtype=bool)
+        for level in range(levels):
+            span_x = bx1 - bx0
+            span_y = by1 - by0
+            sgs[:, level] = (~scal) & (
+                ((mxx - mnx) > span_x) | ((mxy - mny) > span_y)
+            )
+            children, _sx, _sy = _child_boxes(bx0, by0, bx1, by1)
+            best = np.zeros(n_rows, dtype=np.float32)
+            bj = np.zeros(n_rows, dtype=np.int8)
+            for j, (cx0, cy0, cx1, cy1) in enumerate(children):
+                area = overlap_area(cx0, cy0, cx1, cy1, mnx, mny, mxx, mxy, scal)
+                better = area > best
+                bj[better] = j
+                best[better] = area[better]
+            digs[:, level] = bj
+            stack = np.stack([c for c in children], axis=0)  # (4, 4, n)
+            sel = stack[bj, :, np.arange(n_rows)]  # (n, 4)
+            bx0, by0, bx1, by1 = sel[:, 0], sel[:, 1], sel[:, 2], sel[:, 3]
+        sufs = [bytes(row + 48).decode("ascii") for row in digs.astype(np.uint8)]
+        return pd.DataFrame({"suffix": sufs, "sg": [r.tolist() for r in sgs]})
+
+    return _u
+
+
+def _node_tag_udf(decided: dict):
+    """Map a row's (cell, overshoot path) to its decided node: the
+    unique leaf/divide prefix recorded by phase A. ``decided``:
+    cell → {path: is_leaf}; depths per cell are few, so prefix lookup
+    tries each decided depth."""
+    from pyspark.sql.types import BooleanType, StringType, StructType as _St
+
+    schema = _St([
+        StructField("node", StringType(), False),
+        StructField("is_leaf", BooleanType(), False),
+    ])
+    depths = {c: sorted({len(p) for p in m}) for c, m in decided.items()}
+
+    @F.pandas_udf(schema)
+    def _u(cell: pd.Series, path: pd.Series) -> pd.DataFrame:
+        nodes = []
+        leaf = []
+        for c, p in zip(cell.to_numpy(), path.to_numpy(dtype=object)):
+            m = decided[int(c)]
+            for d in depths[int(c)]:
+                node = p[:d]
+                hit = m.get(node)
+                if hit is not None:
+                    nodes.append(node)
+                    leaf.append(hit)
+                    break
+            else:  # pragma: no cover - phase A guarantees a prefix
+                raise RuntimeError(f"no decided prefix for cell {c} path {p!r}")
+        return pd.DataFrame({"node": nodes, "is_leaf": leaf})
+
+    return _u
+
+
+def quadtree_partition(
+    features: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    gx: int = 4,
+    gy: int = 4,
+    bucket_max: int | None = None,
+    pandas_budget: int | None = None,
+) -> DataFrame:
+    """The optimize pass: grid assign → quadtree divide →
+    (grid_cell, bucket, bucket bbox) per feature. Bucket numbering is
+    the reference's emission order within each grid cell.
+
+    Scale shape (the reference bounds this with recursive streaming
+    re-query, src/lib.rs:463-526; a fixed per-cell applyInPandas would
+    materialize 1/(gx·gy) of the dataset in ONE Python worker): grid
+    cells over ``pandas_budget`` rows are pre-split DISTRIBUTEDLY —
+    each driver round descends K quadtree levels as a map-side kernel
+    plus one small aggregate, applying divide's exact termination rules
+    (≤n leaf, span guard, depth limit) from per-node counts; only
+    sub-budget nodes ever reach a per-group ``divide`` (which raises if
+    the bound is violated). Bucket ids and bboxes are IDENTICAL to the
+    single-worker result: leaves are renumbered per cell by replaying
+    the reference BFS over leaf paths (``_emission_order``) — equality
+    is pytest-asserted (test_tiling.py, forced tiny budget).
+
+    Driver state is metadata only (node boxes/counts, leaf paths —
+    #buckets-sized, the same metadata the reference's single process
+    holds); row data never collects."""
+    n = bucket_max or cfg.bucket_max_records
+    budget = max(pandas_budget if pandas_budget is not None else cfg.divide_pandas_budget, n)
+    depth_limit = cfg.divide_depth_limit
+    bounds = global_bounds(features)
+    boxes = _grid_boxes(bounds, gx, gy)
+    with_cell = assign_grid_cell(features, bounds, gx, gy)
+
+    cell_rows = {
+        int(r["grid_cell"]): int(r["cnt"])
+        for r in with_cell.groupBy("grid_cell").agg(F.count("*").alias("cnt")).collect()
+    }
+    over = sorted(c for c, cnt in cell_rows.items() if cnt > budget)
+    if not over:
+        return _divide_cells_in_pandas(with_cell, boxes, n, depth_limit, budget)
+
+    small = with_cell.where(~F.col("grid_cell").isin(over))
+    big = with_cell.where(F.col("grid_cell").isin(over))
+    big_out = _quadtree_distributed(
+        big, boxes, {c: cell_rows[c] for c in over}, n, depth_limit, budget
+    )
+    if len(over) == len(cell_rows):
+        return big_out
+    small_out = _divide_cells_in_pandas(small, boxes, n, depth_limit, budget)
+    return small_out.unionByName(big_out)
+
+
+_QT_LEVELS_PER_ROUND = 6  # 4^6 = 4096-way fan-out per driver round
+
+
+def _quadtree_distributed(
+    big: DataFrame, boxes, over_counts: dict, n: int, depth_limit: int, budget: int
+) -> DataFrame:
+    """Distributed quadtree for over-budget grid cells (see
+    quadtree_partition docstring). Phase A: K-level descent rounds with
+    driver-side tree bookkeeping from aggregates. Phase B: per-node
+    ``divide`` on sub-budget nodes (exact reference recursion). Then
+    one emission-order renumbering join."""
+    spark = big.sparkSession
+    feature_cols = [f.name for f in big.schema.fields]
+
+    # ---- phase A: driver round loop over active (over-budget) nodes
+    def _f32box(b):
+        return tuple(np.float32(v) for v in b)
+
+    active: dict[tuple[int, str], tuple[tuple, int, int]] = {
+        (c, ""): (_f32box(boxes[c]), 0, cnt) for c, cnt in over_counts.items()
+    }
+    leaves: dict[tuple[int, str], tuple] = {}
+    phase_b: dict[tuple[int, str], tuple[tuple, int]] = {}
+
+    cur = big.withColumn("_path", F.lit(""))
+    settled_parts: list[DataFrame] = []
+    round_checkpoints: list[DataFrame] = []
+
+    while active:
+        levels = min(_QT_LEVELS_PER_ROUND, depth_limit)
+        node_map = {f"{c}:{p}": (box, d) for (c, p), (box, d, _) in active.items()}
+        stepped = cur.withColumn(
+            "_st",
+            _descend_udf(node_map, levels)(
+                "grid_cell", "_path", "minx", "miny", "maxx", "maxy", "kind"
+            ),
+        ).withColumn("_sg", F.col("_st.sg")).withColumn(
+            "_path", F.concat("_path", F.col("_st.suffix"))
+        ).drop("_st")
+        # one materialization per round: truncates lineage so round R+1
+        # never recomputes rounds 1..R (blocks freed on plan GC)
+        stepped = stepped.localCheckpoint(eager=True)
+        round_checkpoints.append(stepped)
+
+        agg = [F.count(F.lit(1)).alias("_cnt")] + [
+            F.min(F.col("_sg")[i].cast("int")).alias(f"_sg{i}") for i in range(levels)
+        ]
+        stats = stepped.groupBy("grid_cell", "_path").agg(*agg).collect()
+        by_node: dict[tuple[int, str], list] = {}
+        for r in stats:
+            by_node.setdefault((int(r["grid_cell"]), r["_path"][: -levels] or ""), []).append(r)
+
+        next_active: dict[tuple[int, str], tuple[tuple, int, int]] = {}
+
+        def _process(cell, path, box, depth, cnt, rows, level):
+            """Replay divide's per-node rules from aggregates; rows =
+            stat rows (deepest descendants) under this node."""
+            if level == levels:  # survived the whole round
+                if cnt > budget:
+                    next_active[(cell, path)] = (box, depth, cnt)
+                else:
+                    phase_b[(cell, path)] = (box, depth)
+                return
+            children, span_x, span_y = _child_boxes(*box)
+            pos = len(path)
+            groups: dict[str, list] = {"0": [], "1": [], "2": [], "3": []}
+            for r in rows:
+                groups[r["_path"][pos]].append(r)
+            for j in "0123":
+                rws = groups[j]
+                if not rws:
+                    continue
+                ccnt = sum(r["_cnt"] for r in rws)
+                cbox = tuple(np.float32(v) for v in children[int(j)])
+                cpath = path + j
+                cdepth = depth + 1
+                if ccnt <= n:
+                    leaves[(cell, cpath)] = cbox
+                elif ccnt == cnt:
+                    sg_all = all(r[f"_sg{level}"] == 1 for r in rws)
+                    if sg_all or cdepth >= depth_limit:
+                        leaves[(cell, cpath)] = cbox
+                    else:
+                        _process(cell, cpath, cbox, cdepth, ccnt, rws, level + 1)
+                elif cdepth >= depth_limit:
+                    leaves[(cell, cpath)] = cbox
+                else:
+                    _process(cell, cpath, cbox, cdepth, ccnt, rws, level + 1)
+
+        for (cell, path), (box, depth, cnt) in active.items():
+            _process(cell, path, box, depth, cnt, by_node.get((cell, path), []), 0)
+
+        active = next_active
+        if active:
+            keys = [f"{c}:{p}" for (c, p) in active]
+            key_col = F.concat(F.col("grid_cell").cast("string"), F.lit(":"), F.col("_path"))
+            settled_parts.append(stepped.where(~key_col.isin(keys)).drop("_sg"))
+            cur = stepped.where(key_col.isin(keys)).drop("_sg")
+        else:
+            settled_parts.append(stepped.drop("_sg"))
+
+    settled = settled_parts[0]
+    for p in settled_parts[1:]:
+        settled = settled.unionByName(p)
+
+    # ---- tag rows with their decided node (leaf | divide input)
+    decided: dict[int, dict[str, bool]] = {}
+    for (c, p) in leaves:
+        decided.setdefault(c, {})[p] = True
+    for (c, p) in phase_b:
+        decided.setdefault(c, {})[p] = False
+    tagged = settled.withColumn(
+        "_nd", _node_tag_udf(decided)("grid_cell", "_path")
+    ).withColumn("_node", F.col("_nd.node")).withColumn(
+        "_leafish", F.col("_nd.is_leaf")
+    ).drop("_nd", "_path")
+
+    leaf_rows = tagged.where(F.col("_leafish")).withColumnRenamed("_node", "_leaf") \
+        .drop("_leafish")
+
+    # ---- phase B: exact divide inside each sub-budget node
+    div_in = tagged.where(~F.col("_leafish")).drop("_leafish")
+    pb_schema = StructType(
+        [f for f in big.schema.fields]
+        + [
+            StructField("_leaf", StringType(), False),
+            StructField("lminx", DoubleType(), False),
+            StructField("lminy", DoubleType(), False),
+            StructField("lmaxx", DoubleType(), False),
+            StructField("lmaxy", DoubleType(), False),
+        ]
+    )
+    pb_map = {f"{c}:{p}": (box, d) for (c, p), (box, d) in phase_b.items()}
+
+    def _divide_node(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cell, node = int(key[0]), key[1]
+        box, depth = pb_map[f"{cell}:{node}"]
+        if len(pdf) > budget:
+            raise RuntimeError(
+                f"quadtree node {cell}:{node!r} materialized {len(pdf)} rows "
+                f"> pandas budget {budget}"
+            )
+        buckets = divide(
+            n,
+            tuple(float(v) for v in box),
+            pdf["minx"].to_numpy(), pdf["miny"].to_numpy(),
+            pdf["maxx"].to_numpy(), pdf["maxy"].to_numpy(),
+            pdf["kind"].to_numpy() == 0,
+            depth_limit=depth_limit - depth,
+            return_paths=True,
+        )
+        pdf = pdf.drop(columns=["_node"]).reset_index(drop=True)
+        leaf_col = np.empty(len(pdf), dtype=object)
+        bbox_cols = np.zeros((len(pdf), 4), dtype=np.float64)
+        for bbox, idx, lpath in buckets:
+            leaf_col[idx] = node + lpath
+            bbox_cols[idx, 0] = bbox[0]
+            bbox_cols[idx, 1] = bbox[1]
+            bbox_cols[idx, 2] = bbox[2]
+            bbox_cols[idx, 3] = bbox[3]
+        pdf["_leaf"] = leaf_col
+        pdf["lminx"] = bbox_cols[:, 0]
+        pdf["lminy"] = bbox_cols[:, 1]
+        pdf["lmaxx"] = bbox_cols[:, 2]
+        pdf["lmaxy"] = bbox_cols[:, 3]
+        return pdf
+
+    div_rows = div_in.groupBy("grid_cell", "_node").applyInPandas(_divide_node, pb_schema)
+    div_rows = div_rows.localCheckpoint(eager=True)  # phase-B runs once:
+    # consumed twice below (leaf metadata collect + the renumber join)
+
+    # ---- renumber leaves per cell in reference emission order
+    per_cell: dict[int, dict[str, tuple]] = {}
+    for (c, p), box in leaves.items():
+        per_cell.setdefault(c, {})[p] = tuple(float(v) for v in box)
+    for r in (
+        div_rows.select("grid_cell", "_leaf", "lminx", "lminy", "lmaxx", "lmaxy")
+        .distinct()
+        .collect()
+    ):
+        per_cell.setdefault(int(r["grid_cell"]), {})[r["_leaf"]] = (
+            r["lminx"], r["lminy"], r["lmaxx"], r["lmaxy"],
+        )
+    num_rows = []
+    for c, lp in per_cell.items():
+        order = _emission_order(lp.keys())
+        for p, b in lp.items():
+            num_rows.append((c, p, order[p], b[0], b[1], b[2], b[3]))
+    num_df = spark.createDataFrame(
+        num_rows,
+        "grid_cell int, _leaf string, bucket int, "
+        "bminx double, bminy double, bmaxx double, bmaxy double",
+    )
+
+    all_rows = leaf_rows.select(*feature_cols, "_leaf").unionByName(
+        div_rows.select(*feature_cols, "_leaf")
+    )
+    out_cols = feature_cols + ["bucket", "bminx", "bminy", "bmaxx", "bmaxy"]
+    out = all_rows.join(num_df, ["grid_cell", "_leaf"]).select(*out_cols)
+    # release phase-A round checkpoints once consumers are checkpointed
+    out = out.localCheckpoint(eager=True)
+    for ck in round_checkpoints + [div_rows]:
+        try:
+            ck.unpersist()
+        except Exception:
+            pass
+    return out
 
 
 # ------------------------------------------------------------- salting

@@ -64,6 +64,21 @@ while time.time() < t_end:
 print(it)
 '''
 
+_GEN_PAGES = r"""
+import os, sys
+sys.path.insert(0, os.environ["SPARK_GRAFT_REPO"])
+n_pages = int(sys.argv[1])
+pages_path = sys.argv[2]
+from ingest_spark.session import get_spark
+from ingest_spark.sources import pages as pages_src
+spark = get_spark(master="local[32]", shuffle_partitions=128)
+spark.sparkContext.setLogLevel("ERROR")
+if not os.path.exists(pages_path + "/_SUCCESS"):
+    pages_src.pages(spark, n_filler=n_pages).repartition(256).write.mode("overwrite").parquet(pages_path)
+print(spark.read.parquet(pages_path).count())
+spark.stop()
+"""
+
 _BUILD = r"""
 import os, sys, time
 sys.path.insert(0, os.environ["SPARK_GRAFT_REPO"])
@@ -74,15 +89,12 @@ from ingest_spark.config import EngineConfig
 from ingest_spark.operators import extract
 from ingest_spark.operators.features import build_features
 from ingest_spark.operators.spatial import with_cells
-from ingest_spark.sources import pages as pages_src
 
 spark = get_spark(master="local[32]", shuffle_partitions=128,
                   extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)})
 spark.sparkContext.setLogLevel("ERROR")
 cfg = EngineConfig()
 pages_path = "/dev/shm/_scaling_pages"
-if not os.path.exists(pages_path + "/_SUCCESS"):
-    pages_src.pages(spark, n_filler=n_pages).repartition(256).write.mode("overwrite").parquet(pages_path)
 pages = spark.read.parquet(pages_path)
 n, w, r = extract.parse_elements(pages)
 n.write.mode("overwrite").parquet("/dev/shm/_sc_n")
@@ -146,10 +158,7 @@ else:
                .sortWithinPartitions("hex_cell", "id")
                .write.mode("overwrite").parquet(f"/dev/shm/_scaling_out_{cpus}"))
 
-def read_stat():
-    with open("/proc/stat") as f:
-        p = f.readline().split()
-    return [int(x) for x in p[1:9]]  # user nice sys idle iowait irq softirq steal
+from ingest_spark.benchutil import read_proc_stat, steal_cores  # shared protocol
 
 job()  # warm-up, discarded
 runs = []
@@ -157,13 +166,13 @@ clean = 0
 attempts = 0
 while clean < n_runs and attempts < n_runs + retries:
     attempts += 1
-    s0 = read_stat(); t0 = time.time()
+    s0 = read_proc_stat(); t0 = time.time()
     job()
-    wall = time.time() - t0; s1 = read_stat()
+    wall = time.time() - t0; s1 = read_proc_stat()
     d = [(b - a) / 100.0 for a, b in zip(s0, s1)]
     rec = {
         "wall": round(wall, 3),
-        "steal_cores": round(d[7] / wall, 3),       # stolen cores avg
+        "steal_cores": round(steal_cores(s0, s1, wall), 3),
         "par": round((d[0] + d[2]) / wall, 1),      # achieved busy cores
     }
     if rec["steal_cores"] > steal_gate:
@@ -275,6 +284,11 @@ def main() -> None:
     hw_4_16 = round(r_vs[16] / r_vs[4], 3)
     print(f"hw per-core ratio 4->16: {hw_4_16}, 8->32: {hw_8_32}", file=sys.stderr)
 
+    # pages are generated independently of the feature-table build: the
+    # extract stage must work with --skip-tiling and after a partial
+    # /dev/shm cleanup (the feature table surviving while pages didn't)
+    n_pages_rows = _run(_GEN_PAGES, [str(args.pages), "/dev/shm/_scaling_pages"], repo)
+    print(f"pages table ready: {n_pages_rows} rows", file=sys.stderr)
     if not os.path.exists(feats_path + "/_SUCCESS") and not args.skip_tiling:
         n_feats = _run(_BUILD, [str(args.pages), feats_path], repo)
         print(f"built feature table: {n_feats} rows", file=sys.stderr)

@@ -111,3 +111,33 @@ class TestRealH3Gate:
         a = C.hex_cell(np.array([2.35]), np.array([48.86]), 8)
         b = C.hex_cell_id(np.array([2.35]), np.array([48.86]), 8)
         assert (a == b).all()
+
+
+class TestHexJvmExprParity:
+    """The Catalyst hex expression (operators.spatial.hex_cell_col) must
+    be BIT-EXACT vs the numpy kernel — it feeds the same oracle-checked
+    queries (cells_hex_s2, knn) the UDF path fed."""
+
+    def test_bit_exact_vs_numpy(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from ingest_spark.functions import cells
+        from ingest_spark.operators.spatial import hex_cell_col
+
+        rng = np.random.default_rng(42)
+        lon = rng.uniform(-180, 180, 5000)
+        lat = rng.uniform(-90, 90, 5000)
+        # adversarial: cell-boundary-ish points (axial coords near .5)
+        lon = np.concatenate([lon, np.linspace(-1, 1, 500) * cells.hex_edge_deg(8)])
+        lat = np.concatenate([lat, np.zeros(500)])
+        df = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(lon, lat)], "lon double, lat double"
+        )
+        for res in (2, 8):
+            got = (
+                df.select(hex_cell_col(F.col("lon"), F.col("lat"), res).alias("c"))
+                .toPandas()["c"].to_numpy()
+            )
+            want = cells.hex_cell_id(lon, lat, res)
+            assert (got == want).all()

@@ -226,3 +226,78 @@ class TestIncrementalRetile:
         a = {(r.tile_x, r.tile_y): bytes(r.payload) for r in got.collect()}
         b = {(r.tile_x, r.tile_y): bytes(r.payload) for r in tiles.collect()}
         assert a == b
+
+
+class TestQuadtreeDistributed:
+    """The scale path: grid cells over the pandas budget are pre-split
+    distributedly. Output must be IDENTICAL (bucket ids, bboxes, row
+    assignment) to the single-worker per-cell divide."""
+
+    @pytest.fixture(scope="class")
+    def feats(self, spark):
+        rng = np.random.default_rng(23)
+        n = 3000
+        xs = rng.uniform(-10, 10, n)
+        ys = rng.uniform(-10, 10, n)
+        # a hot cluster so one grid cell is much heavier than the rest
+        xs[:1200] = rng.uniform(1.0, 1.4, 1200)
+        ys[:1200] = rng.uniform(1.0, 1.4, 1200)
+        rows = [
+            (int(i), int(0), float(x), float(y), float(x), float(y))
+            for i, (x, y) in enumerate(zip(xs, ys))
+        ]
+        return spark.createDataFrame(
+            rows, "id long, kind tinyint, minx double, miny double, maxx double, maxy double"
+        ).cache()
+
+    def _key(self, df):
+        return {
+            r.id: (r.grid_cell, r.bucket, r.bminx, r.bminy, r.bmaxx, r.bmaxy)
+            for r in df.collect()
+        }
+
+    def test_identical_to_single_worker(self, spark, feats):
+        cfg = EngineConfig()
+        legacy = tiling.quadtree_partition(feats, cfg, gx=2, gy=2, bucket_max=100)
+        hybrid = tiling.quadtree_partition(
+            feats, cfg, gx=2, gy=2, bucket_max=100, pandas_budget=200
+        )
+        assert self._key(hybrid) == self._key(legacy)
+
+    def test_pure_phase_a(self, spark, feats):
+        """budget == bucket_max: every split happens distributedly, the
+        per-group divide never runs."""
+        cfg = EngineConfig()
+        legacy = tiling.quadtree_partition(feats, cfg, gx=2, gy=2, bucket_max=100)
+        hybrid = tiling.quadtree_partition(
+            feats, cfg, gx=2, gy=2, bucket_max=100, pandas_budget=100
+        )
+        assert self._key(hybrid) == self._key(legacy)
+
+    def test_budget_bound_enforced(self, spark, feats):
+        """No pandas group exceeds the budget: the guards raise if the
+        planner ever routes an over-budget group to a worker, so a green
+        run is the bound proof."""
+        cfg = EngineConfig()
+        out = tiling.quadtree_partition(
+            feats, cfg, gx=2, gy=2, bucket_max=50, pandas_budget=120
+        )
+        assert out.count() == 3000
+        assert out.select("id").distinct().count() == 3000
+
+    def test_colocated_rows_depth_limit(self, spark):
+        """Identical points recurse to the depth limit in phase A and
+        end as ONE over-budget bucket — exactly the reference guard
+        (src/divide.rs:10); the distributed pass must mark that node a
+        leaf without ever materializing it in pandas."""
+        rows = [(i, 0, 1.0, 1.0, 1.0, 1.0) for i in range(400)]
+        feats = spark.createDataFrame(
+            rows, "id long, kind tinyint, minx double, miny double, maxx double, maxy double"
+        )
+        cfg = EngineConfig()
+        out = tiling.quadtree_partition(
+            feats, cfg, gx=1, gy=1, bucket_max=10, pandas_budget=50
+        )
+        assert out.count() == 400
+        buckets = out.groupBy("grid_cell", "bucket").count().collect()
+        assert len(buckets) == 1 and buckets[0]["count"] == 400
