@@ -5,14 +5,13 @@
                       SURVEY.md §2 (+ north_rule spatial ops + webtext
                       training-data ops), each over the driver's
                       testdata tables.
-``oracle_sql()``    — DuckDB twins for 44 of 46 queries, including the
-                      S2 Hilbert pipeline, MinHash+LSH, SimHash, and
-                      rolling-hash kernels re-expressed in exact
-                      HUGEINT/epsilon-safe SQL. The two omitted keys:
-                      georender_features (binary payload md5 — covered
-                      by byte-exact pytest goldens) and ann_lsh_topk
-                      (approximate by design — covered by a recall≥0.9
-                      bound vs the exact oracle in pytest).
+``oracle_sql()``    — a DuckDB twin for EVERY query, including the
+                      S2 Hilbert pipeline, MinHash+LSH, SimHash,
+                      rolling-hash, integer-quantized hyperplane-LSH
+                      ANN, and the georender fixture pipeline (header
+                      fields re-derived from the embedded element
+                      model; payload bytes stay pytest-golden) — all in
+                      exact HUGEINT/epsilon-safe SQL.
 
 Cross-engine determinism rules used throughout:
 - derived geo points use pure int64 LCG arithmetic then /1e6 (bit-equal
@@ -27,6 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
@@ -241,6 +241,218 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
         )
         SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
         FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+def _ann_lsh_oracle_sql(
+    k: int = 5, n_planes: int = 4, n_probe: int = 5, n_tables: int = 8
+) -> str:
+    """Exact SQL twin of operators.similarity.ann_topk (multi-table
+    multi-probe hyperplane LSH): the integer-quantized plane matrices
+    (sketches.int_hyperplanes — exact int64 sign codes, no float-sum
+    ordering hazard) are embedded as VALUES; codes, the hamming<=1 probe
+    fan-out (same order + slice as the engine), the bucket candidate
+    join and the exact cosine re-rank are all re-derived in SQL."""
+    from ingest_spark.functions import sketches as _sk
+
+    dim = 64  # driver testdata embeddings dimension
+    rows = []
+    for t in range(n_tables):
+        planes = _sk.int_hyperplanes(n_planes, dim, seed=_sk._SEED + 7919 * t)
+        for p in range(n_planes):
+            for i in range(dim):
+                rows.append(f"({t},{p},{i},{int(planes[p, i])})")
+    plane_vals = ",".join(rows)
+    probe_list = "[code" + "".join(f", xor(code, {1 << i})" for i in range(n_planes)) + "]"
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        pl(tbl, plane, idx, w) AS (VALUES {plane_vals}),
+        vq AS (
+          SELECT vec_id,
+                 list_transform(v, x -> CAST(FLOOR(x * 16777216.0 + 0.5) AS BIGINT)) AS q
+          FROM emb
+        ),
+        dots AS (
+          SELECT vq.vec_id, pl.tbl, pl.plane, SUM(vq.q[pl.idx + 1] * pl.w) AS dot
+          FROM vq, pl GROUP BY 1, 2, 3
+        ),
+        codes AS (
+          SELECT vec_id, tbl,
+                 SUM(CASE WHEN dot > 0 THEN (1::BIGINT << plane) ELSE 0 END) AS code
+          FROM dots GROUP BY 1, 2
+        ),
+        probes AS (
+          SELECT vec_id AS qid, tbl, p AS code
+          FROM codes, UNNEST(list_slice({probe_list}, 1, {n_probe})) AS u(p)
+          WHERE vec_id % 50 = 0
+        ),
+        cand AS (
+          SELECT DISTINCT pr.qid, c.vec_id
+          FROM probes pr JOIN codes c ON c.tbl = pr.tbl AND c.code = pr.code
+        ),
+        d AS (
+          SELECT cand.qid, cand.vec_id,
+                 LIST_INNER_PRODUCT(eq.v, ev.v)
+                 / (SQRT(LIST_INNER_PRODUCT(eq.v, eq.v)) * SQRT(LIST_INNER_PRODUCT(ev.v, ev.v))) AS cos_raw
+          FROM cand
+          JOIN emb eq ON eq.vec_id = cand.qid
+          JOIN emb ev ON ev.vec_id = cand.vec_id
+        ),
+        ranked AS (
+          SELECT qid, vec_id, cos_raw,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_raw DESC, vec_id ASC) AS rank
+          FROM d
+        )
+        SELECT qid, vec_id, ROUND(cos_raw, 4) AS cosine, rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _georender_oracle_sql() -> str:
+    """Exact SQL twin of the georender fixture pipeline's decodable
+    fields: the fixture element model (the INPUT of sources/pages.py,
+    not any output) is embedded as VALUES; classification (F1/F2 —
+    first-priority-key + kv/key.other dictionary joins over the full
+    378-type table), the way/relation area rules (F5/F6), the id
+    mangling (osm_id*3 + kind), member/ref resolution joins and the
+    f32 bbox aggregation (A1/A2, E7) are all re-derived in SQL. The
+    Spark side additionally decodes (id, feature_type, geometry kind)
+    back OUT of the binary payload (E5, value.rs:28-38 layout), so the
+    oracle cross-checks the encode→decode round trip against an
+    independent derivation; payload bytes stay pytest-golden."""
+    from ingest_spark.functions import areas as _ar
+    from ingest_spark.functions import tags as _tg
+    from ingest_spark.sources import pages as _pg
+
+    po = _tg.place_other_id()
+    types = ",".join(f"('{n}',{i})" for n, i in sorted(_tg.type_ids().items()))
+    prio = ",".join(f"('{kk}',{i})" for i, kk in enumerate(_tg.PRIORITY_KEYS))
+    area_keys = ",".join(f"('{kk}')" for kk in sorted(_ar.AREA_KEYS))
+    non_area = ",".join(
+        f"('{kk}','{v}')"
+        for kk, vs in sorted(_ar._NON_AREA_VALUES.items())
+        for v in sorted(vs)
+    )
+    nodes = ",".join(
+        f"({nid},{lon},{lat},'{t}')" for nid, lon, lat, t in _pg.FIXTURE_NODES
+    )
+    ways = ",".join(f"({wid},'{refs}','{t}')" for wid, refs, t in _pg.FIXTURE_WAYS)
+    rels = ",".join(f"({rid},'{m}','{t}')" for rid, m, t in _pg.FIXTURE_RELATIONS)
+    return f"""
+        WITH types(tname, ftype) AS (VALUES {types}),
+        prio(pkey, prank) AS (VALUES {prio}),
+        area_keys(akey) AS (VALUES {area_keys}),
+        non_area(nkey, nval) AS (VALUES {non_area}),
+        nodes(osm_id, lon, lat, tags) AS (VALUES {nodes}),
+        ways(osm_id, refs, tags) AS (VALUES {ways}),
+        rels(osm_id, members, tags) AS (VALUES {rels}),
+        elems AS (
+          SELECT 0 AS kind, osm_id, tags FROM nodes
+          UNION ALL SELECT 1, osm_id, tags FROM ways
+          UNION ALL SELECT 2, osm_id, tags FROM rels
+        ),
+        tagkv AS (
+          SELECT kind, osm_id, split_part(e, '=', 1) AS k, split_part(e, '=', 2) AS val
+          FROM elems, UNNEST(list_filter(string_split(tags, '|'), x -> x <> '')) AS u(e)
+        ),
+        firstk AS (
+          SELECT t.kind, t.osm_id, MIN(p.prank) AS prank
+          FROM tagkv t JOIN prio p ON p.pkey = t.k
+          GROUP BY 1, 2
+        ),
+        classed AS (
+          SELECT e.kind, e.osm_id, COALESCE(t1.ftype, t2.ftype, {po}) AS ftype
+          FROM elems e
+          LEFT JOIN firstk fk ON fk.kind = e.kind AND fk.osm_id = e.osm_id
+          LEFT JOIN prio p ON p.prank = fk.prank
+          LEFT JOIN tagkv kv
+            ON kv.kind = e.kind AND kv.osm_id = e.osm_id AND kv.k = p.pkey
+          LEFT JOIN types t1 ON t1.tname = p.pkey || '.' || kv.val
+          LEFT JOIN types t2 ON t2.tname = p.pkey || '.other'
+        ),
+        wrefs AS (
+          SELECT w.osm_id, CAST(string_split(w.refs, ',')[i] AS BIGINT) AS ref
+          FROM ways w,
+               UNNEST(range(1, len(string_split(w.refs, ',')) + 1)) AS o(i)
+        ),
+        wgeom AS (
+          SELECT wr.osm_id, COUNT(n.osm_id) AS n_nodes,
+                 MIN(CAST(n.lon AS REAL)) AS minx, MIN(CAST(n.lat AS REAL)) AS miny,
+                 MAX(CAST(n.lon AS REAL)) AS maxx, MAX(CAST(n.lat AS REAL)) AS maxy
+          FROM wrefs wr JOIN nodes n ON n.osm_id = wr.ref
+          GROUP BY 1
+        ),
+        wisarea AS (
+          SELECT w.osm_id,
+            (len(string_split(w.refs, ',')) >= 4
+             AND string_split(w.refs, ',')[1] =
+                 string_split(w.refs, ',')[len(string_split(w.refs, ','))])
+            AND CASE
+              WHEN at.val = 'no' THEN FALSE
+              WHEN at.val = 'yes' THEN TRUE
+              ELSE EXISTS (
+                SELECT 1 FROM tagkv kv JOIN area_keys a ON a.akey = kv.k
+                WHERE kv.kind = 1 AND kv.osm_id = w.osm_id
+                  AND NOT EXISTS (
+                    SELECT 1 FROM non_area na
+                    WHERE na.nkey = kv.k AND na.nval = kv.val)
+              )
+            END AS is_area
+          FROM ways w
+          LEFT JOIN tagkv at ON at.kind = 1 AND at.osm_id = w.osm_id AND at.k = 'area'
+        ),
+        rmem AS (
+          SELECT r.osm_id, split_part(m, ':', 1) AS mtype,
+                 CAST(split_part(m, ':', 3) AS BIGINT) AS ref
+          FROM rels r,
+               UNNEST(list_filter(string_split(r.members, ';'), x -> x <> '')) AS u(m)
+        ),
+        risarea AS (
+          SELECT DISTINCT r.osm_id FROM rels r
+          JOIN tagkv t ON t.kind = 2 AND t.osm_id = r.osm_id
+           AND t.k = 'type' AND t.val IN ('multipolygon', 'boundary')
+          WHERE len(list_filter(string_split(r.members, ';'), x -> x <> '')) > 0
+        ),
+        rgeom AS (
+          SELECT rm.osm_id, COUNT(n.osm_id) AS n_nodes,
+                 MIN(CAST(n.lon AS REAL)) AS minx, MIN(CAST(n.lat AS REAL)) AS miny,
+                 MAX(CAST(n.lon AS REAL)) AS maxx, MAX(CAST(n.lat AS REAL)) AS maxy
+          FROM rmem rm
+          JOIN wrefs wr ON wr.osm_id = rm.ref AND rm.mtype = 'way'
+          JOIN nodes n ON n.osm_id = wr.ref
+          WHERE rm.osm_id IN (SELECT osm_id FROM risarea)
+          GROUP BY 1
+        )
+        SELECT CAST(n.osm_id * 3 + 0 AS BIGINT) AS id, CAST(n.osm_id AS BIGINT) AS osm_id,
+               0 AS kind, c.ftype AS feature_type,
+               CAST(n.osm_id * 3 + 0 AS BIGINT) AS decoded_id, c.ftype AS decoded_ftype,
+               1 AS geom_kind,
+               ROUND(CAST(CAST(n.lon AS REAL) AS DOUBLE), 5) AS minx,
+               ROUND(CAST(CAST(n.lat AS REAL) AS DOUBLE), 5) AS miny,
+               ROUND(CAST(CAST(n.lon AS REAL) AS DOUBLE), 5) AS maxx,
+               ROUND(CAST(CAST(n.lat AS REAL) AS DOUBLE), 5) AS maxy
+        FROM nodes n JOIN classed c ON c.kind = 0 AND c.osm_id = n.osm_id
+        WHERE c.ftype <> {po}
+        UNION ALL
+        SELECT CAST(w.osm_id * 3 + 1 AS BIGINT), CAST(w.osm_id AS BIGINT),
+               1, c.ftype, CAST(w.osm_id * 3 + 1 AS BIGINT), c.ftype,
+               CASE WHEN ia.is_area THEN 3 ELSE 2 END,
+               ROUND(CAST(g.minx AS DOUBLE), 5), ROUND(CAST(g.miny AS DOUBLE), 5),
+               ROUND(CAST(g.maxx AS DOUBLE), 5), ROUND(CAST(g.maxy AS DOUBLE), 5)
+        FROM ways w
+        JOIN classed c ON c.kind = 1 AND c.osm_id = w.osm_id
+        JOIN wgeom g ON g.osm_id = w.osm_id
+        JOIN wisarea ia ON ia.osm_id = w.osm_id
+        WHERE c.ftype <> {po} AND g.n_nodes >= 2
+        UNION ALL
+        SELECT CAST(r.osm_id * 3 + 2 AS BIGINT), CAST(r.osm_id AS BIGINT),
+               2, c.ftype, CAST(r.osm_id * 3 + 2 AS BIGINT), c.ftype, 3,
+               ROUND(CAST(g.minx AS DOUBLE), 5), ROUND(CAST(g.miny AS DOUBLE), 5),
+               ROUND(CAST(g.maxx AS DOUBLE), 5), ROUND(CAST(g.maxy AS DOUBLE), 5)
+        FROM rels r
+        JOIN classed c ON c.kind = 2 AND c.osm_id = r.osm_id
+        JOIN rgeom g ON g.osm_id = r.osm_id
+        WHERE c.ftype <> {po} AND g.n_nodes >= 2
     """
 
 
@@ -691,9 +903,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("qid", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
     q["ann_topk"] = ann_topk
 
-    def ann_lsh_topk(spark, sf):  # rows-only: the SCALE path (multi-probe
-        # hyperplane LSH — bucketed join, no cross join); recall vs the
-        # exact cosine_topk oracle is bounded in test_webtext.py
+    def ann_lsh_topk(spark, sf):
+        # oracle-backed: the SCALE path (multi-table multi-probe
+        # hyperplane LSH — bucketed join, no cross join). Codes are
+        # integer-exact (sketches.hyperplane_codes_int), so the full
+        # pipeline — planes, sign codes, probe fan-out, candidate join,
+        # cosine re-rank — has an exact SQL twin (_ann_lsh_oracle_sql);
+        # recall >= 0.9 vs exact top-k stays bounded in test_webtext.py
         from ingest_spark.operators.similarity import ann_topk as ann_lsh
         emb = _t(spark, sf, "embeddings").withColumn(
             "embedding", F.col("embedding").cast("array<double>")
@@ -718,6 +934,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         vt = vector_tiles(p, z=5)
         return vt.select("tile_z", "tile_x", "tile_y", "n_features")
     q["vector_tiles"] = vector_tiles_q
+
+    def retile_incremental_q(spark, sf):
+        # incremental vector-tile maintenance end-to-end: a deterministic
+        # changeset (delete id%97, move id%31 east 7.3°, create a twin at
+        # id+1e9 for id%53) is applied via retile_incremental — only
+        # affected tiles re-pack — and the ORACLE is the full-rebuild
+        # twin: per-tile counts over the post-changeset table computed
+        # directly in SQL. Equality proves kept ∪ repacked ≡ rebuild.
+        from ingest_spark.operators.tiling import retile_incremental, vector_tiles
+        p = _points(spark, sf)
+        feats = p.select(
+            "id",
+            F.col("lon").alias("minx"), F.col("lat").alias("miny"),
+            F.encode(F.concat(F.lit("pt:"), F.col("id")), "UTF-8").alias("encoded"),
+        )
+        wrap = lambda c: F.pmod(c + 180.0, F.lit(360.0)) - 180.0  # noqa: E731
+        survivors = feats.where(F.col("id") % 97 != 0).withColumn(
+            "minx",
+            F.when(F.col("id") % 31 == 0, wrap(F.col("minx") + 7.3)).otherwise(F.col("minx")),
+        )
+        created = feats.where(F.col("id") % 53 == 0).select(
+            (F.col("id") + 1_000_000_000).alias("id"),
+            wrap(F.col("minx") + 1.7).alias("minx"),
+            "miny",
+            F.encode(F.concat(F.lit("pt:"), F.col("id") + 1_000_000_000), "UTF-8").alias("encoded"),
+        )
+        new_feats = survivors.unionByName(created)
+        changed = (
+            feats.where((F.col("id") % 97 == 0) | (F.col("id") % 31 == 0))
+            .select("id")
+            .unionByName(created.select("id"))
+        )
+        old_tiles = vector_tiles(feats, 5)
+        out = retile_incremental(old_tiles, feats, new_feats, changed, 5)
+        return out.select("tile_z", "tile_x", "tile_y", "n_features")
+    q["retile_incremental"] = retile_incremental_q
 
     def event_windows(spark, sf):
         e = _t(spark, sf, "events")
@@ -872,21 +1124,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.select("tile_z", "tile_x", "tile_y", "px", "n_points")
     q["raster_tiles"] = raster_tiles_q
 
-    # ---------------- georender fixture pipeline (rows-only)
+    # ---------------- georender fixture pipeline
 
-    def georender_features(spark, sf):  # rows-only: binary encoding kernel
+    def georender_features(spark, sf):
+        # oracle-backed: the fixture element model is embedded in the
+        # SQL twin (_georender_oracle_sql) and classification/id
+        # mangling/f32 bbox are re-derived there; this side decodes the
+        # header fields back OUT of the binary payload (E5), so the
+        # comparison checks the encode→decode round trip. Payload BYTES
+        # stay pytest-golden (test_golden_ingest).
         _ensure_shipped(spark)
+        from pyspark.sql.types import (
+            IntegerType, LongType, StructField as _SF, StructType as _ST,
+        )
+
         from ingest_spark.operators import extract
         from ingest_spark.operators.features import build_features
         from ingest_spark.sources import pages as pages_src
+
+        hdr_schema = _ST([
+            _SF("decoded_id", LongType(), False),
+            _SF("decoded_ftype", IntegerType(), False),
+            _SF("geom_kind", IntegerType(), False),
+        ])
+
+        @F.pandas_udf(hdr_schema)
+        def _hdr(enc: pd.Series) -> pd.DataFrame:
+            from ingest_spark.functions import georender as gr2
+            ids, fts, gks = [], [], []
+            for b in enc:
+                d = gr2.decode(bytes(b))
+                ids.append(d["id"])
+                fts.append(d["feature_type"])
+                gks.append(d["geom_kind"])
+            return pd.DataFrame(
+                {"decoded_id": ids, "decoded_ftype": fts, "geom_kind": gks}
+            )
+
         pages = pages_src.fixture_pages(spark)
         nodes, ways, rels = extract.parse_elements(pages)
-        feats = build_features(nodes, ways, rels, spark)
+        feats = build_features(nodes, ways, rels, spark).withColumn("_h", _hdr("encoded"))
         return feats.select(
             "id", "osm_id", "kind", "feature_type",
-            F.round("minx", 5).alias("minx"), F.round("miny", 5).alias("miny"),
-            F.round("maxx", 5).alias("maxx"), F.round("maxy", 5).alias("maxy"),
-            F.md5("encoded").alias("payload_md5"),
+            F.col("_h.decoded_id").alias("decoded_id"),
+            F.col("_h.decoded_ftype").alias("decoded_ftype"),
+            F.col("_h.geom_kind").alias("geom_kind"),
+            F.round(F.col("minx").cast("double"), 5).alias("minx"),
+            F.round(F.col("miny").cast("double"), 5).alias("miny"),
+            F.round(F.col("maxx").cast("double"), 5).alias("maxx"),
+            F.round(F.col("maxy").cast("double"), 5).alias("maxy"),
         )
     q["georender_features"] = georender_features
 
@@ -1072,6 +1358,10 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fp FROM documents",
         "minhash_lsh": _minhash_oracle_sql(threshold=0.8),
         "simhash_dups": _simhash_oracle_sql(max_hamming=3),
+        "ann_lsh_topk": _ann_lsh_oracle_sql(
+            k=5, n_planes=4, n_probe=5, n_tables=8
+        ),
+        "georender_features": _georender_oracle_sql(),
         "fingerprint_rolling": """
             SELECT doc_id,
               CASE WHEN h >= 9223372036854775808::HUGEINT
@@ -1145,6 +1435,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT qid, vec_id, ROUND(cos_raw, 4) AS cosine, rank
             FROM ranked WHERE rank <= 5
+        """,
+        "retile_incremental": f"""
+            WITH base AS (SELECT id, lon, lat FROM {_POINTS_SQL} p),
+            surv AS (
+              SELECT id,
+                     CASE WHEN id % 31 = 0
+                          THEN ((lon + 7.3 + 180.0) % 360.0) - 180.0
+                          ELSE lon END AS lon,
+                     lat
+              FROM base WHERE id % 97 <> 0
+            ),
+            created AS (
+              SELECT id + 1000000000 AS id,
+                     ((lon + 1.7 + 180.0) % 360.0) - 180.0 AS lon, lat
+              FROM base WHERE id % 53 = 0
+            ),
+            newf AS (SELECT * FROM surv UNION ALL SELECT * FROM created),
+            t AS (
+              SELECT 5 AS tile_z,
+                GREATEST(0, LEAST(31, FLOOR((lon + 180.0) / 360.0 * 32)::BIGINT)) AS tile_x,
+                GREATEST(0, LEAST(31, FLOOR(
+                  (1.0 - LN(TAN(RADIANS(GREATEST(-85.05112878, LEAST(85.05112878, lat))))
+                          + 1.0 / COS(RADIANS(GREATEST(-85.05112878, LEAST(85.05112878, lat)))))
+                   / PI()) / 2.0 * 32)::BIGINT)) AS tile_y
+              FROM newf
+            )
+            SELECT tile_z, tile_x, tile_y, COUNT(*) AS n_features
+            FROM t GROUP BY 1, 2, 3
         """,
         "event_windows": """
             SELECT (FLOOR(FLOOR(EPOCH(ts)) / 3600) * 3600)::BIGINT AS window_epoch,

@@ -122,6 +122,37 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
 
 
+_LSH_Q = 1 << 24  # fixed-point scale for cross-engine-exact LSH codes
+
+
+def int_hyperplanes(n_planes: int, dim: int, seed: int = _SEED) -> np.ndarray:
+    """Integer-quantized random hyperplanes: standard-normal rows from
+    the seeded generator, scaled by 2^24, rounded via floor(x + 0.5).
+    Quantization keeps the hyperplane direction (the LSH property) while
+    making sign codes EXACT integer arithmetic — reproducible bit-for-
+    bit in any engine (the float dot's rounding depends on summation
+    order: BLAS vs sequential could flip a near-zero sign)."""
+    rng = np.random.default_rng(seed + dim)
+    planes = rng.standard_normal((n_planes, dim))
+    return np.floor(planes * _LSH_Q + 0.5).astype(np.int64)
+
+
+def hyperplane_codes_int(
+    mat: np.ndarray, n_planes: int = 16, seed: int = _SEED
+) -> np.ndarray:
+    """Sign-bit LSH codes over integer-quantized vectors and planes:
+    (n, d) matrix → (n,) int64 codes. All arithmetic is exact int64
+    (components quantized by floor(x*2^24 + 0.5); |dot| bound ~2^56 for
+    unit-ish vectors at d <= 256, far from overflow), so the DuckDB twin
+    (_ann_lsh_oracle_sql) reproduces codes exactly."""
+    mat = np.asarray(mat, dtype=np.float64)
+    planes = int_hyperplanes(n_planes, mat.shape[1], seed)
+    vq = np.floor(mat * _LSH_Q + 0.5).astype(np.int64)
+    bits = (vq @ planes.T) > 0  # (n, n_planes)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    return bits @ weights
+
+
 def hyperplane_buckets(
     mat: np.ndarray, n_planes: int = 16, seed: int = _SEED
 ) -> np.ndarray:

@@ -59,13 +59,15 @@ def cosine_topk(
 def _codes_udf(n_planes: int, n_tables: int):
     """One LSH sign-code per table (independent hyperplanes per table,
     seeded deterministically) — returned as an array so the vector
-    crosses the Arrow boundary once for all tables."""
+    crosses the Arrow boundary once for all tables. Codes use the
+    integer-quantized kernel (sketches.hyperplane_codes_int), so the
+    DuckDB oracle reproduces the candidate sets exactly."""
     @F.pandas_udf(ArrayType(LongType()))
     def _u(vec: pd.Series) -> pd.Series:
         mat = np.stack([np.asarray(x, dtype=np.float64) for x in vec])
         codes = np.stack(
             [
-                sk.hyperplane_buckets(mat, n_planes, seed=sk._SEED + 7919 * t)
+                sk.hyperplane_codes_int(mat, n_planes, seed=sk._SEED + 7919 * t)
                 for t in range(n_tables)
             ],
             axis=1,
