@@ -28,6 +28,82 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 
+class SnapshotBackend:
+    """The storage seam: exactly the calls a real lakehouse catalog
+    (Iceberg) would replace, so the resume semantics (skip-complete,
+    upstream invalidation, affected-only merge — engine-owned, tested
+    in TestCheckpointResume) are shared by the parquet simulation and a
+    future catalog adapter:
+
+    - ``commit``          → Iceberg table commit (atomic snapshot)
+    - ``read``            → catalog table load
+    - ``is_complete``     → committed-snapshot existence check
+    - ``merge_overwrite`` → ``MERGE INTO`` (delete matched keys, insert
+                            new rows) as one commit
+
+    On Iceberg the snapshot id would come from the commit itself;
+    the simulation derives a content-addressed id in run_stage (same
+    invalidation power, documented there)."""
+
+    def commit(self, df: DataFrame, path: str, partition_by=None) -> None:
+        raise NotImplementedError
+
+    def read(self, spark: SparkSession, path: str) -> DataFrame:
+        raise NotImplementedError
+
+    def is_complete(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def merge_overwrite(
+        self,
+        spark: SparkSession,
+        path: str,
+        delete_keys: DataFrame,
+        insert_rows: DataFrame,
+        key: str = "id",
+    ) -> DataFrame:
+        raise NotImplementedError
+
+
+class ParquetManifestBackend(SnapshotBackend):
+    """Sandbox implementation: parquet dirs + _SUCCESS markers; MERGE is
+    anti-join + union re-written through a staging dir swap (the
+    overwrite is atomic at the os.replace granularity of the final
+    rename — a real catalog makes the whole commit atomic)."""
+
+    def commit(self, df, path, partition_by=None):
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+
+    def read(self, spark, path):
+        return spark.read.parquet(path)
+
+    def is_complete(self, path):
+        return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+    def merge_overwrite(self, spark, path, delete_keys, insert_rows, key="id"):
+        import shutil
+
+        target = self.read(spark, path)
+        merged = target.join(delete_keys.select(key), key, "left_anti").unionByName(
+            insert_rows.select(*target.columns)
+        )
+        staging = path + "._merge_staging"
+        merged.write.mode("overwrite").parquet(staging)
+        backup = path + "._merge_old"
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+        os.rename(path, backup)
+        os.rename(staging, path)
+        shutil.rmtree(backup)
+        return self.read(spark, path)
+
+
+DEFAULT_BACKEND = ParquetManifestBackend()
+
+
 @dataclass
 class Manifest:
     root: str
@@ -84,18 +160,35 @@ def _hashable(dt: T.DataType) -> bool:
     return True
 
 
+def _digest_cols(out: DataFrame) -> list:
+    """Digest expressions covering EVERY column: map columns (which
+    xxhash64 rejects) are folded in as key-sorted entry arrays, so a
+    tags-only change (maps drive classification) invalidates dependents
+    instead of silently keeping the old snapshot id. Maps nested deeper
+    than one level (absent from this engine's schemas) stay excluded."""
+    cols = []
+    for f in out.schema.fields:
+        if isinstance(f.dataType, T.MapType) and _hashable(
+            f.dataType.keyType
+        ) and _hashable(f.dataType.valueType):
+            cols.append(F.array_sort(F.map_entries(F.col(f.name))))
+        elif _hashable(f.dataType):
+            cols.append(F.col(f.name))
+    return cols
+
+
 def _count_and_digest(out: DataFrame) -> tuple[int, str]:
     """One pass: row count + an order-independent content digest
     (sum of per-row xxhash64 over every hashable column). Folding this
     into the snapshot id means an upstream re-run that happens to keep
     the same row count and schema still invalidates its dependents."""
-    cols = [f.name for f in out.schema.fields if _hashable(f.dataType)]
+    cols = _digest_cols(out)
     agg = [F.count(F.lit(1)).alias("_n")]
     if cols:
         # decimal sum: exact and ANSI-safe (a long sum of 2^63-scale
         # hashes overflows under ansi.enabled)
         agg.append(
-            F.sum(F.xxhash64(*[F.col(c) for c in cols]).cast("decimal(38,0)")).alias("_d")
+            F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("_d")
         )
     row = out.agg(*agg).first()
     return int(row["_n"]), (str(row["_d"]) if cols else "nocols")
@@ -110,6 +203,7 @@ def run_stage(
     metrics: "object | None" = None,
     source_fingerprint: str | None = None,
     partition_by: list[str] | None = None,
+    backend: SnapshotBackend | None = None,
 ) -> DataFrame:
     """Run (or resume) one pipeline stage.
 
@@ -125,25 +219,23 @@ def run_stage(
       record snapshot + lineage.
     """
     inputs = inputs or []
+    backend = backend or DEFAULT_BACKEND
     out_path = os.path.join(manifest.root, stage)
     entry = manifest.stages.get(stage)
 
     input_snaps = [manifest.snapshot_of(i) or "?" for i in inputs]
     if (
         entry is not None
-        and os.path.exists(os.path.join(out_path, "_SUCCESS"))
+        and backend.is_complete(out_path)
         and entry.get("input_snapshots") == input_snaps
         and entry.get("source_fingerprint") == source_fingerprint
     ):
-        return spark.read.parquet(out_path)
+        return backend.read(spark, out_path)
 
     t0 = time.time()
     df = fn()
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(out_path)
-    out = spark.read.parquet(out_path)
+    backend.commit(df, out_path, partition_by)
+    out = backend.read(spark, out_path)
     rows, digest = _count_and_digest(out)
     wall = time.time() - t0
 

@@ -36,13 +36,17 @@ class PipelineResult:
 
 
 def pages_fingerprint(pages: DataFrame) -> str:
-    """Cheap source identity for the resume gate: row count + an
-    order-independent hash over the page keys (url, warc_ts). One
-    columnar scan of two small columns — never touches html/text. On a
-    real Iceberg table, pass the snapshot id to run_ingest instead."""
+    """Source identity for the resume gate: row count + an
+    order-independent hash over (url, warc_ts, text). ``text`` is what
+    every parse stage consumes (extract.parse_* read text only), so an
+    in-place content edit under unchanged keys re-extracts instead of
+    silently resuming; ``html`` is skipped — it deterministically wraps
+    text (sources/pages.py invariant) and tripling the scanned bytes
+    buys no extra invalidation power. On a real Iceberg table, pass the
+    snapshot id to run_ingest instead (no scan at all)."""
     row = pages.agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum(F.xxhash64("url", "warc_ts").cast("decimal(38,0)")).alias("_h"),
+        F.sum(F.xxhash64("url", "warc_ts", "text").cast("decimal(38,0)")).alias("_h"),
     ).first()
     return f"{row['_n']}:{row['_h']}"
 

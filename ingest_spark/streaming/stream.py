@@ -104,10 +104,17 @@ def stream_tile_maintenance(
     tiling.retile_incremental, create-only ingest like
     stream_node_features).
 
-    Layout under ``store_root``: ``features/`` (append-only parquet) and
-    ``tiles/`` (replaced per batch via staging-dir swap — on a real
-    deployment this is an Iceberg overwrite commit; the swap here is
-    the sandbox analog, same caveat as plans/checkpoint.py).
+    Layout under ``store_root``: ``features/batch_id=N/`` (one
+    hive-partition dir per micro-batch, written with OVERWRITE — a
+    foreachBatch retry of batch N rewrites the SAME dir, so the
+    at-least-once delivery never duplicates features) and ``tiles/``
+    (replaced per batch via staging + backup + rename: the old store is
+    renamed aside before the new one lands, so a crash at any single
+    point leaves either the old or the new store recoverable — the
+    residual window between the two renames surfaces as a present
+    ``.old`` backup that the next batch's reader restores. On a real
+    deployment both are one Iceberg commit; this is the sandbox analog,
+    same caveat as plans/checkpoint.py).
 
     Scale shape per batch: one append write, tile-id semi/anti-joins,
     and re-pack restricted to affected tiles' features — unaffected
@@ -120,6 +127,17 @@ def stream_tile_maintenance(
 
     feats_path = os.path.join(store_root, "features")
     tiles_path = os.path.join(store_root, "tiles")
+    backup_path = tiles_path + ".old"
+
+    def _read_tiles(spark):
+        """Current tile store, recovering from a crash between the two
+        swap renames (live dir missing, backup present)."""
+        if not os.path.exists(os.path.join(tiles_path, "_SUCCESS")):
+            if os.path.exists(os.path.join(backup_path, "_SUCCESS")):
+                os.rename(backup_path, tiles_path)
+            else:
+                return None
+        return spark.read.parquet(tiles_path)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -127,8 +145,16 @@ def stream_tile_maintenance(
         try:
             if batch_df.isEmpty():
                 return
-            batch_df.write.mode("append").parquet(feats_path)
-            all_feats = spark.read.parquet(feats_path)
+            # idempotent per-batch append: a retried batch overwrites
+            # its own partition dir instead of appending twice
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(feats_path, f"batch_id={batch_id}")
+            )
+            all_feats = (
+                spark.read.option("basePath", feats_path)
+                .parquet(feats_path)
+                .drop("batch_id")
+            )
             affected = (
                 with_tile_xyz(batch_df, z)
                 .select("tile_z", "tile_x", "tile_y").distinct()
@@ -139,8 +165,9 @@ def stream_tile_maintenance(
                 .drop("tile_z", "tile_x", "tile_y")
             )
             repacked = vector_tiles(affected_feats, z)
-            if os.path.exists(os.path.join(tiles_path, "_SUCCESS")):
-                kept = spark.read.parquet(tiles_path).join(
+            existing = _read_tiles(spark)
+            if existing is not None:
+                kept = existing.join(
                     affected, ["tile_z", "tile_x", "tile_y"], "left_anti"
                 )
                 new_tiles = kept.unionByName(repacked)
@@ -148,9 +175,12 @@ def stream_tile_maintenance(
                 new_tiles = repacked
             staging = tiles_path + f"._staging_{batch_id}"
             new_tiles.write.mode("overwrite").parquet(staging)
+            if os.path.exists(backup_path):
+                shutil.rmtree(backup_path)
             if os.path.exists(tiles_path):
-                shutil.rmtree(tiles_path)
+                os.rename(tiles_path, backup_path)
             os.rename(staging, tiles_path)
+            shutil.rmtree(backup_path, ignore_errors=True)
         finally:
             batch_df.unpersist()
 

@@ -250,3 +250,124 @@ class TestStreamTileMaintenance:
         assert all_feats.count() == 4
         want = tile_map(vector_tiles(all_feats, z))
         assert got == want and len(got) == 3
+
+
+class TestStreamRetryIdempotency:
+    def test_replayed_batch_does_not_duplicate_features(self, spark, tmp_path):
+        """foreachBatch is at-least-once: replaying batch 0 (fresh
+        checkpoint over the same input = the delivery-retry shape) must
+        NOT duplicate features or corrupt tiles — the per-batch
+        partition dir is overwritten, not appended."""
+        from ingest_spark.operators.tiling import vector_tiles
+        from ingest_spark.streaming import stream as strm
+
+        src = str(tmp_path / "in")
+        store = str(tmp_path / "store")
+        schema = "id long, minx double, miny double, encoded binary"
+        spark.createDataFrame(
+            [(1, 2.35, 48.86, b"pt:1"), (2, 151.2, -33.9, b"pt:2")], schema
+        ).write.mode("append").parquet(src)
+
+        for attempt in range(2):  # second run replays batch_id 0
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 8).parquet(src)
+            )
+            strm.stream_tile_maintenance(
+                stream, store, str(tmp_path / f"ck{attempt}"), 5
+            ).awaitTermination(120)
+
+        feats = spark.read.option("basePath", f"{store}/features").parquet(
+            f"{store}/features"
+        )
+        assert feats.count() == 2  # not 4
+        tiles = spark.read.parquet(f"{store}/tiles")
+        want = {
+            (r.tile_x, r.tile_y): (r.n_features, bytes(r.payload))
+            for r in vector_tiles(feats.drop("batch_id"), 5).collect()
+        }
+        got = {
+            (r.tile_x, r.tile_y): (r.n_features, bytes(r.payload))
+            for r in tiles.collect()
+        }
+        assert got == want
+
+
+class TestSnapshotBackendSeam:
+    """The storage seam a real catalog (Iceberg) replaces: run_stage's
+    resume semantics must hold for any SnapshotBackend; merge_overwrite
+    is the MERGE INTO analog."""
+
+    def test_run_stage_with_explicit_backend(self, spark, tmp_path):
+        from ingest_spark.plans.checkpoint import (
+            Manifest, ParquetManifestBackend, run_stage,
+        )
+
+        backend = ParquetManifestBackend()
+        root = str(tmp_path / "ck_backend")
+        m = Manifest.load(root)
+        calls = []
+
+        def build():
+            calls.append(1)
+            return spark.range(0, 7).withColumnRenamed("id", "x")
+
+        df1 = run_stage(spark, m, "s", build, backend=backend)
+        assert df1.count() == 7 and len(calls) == 1
+        m2 = Manifest.load(root)
+        df2 = run_stage(spark, m2, "s", build, backend=backend)
+        assert df2.count() == 7 and len(calls) == 1  # skip-complete held
+
+    def test_merge_overwrite_semantics(self, spark, tmp_path):
+        """delete matched keys + insert new rows in one commit; the
+        store stays readable afterwards (swap is crash-bounded)."""
+        import os
+
+        from ingest_spark.plans.checkpoint import ParquetManifestBackend
+
+        backend = ParquetManifestBackend()
+        path = str(tmp_path / "tbl")
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        ).write.parquet(path)
+        deletes = spark.createDataFrame([(2,), (3,)], "id long")
+        inserts = spark.createDataFrame([(3, "c2"), (4, "d")], "id long, v string")
+        out = backend.merge_overwrite(spark, path, deletes, inserts, key="id")
+        assert {(r.id, r.v) for r in out.collect()} == {
+            (1, "a"), (3, "c2"), (4, "d")
+        }
+        assert backend.is_complete(path)
+        assert not os.path.exists(path + "._merge_old")
+
+    def test_map_column_change_changes_digest(self, spark, tmp_path):
+        """A tags-only (MapType) value change must change the content
+        digest — maps drive classification, so skipping them would fail
+        to invalidate dependents."""
+        from ingest_spark.plans.checkpoint import _count_and_digest
+
+        a = spark.createDataFrame(
+            [(1, {"k": "v1"})], "id long, tags map<string,string>"
+        )
+        b = spark.createDataFrame(
+            [(1, {"k": "v2"})], "id long, tags map<string,string>"
+        )
+        _, da = _count_and_digest(a)
+        _, db = _count_and_digest(b)
+        assert da != db
+
+    def test_pages_fingerprint_sees_content(self, spark):
+        """Editing page text in place (keys unchanged) must change the
+        source fingerprint, forcing re-extract on resume."""
+        from pyspark.sql import functions as F
+
+        from ingest_spark.plans.pipeline import pages_fingerprint
+        from ingest_spark.sources import pages as pages_src
+
+        p1 = pages_src.pages(spark, n_filler=50)
+        p2 = p1.withColumn(
+            "text",
+            F.when(F.col("url").endswith("/7"), F.lit("edited")).otherwise(
+                F.col("text")
+            ),
+        )
+        assert pages_fingerprint(p1) != pages_fingerprint(p2)
