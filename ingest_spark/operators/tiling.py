@@ -304,97 +304,194 @@ def _divide_cells_in_pandas(
     return with_cell.groupBy("grid_cell").applyInPandas(_divide_cell, out_schema)
 
 
-def _descend_udf(node_map: dict, levels: int):
-    """Phase-A kernel: descend ``levels`` quadtree levels from each
-    row's current node (broadcast map "cell:path" → (f32 box, depth)),
-    with the exact f32 child boxes / strict-> max-overlap of ``divide``.
-    Returns per row the child-digit suffix plus the per-level span-ge
-    bit (computed against the PARENT span, as src/divide.rs:56-63
-    requires) so the driver can apply every termination rule from
-    aggregates alone."""
+def _path_key(path: str) -> int:
+    """Pack a child-digit path into one int64: key = OFFSET[len] + the
+    base-4 value of the digits (depth-disambiguated, collision-free for
+    depth <= 31)."""
+    packed = 0
+    for ch in path:
+        packed = packed * 4 + (ord(ch) - 48)
+    return int(_PATH_OFFSETS[len(path)] + packed)
+
+
+_PATH_OFFSETS = np.concatenate(
+    ([0], np.cumsum([4 ** d for d in range(32)]))
+).astype(np.int64)
+
+
+def _cell_descend(
+    root_box,
+    mnx, mny, mxx, mxy, scal,
+    target_depth: int,
+    decided_keys: np.ndarray,
+    sg_from: int = 0,
+    stop_mode: bool = False,
+):
+    """Vectorized quadtree descent for one grid cell's rows, stateless:
+    re-derives each row's path from the root with divide's exact f32
+    child boxes / strict-> max-overlap. Rows whose current path hits a
+    decided node stop (alive=False); ``stop_mode`` additionally records
+    WHICH decided key was hit (the final tagging pass). Returns
+    (alive, packed_paths, hit_keys, sg_bits[target-sg_from])."""
+    nr = len(mnx)
+    bx0 = np.full(nr, root_box[0], dtype=np.float32)
+    by0 = np.full(nr, root_box[1], dtype=np.float32)
+    bx1 = np.full(nr, root_box[2], dtype=np.float32)
+    by1 = np.full(nr, root_box[3], dtype=np.float32)
+    packed = np.zeros(nr, dtype=np.int64)
+    alive = np.ones(nr, dtype=bool)
+    hit = np.zeros(nr, dtype=np.int64)
+    n_sg = max(target_depth - sg_from, 0)
+    sgs = np.zeros((nr, n_sg), dtype=bool)
+    for depth in range(target_depth):
+        if depth > 0 and len(decided_keys):
+            keys = _PATH_OFFSETS[depth] + packed
+            stopped = alive & np.isin(keys, decided_keys)
+            if stopped.any():
+                alive = alive & ~stopped
+                if stop_mode:
+                    hit[stopped] = keys[stopped]
+        if not alive.any():
+            break
+        if depth >= sg_from:
+            span_x = bx1 - bx0
+            span_y = by1 - by0
+            sgs[:, depth - sg_from] = (~scal) & (
+                ((mxx - mnx) > span_x) | ((mxy - mny) > span_y)
+            )
+        children, _sx, _sy = _child_boxes(bx0, by0, bx1, by1)
+        best = np.zeros(nr, dtype=np.float32)
+        bj = np.zeros(nr, dtype=np.int8)
+        for j, (cx0, cy0, cx1, cy1) in enumerate(children):
+            area = overlap_area(cx0, cy0, cx1, cy1, mnx, mny, mxx, mxy, scal)
+            better = area > best
+            bj[better] = j
+            best[better] = area[better]
+        packed = packed * 4 + bj
+        stack = np.stack([c for c in children], axis=0)  # (4, 4, n)
+        sel = stack[bj, :, np.arange(nr)]  # (n, 4)
+        bx0, by0, bx1, by1 = sel[:, 0], sel[:, 1], sel[:, 2], sel[:, 3]
+    if stop_mode and len(decided_keys):  # final depth check
+        keys = _PATH_OFFSETS[target_depth] + packed
+        stopped = alive & np.isin(keys, decided_keys)
+        if stopped.any():
+            alive = alive & ~stopped
+            hit[stopped] = keys[stopped]
+    return alive, packed, hit, sgs
+
+
+def _packed_to_str(packed: np.ndarray, depth: int) -> list:
+    """base-4 packed paths → digit strings of length ``depth``."""
+    out = np.empty((len(packed), depth), dtype=np.uint8)
+    p = packed.copy()
+    for i in range(depth - 1, -1, -1):
+        out[:, i] = (p % 4) + 48
+        p //= 4
+    return [bytes(row).decode("ascii") for row in out]
+
+
+def _frontier_stats_udf(root_boxes: dict, decided_keys: dict, round_depth: int, levels: int):
+    """Phase-A kernel, STATELESS: each round re-derives every row's path
+    from the cell root (descent is a pure function of coords), descends
+    ``levels`` past the uniform active frontier at ``round_depth``, and
+    emits (full path, per-level span-ge bits) for rows still in active
+    nodes — null for rows already inside decided nodes. Map-only: no
+    per-round caching/checkpointing of row data anywhere, so worker AND
+    driver memory stay flat at any input size."""
     from pyspark.sql.types import ArrayType, BooleanType, StringType
 
     schema = StructType([
-        StructField("suffix", StringType(), False),
-        StructField("sg", ArrayType(BooleanType()), False),
+        StructField("path", StringType(), True),
+        StructField("sg", ArrayType(BooleanType()), True),
     ])
+    target = round_depth + levels
 
     @F.pandas_udf(schema)
     def _u(
-        cell: pd.Series, path: pd.Series,
+        cell: pd.Series,
         minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series,
         kind: pd.Series,
     ) -> pd.DataFrame:
-        n_rows = len(cell)
+        nr = len(cell)
+        cells = cell.to_numpy()
         mnx = minx.to_numpy(dtype=np.float64).astype(np.float32)
         mny = miny.to_numpy(dtype=np.float64).astype(np.float32)
         mxx = maxx.to_numpy(dtype=np.float64).astype(np.float32)
         mxy = maxy.to_numpy(dtype=np.float64).astype(np.float32)
         scal = kind.to_numpy() == 0
-        bx0 = np.empty(n_rows, dtype=np.float32)
-        by0 = np.empty(n_rows, dtype=np.float32)
-        bx1 = np.empty(n_rows, dtype=np.float32)
-        by1 = np.empty(n_rows, dtype=np.float32)
-        cells = cell.to_numpy()
-        paths = path.to_numpy(dtype=object)
-        for i in range(n_rows):
-            box, _d = node_map[f"{cells[i]}:{paths[i]}"]
-            bx0[i], by0[i], bx1[i], by1[i] = box
-        digs = np.zeros((n_rows, levels), dtype=np.int8)
-        sgs = np.zeros((n_rows, levels), dtype=bool)
-        for level in range(levels):
-            span_x = bx1 - bx0
-            span_y = by1 - by0
-            sgs[:, level] = (~scal) & (
-                ((mxx - mnx) > span_x) | ((mxy - mny) > span_y)
+        paths = np.empty(nr, dtype=object)
+        sg_out = np.empty(nr, dtype=object)
+        for c in np.unique(cells):
+            m = cells == c
+            alive, packed, _hit, sgs = _cell_descend(
+                root_boxes[int(c)], mnx[m], mny[m], mxx[m], mxy[m], scal[m],
+                target, decided_keys.get(int(c), np.empty(0, dtype=np.int64)),
+                sg_from=round_depth,
             )
-            children, _sx, _sy = _child_boxes(bx0, by0, bx1, by1)
-            best = np.zeros(n_rows, dtype=np.float32)
-            bj = np.zeros(n_rows, dtype=np.int8)
-            for j, (cx0, cy0, cx1, cy1) in enumerate(children):
-                area = overlap_area(cx0, cy0, cx1, cy1, mnx, mny, mxx, mxy, scal)
-                better = area > best
-                bj[better] = j
-                best[better] = area[better]
-            digs[:, level] = bj
-            stack = np.stack([c for c in children], axis=0)  # (4, 4, n)
-            sel = stack[bj, :, np.arange(n_rows)]  # (n, 4)
-            bx0, by0, bx1, by1 = sel[:, 0], sel[:, 1], sel[:, 2], sel[:, 3]
-        sufs = [bytes(row + 48).decode("ascii") for row in digs.astype(np.uint8)]
-        return pd.DataFrame({"suffix": sufs, "sg": [r.tolist() for r in sgs]})
+            idx = np.nonzero(m)[0]
+            strs = _packed_to_str(packed, target)
+            for k, i in enumerate(idx):
+                if alive[k]:
+                    paths[i] = strs[k]
+                    sg_out[i] = sgs[k].tolist()
+        return pd.DataFrame({"path": paths, "sg": sg_out})
 
     return _u
 
 
-def _node_tag_udf(decided: dict):
-    """Map a row's (cell, overshoot path) to its decided node: the
-    unique leaf/divide prefix recorded by phase A. ``decided``:
-    cell → {path: is_leaf}; depths per cell are few, so prefix lookup
-    tries each decided depth."""
+def _node_tag_udf(root_boxes: dict, decided: dict):
+    """Final tagging pass, STATELESS: descend each row from its cell
+    root until it hits its decided node (phase A guarantees one exists
+    on every descent path); emit (node path, is_leaf)."""
     from pyspark.sql.types import BooleanType, StringType, StructType as _St
 
     schema = _St([
         StructField("node", StringType(), False),
         StructField("is_leaf", BooleanType(), False),
     ])
-    depths = {c: sorted({len(p) for p in m}) for c, m in decided.items()}
+    dec_keys = {
+        c: np.array(sorted(_path_key(p) for p in m), dtype=np.int64)
+        for c, m in decided.items()
+    }
+    key_info = {
+        c: {_path_key(p): (p, is_leaf) for p, is_leaf in m.items()}
+        for c, m in decided.items()
+    }
+    max_depth = {c: max((len(p) for p in m), default=0) for c, m in decided.items()}
 
     @F.pandas_udf(schema)
-    def _u(cell: pd.Series, path: pd.Series) -> pd.DataFrame:
-        nodes = []
-        leaf = []
-        for c, p in zip(cell.to_numpy(), path.to_numpy(dtype=object)):
-            m = decided[int(c)]
-            for d in depths[int(c)]:
-                node = p[:d]
-                hit = m.get(node)
-                if hit is not None:
-                    nodes.append(node)
-                    leaf.append(hit)
-                    break
-            else:  # pragma: no cover - phase A guarantees a prefix
-                raise RuntimeError(f"no decided prefix for cell {c} path {p!r}")
-        return pd.DataFrame({"node": nodes, "is_leaf": leaf})
+    def _u(
+        cell: pd.Series,
+        minx: pd.Series, miny: pd.Series, maxx: pd.Series, maxy: pd.Series,
+        kind: pd.Series,
+    ) -> pd.DataFrame:
+        nr = len(cell)
+        cells = cell.to_numpy()
+        mnx = minx.to_numpy(dtype=np.float64).astype(np.float32)
+        mny = miny.to_numpy(dtype=np.float64).astype(np.float32)
+        mxx = maxx.to_numpy(dtype=np.float64).astype(np.float32)
+        mxy = maxy.to_numpy(dtype=np.float64).astype(np.float32)
+        scal = kind.to_numpy() == 0
+        nodes = np.empty(nr, dtype=object)
+        leafish = np.zeros(nr, dtype=bool)
+        for c in np.unique(cells):
+            m = cells == c
+            alive, _packed, hit, _sgs = _cell_descend(
+                root_boxes[int(c)], mnx[m], mny[m], mxx[m], mxy[m], scal[m],
+                max_depth[int(c)], dec_keys[int(c)], stop_mode=True,
+            )
+            if alive.any():  # pragma: no cover - phase A guarantees a hit
+                raise RuntimeError(
+                    f"rows in cell {c} reached no decided node (depth "
+                    f"{max_depth[int(c)]})"
+                )
+            info = key_info[int(c)]
+            idx = np.nonzero(m)[0]
+            for k, i in enumerate(idx):
+                node, is_leaf = info[int(hit[k])]
+                nodes[i] = node
+                leafish[i] = is_leaf
+        return pd.DataFrame({"node": nodes, "is_leaf": leafish})
 
     return _u
 
@@ -460,50 +557,62 @@ def _quadtree_distributed(
     big: DataFrame, boxes, over_counts: dict, n: int, depth_limit: int, budget: int
 ) -> DataFrame:
     """Distributed quadtree for over-budget grid cells (see
-    quadtree_partition docstring). Phase A: K-level descent rounds with
-    driver-side tree bookkeeping from aggregates. Phase B: per-node
-    ``divide`` on sub-budget nodes (exact reference recursion). Then
-    one emission-order renumbering join."""
+    quadtree_partition docstring). Phase A: stateless K-level descent
+    rounds — the descent is a pure function of (coords, cell box), so
+    each round is ONE map-only pass over a 6-column projection plus a
+    node-count aggregate; the driver holds tree metadata only and NO
+    row data is cached, checkpointed or shuffled wide (this is what
+    keeps the pass viable at 10^8+ rows — an earlier draft that
+    checkpointed full rows per round OOM'd at 52.8M). Phase B: exact
+    per-node ``divide`` on sub-budget nodes (reference recursion,
+    group-size guarded). Bucket ids/bboxes renumbered per cell by BFS
+    emission-order replay — identical to the single-worker result."""
     spark = big.sparkSession
     feature_cols = [f.name for f in big.schema.fields]
 
-    # ---- phase A: driver round loop over active (over-budget) nodes
     def _f32box(b):
         return tuple(np.float32(v) for v in b)
 
+    root_boxes = {c: _f32box(boxes[c]) for c in over_counts}
     active: dict[tuple[int, str], tuple[tuple, int, int]] = {
-        (c, ""): (_f32box(boxes[c]), 0, cnt) for c, cnt in over_counts.items()
+        (c, ""): (root_boxes[c], 0, cnt) for c, cnt in over_counts.items()
     }
     leaves: dict[tuple[int, str], tuple] = {}
     phase_b: dict[tuple[int, str], tuple[tuple, int]] = {}
-
-    cur = big.withColumn("_path", F.lit(""))
-    settled_parts: list[DataFrame] = []
-    round_checkpoints: list[DataFrame] = []
+    narrow = big.select("grid_cell", "minx", "miny", "maxx", "maxy", "kind")
+    round_depth = 0
 
     while active:
-        levels = min(_QT_LEVELS_PER_ROUND, depth_limit)
-        node_map = {f"{c}:{p}": (box, d) for (c, p), (box, d, _) in active.items()}
-        stepped = cur.withColumn(
-            "_st",
-            _descend_udf(node_map, levels)(
-                "grid_cell", "_path", "minx", "miny", "maxx", "maxy", "kind"
-            ),
-        ).withColumn("_sg", F.col("_st.sg")).withColumn(
-            "_path", F.concat("_path", F.col("_st.suffix"))
-        ).drop("_st")
-        # one materialization per round: truncates lineage so round R+1
-        # never recomputes rounds 1..R (blocks freed on plan GC)
-        stepped = stepped.localCheckpoint(eager=True)
-        round_checkpoints.append(stepped)
-
+        levels = min(_QT_LEVELS_PER_ROUND, max(depth_limit - round_depth, 1))
+        dec_keys = {}
+        for (c, p) in list(leaves) + list(phase_b):
+            dec_keys.setdefault(c, []).append(_path_key(p))
+        dec_keys = {
+            c: np.array(sorted(v), dtype=np.int64) for c, v in dec_keys.items()
+        }
+        st = _frontier_stats_udf(root_boxes, dec_keys, round_depth, levels)(
+            "grid_cell", "minx", "miny", "maxx", "maxy", "kind"
+        )
         agg = [F.count(F.lit(1)).alias("_cnt")] + [
             F.min(F.col("_sg")[i].cast("int")).alias(f"_sg{i}") for i in range(levels)
         ]
-        stats = stepped.groupBy("grid_cell", "_path").agg(*agg).collect()
+        stats = (
+            narrow.select("grid_cell", st.alias("_st"))
+            .where(F.col("_st.path").isNotNull())
+            .select(
+                "grid_cell",
+                F.col("_st.path").alias("_path"),
+                F.col("_st.sg").alias("_sg"),
+            )
+            .groupBy("grid_cell", "_path")
+            .agg(*agg)
+            .collect()
+        )
         by_node: dict[tuple[int, str], list] = {}
         for r in stats:
-            by_node.setdefault((int(r["grid_cell"]), r["_path"][: -levels] or ""), []).append(r)
+            by_node.setdefault(
+                (int(r["grid_cell"]), r["_path"][:round_depth]), []
+            ).append(r)
 
         next_active: dict[tuple[int, str], tuple[tuple, int, int]] = {}
 
@@ -546,29 +655,20 @@ def _quadtree_distributed(
             _process(cell, path, box, depth, cnt, by_node.get((cell, path), []), 0)
 
         active = next_active
-        if active:
-            keys = [f"{c}:{p}" for (c, p) in active]
-            key_col = F.concat(F.col("grid_cell").cast("string"), F.lit(":"), F.col("_path"))
-            settled_parts.append(stepped.where(~key_col.isin(keys)).drop("_sg"))
-            cur = stepped.where(key_col.isin(keys)).drop("_sg")
-        else:
-            settled_parts.append(stepped.drop("_sg"))
+        round_depth += levels
 
-    settled = settled_parts[0]
-    for p in settled_parts[1:]:
-        settled = settled.unionByName(p)
-
-    # ---- tag rows with their decided node (leaf | divide input)
+    # ---- tag every row with its decided node (map-only, stateless)
     decided: dict[int, dict[str, bool]] = {}
     for (c, p) in leaves:
         decided.setdefault(c, {})[p] = True
     for (c, p) in phase_b:
         decided.setdefault(c, {})[p] = False
-    tagged = settled.withColumn(
-        "_nd", _node_tag_udf(decided)("grid_cell", "_path")
-    ).withColumn("_node", F.col("_nd.node")).withColumn(
-        "_leafish", F.col("_nd.is_leaf")
-    ).drop("_nd", "_path")
+    tag = _node_tag_udf(root_boxes, decided)(
+        "grid_cell", "minx", "miny", "maxx", "maxy", "kind"
+    )
+    tagged = big.withColumn("_nd", tag).withColumn(
+        "_node", F.col("_nd.node")
+    ).withColumn("_leafish", F.col("_nd.is_leaf")).drop("_nd")
 
     leaf_rows = tagged.where(F.col("_leafish")).withColumnRenamed("_node", "_leaf") \
         .drop("_leafish")
@@ -577,25 +677,18 @@ def _quadtree_distributed(
     div_in = tagged.where(~F.col("_leafish")).drop("_leafish")
     pb_schema = StructType(
         [f for f in big.schema.fields]
-        + [
-            StructField("_leaf", StringType(), False),
-            StructField("lminx", DoubleType(), False),
-            StructField("lminy", DoubleType(), False),
-            StructField("lmaxx", DoubleType(), False),
-            StructField("lmaxy", DoubleType(), False),
-        ]
+        + [StructField("_leaf", StringType(), False)]
     )
     pb_map = {f"{c}:{p}": (box, d) for (c, p), (box, d) in phase_b.items()}
 
-    def _divide_node(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        cell, node = int(key[0]), key[1]
+    def _run_divide(cell, node, pdf):
         box, depth = pb_map[f"{cell}:{node}"]
         if len(pdf) > budget:
             raise RuntimeError(
                 f"quadtree node {cell}:{node!r} materialized {len(pdf)} rows "
                 f"> pandas budget {budget}"
             )
-        buckets = divide(
+        return divide(
             n,
             tuple(float(v) for v in box),
             pdf["minx"].to_numpy(), pdf["miny"].to_numpy(),
@@ -604,35 +697,54 @@ def _quadtree_distributed(
             depth_limit=depth_limit - depth,
             return_paths=True,
         )
+
+    def _divide_node(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cell, node = int(key[0]), key[1]
+        buckets = _run_divide(cell, node, pdf)
         pdf = pdf.drop(columns=["_node"]).reset_index(drop=True)
         leaf_col = np.empty(len(pdf), dtype=object)
-        bbox_cols = np.zeros((len(pdf), 4), dtype=np.float64)
-        for bbox, idx, lpath in buckets:
+        for _bbox, idx, lpath in buckets:
             leaf_col[idx] = node + lpath
-            bbox_cols[idx, 0] = bbox[0]
-            bbox_cols[idx, 1] = bbox[1]
-            bbox_cols[idx, 2] = bbox[2]
-            bbox_cols[idx, 3] = bbox[3]
         pdf["_leaf"] = leaf_col
-        pdf["lminx"] = bbox_cols[:, 0]
-        pdf["lminy"] = bbox_cols[:, 1]
-        pdf["lmaxx"] = bbox_cols[:, 2]
-        pdf["lmaxy"] = bbox_cols[:, 3]
         return pdf
 
     div_rows = div_in.groupBy("grid_cell", "_node").applyInPandas(_divide_node, pb_schema)
-    div_rows = div_rows.localCheckpoint(eager=True)  # phase-B runs once:
-    # consumed twice below (leaf metadata collect + the renumber join)
+
+    # ---- leaf metadata for renumbering: a second divide pass over the
+    # NARROW projection emits one row per leaf (tiny output — bucket
+    # metadata, not row data); this costs one extra bounded divide per
+    # node but keeps the whole operator cache-free and lazily composable
+    meta_schema = StructType([
+        StructField("grid_cell", IntegerType(), False),
+        StructField("_leaf", StringType(), False),
+        StructField("lminx", DoubleType(), False),
+        StructField("lminy", DoubleType(), False),
+        StructField("lmaxx", DoubleType(), False),
+        StructField("lmaxy", DoubleType(), False),
+    ])
+
+    def _divide_meta(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cell, node = int(key[0]), key[1]
+        buckets = _run_divide(cell, node, pdf)
+        return pd.DataFrame({
+            "grid_cell": [cell] * len(buckets),
+            "_leaf": [node + lp for _b, _i, lp in buckets],
+            "lminx": [float(b[0]) for b, _i, _lp in buckets],
+            "lminy": [float(b[1]) for b, _i, _lp in buckets],
+            "lmaxx": [float(b[2]) for b, _i, _lp in buckets],
+            "lmaxy": [float(b[3]) for b, _i, _lp in buckets],
+        })
+
+    narrow_div = div_in.select("grid_cell", "_node", "minx", "miny", "maxx", "maxy", "kind")
+    pb_meta = narrow_div.groupBy("grid_cell", "_node").applyInPandas(
+        _divide_meta, meta_schema
+    )
 
     # ---- renumber leaves per cell in reference emission order
     per_cell: dict[int, dict[str, tuple]] = {}
     for (c, p), box in leaves.items():
         per_cell.setdefault(c, {})[p] = tuple(float(v) for v in box)
-    for r in (
-        div_rows.select("grid_cell", "_leaf", "lminx", "lminy", "lmaxx", "lmaxy")
-        .distinct()
-        .collect()
-    ):
+    for r in pb_meta.collect():
         per_cell.setdefault(int(r["grid_cell"]), {})[r["_leaf"]] = (
             r["lminx"], r["lminy"], r["lmaxx"], r["lmaxy"],
         )
@@ -651,15 +763,9 @@ def _quadtree_distributed(
         div_rows.select(*feature_cols, "_leaf")
     )
     out_cols = feature_cols + ["bucket", "bminx", "bminy", "bmaxx", "bmaxy"]
-    out = all_rows.join(num_df, ["grid_cell", "_leaf"]).select(*out_cols)
-    # release phase-A round checkpoints once consumers are checkpointed
-    out = out.localCheckpoint(eager=True)
-    for ck in round_checkpoints + [div_rows]:
-        try:
-            ck.unpersist()
-        except Exception:
-            pass
-    return out
+    # broadcast: num_df is bucket METADATA (#buckets rows), so the big
+    # side never shuffles here — map-side join only
+    return all_rows.join(F.broadcast(num_df), ["grid_cell", "_leaf"]).select(*out_cols)
 
 
 # ------------------------------------------------------------- salting
