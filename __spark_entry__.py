@@ -883,6 +883,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return simhash_pairs(d, max_hamming=3)
     q["simhash_dups"] = simhash_dups
 
+    def dup_components(spark, sf):
+        # EXACT transitive duplicate clustering: simhash near-dup pairs
+        # (themselves oracle-exact) collapsed via distributed
+        # connected components (min-label propagation with pointer
+        # doubling); oracle = recursive-CTE reachability closure over
+        # the same SQL pair set. Catches transitive duplicates the
+        # one-hop dedup rule misses (A~B, B~C, A!~C ⇒ one cluster).
+        from ingest_spark.operators.dedup import duplicate_components, simhash_pairs
+        d = _t(spark, sf, "documents")
+        pairs = simhash_pairs(d, max_hamming=3)
+        return duplicate_components(d, pairs)
+    q["dup_components"] = dup_components
+
     def embedding_cosine(spark, sf):
         from ingest_spark.operators.dedup import embedding_cosine_pairs
         emb = _t(spark, sf, "embeddings")
@@ -1361,6 +1374,21 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_oracle_sql(
             k=5, n_planes=4, n_probe=5, n_tables=8
         ),
+        "dup_components": f"""
+            WITH RECURSIVE sp AS ({_simhash_oracle_sql(max_hamming=3)}),
+            edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM sp
+              UNION SELECT doc_b, doc_a FROM sp
+            ),
+            reach(node, lab) AS (
+              SELECT s, s FROM edges
+              UNION
+              SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+            ),
+            comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY 1)
+            SELECT doc.doc_id, COALESCE(c.component, doc.doc_id) AS component
+            FROM documents doc LEFT JOIN comp c ON c.node = doc.doc_id
+        """,
         "georender_features": _georender_oracle_sql(),
         "fingerprint_rolling": """
             SELECT doc_id,

@@ -149,6 +149,94 @@ def dedup_minhash(
     return docs.join(losers, id_col, "left_anti")
 
 
+# ---------------------------------------------- connected components
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """EXACT duplicate clustering: (node, component) where component =
+    the minimum node id reachable over the (undirected) edge set — the
+    distributed union-find the one-hop dedup approximations lack
+    (transitive duplicates: A~B, B~C but A!~C still form one cluster).
+
+    Plan: min-label propagation with POINTER DOUBLING — each round
+    first propagates the neighborhood minimum (one shuffle on the edge
+    key), then shortcuts every label to its label's label (one self-
+    join), so convergence is O(log diameter) rounds rather than
+    O(diameter). Each round is two equi-joins + one aggregate on a
+    2-column frame; convergence is detected with a one-row count of
+    changed labels. Duplicate clusters in web corpora have tiny
+    diameters, so this is 2-3 rounds in practice; ``max_rounds`` is a
+    pathological-chain backstop (raises rather than returning a wrong
+    answer).
+    """
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    ).distinct()
+    labels = sym.select(F.col("s").alias("node")).distinct().withColumn(
+        "lab", F.col("node")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_rounds):
+        # neighborhood minimum (incl. own label)
+        nbr = sym.join(labels.withColumnRenamed("node", "d"), "d").select(
+            F.col("s").alias("node"), "lab"
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+        )
+        # pointer doubling: lab -> lab's lab
+        short = new.join(
+            new.select(F.col("node").alias("lab"), F.col("lab").alias("_ll")),
+            "lab",
+        ).select("node", F.col("_ll").alias("lab"))
+        # one materialization per round (truncates lineage; 2 narrow
+        # columns only, so the footprint is tiny relative to the data)
+        short = short.localCheckpoint(eager=True)
+        changed = (
+            short.join(labels.withColumnRenamed("lab", "_old"), "node")
+            .where(F.col("lab") != F.col("_old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = short
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    return labels.select("node", F.col("lab").alias("component"))
+
+
+def duplicate_components(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+) -> DataFrame:
+    """(doc_id, component) over ALL docs: near-dup pairs (any family —
+    minhash/simhash/ngram) collapse into exact transitive clusters via
+    connected_components; unpaired docs are their own singleton
+    component. The exact replacement for the one-hop dedup rule:
+    keep doc_id == component."""
+    comp = connected_components(pairs, src=pair_a, dst=pair_b)
+    return (
+        docs.select(F.col(id_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("component"),
+        )
+    )
+
+
 # ---------------------------------------------------------- simhash
 
 def _simhash_udf():

@@ -194,6 +194,25 @@ def stream_tile_maintenance(
     return w.start()
 
 
+def stream_dedup_exact(
+    pages: DataFrame,
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup over a page stream: drop every page whose
+    text fingerprint was already seen within the watermark horizon.
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state (old
+    fingerprints are evicted once the watermark passes them) — the
+    streaming face of operators.dedup.dedup_exact, for continuous
+    training-data ingestion where an unbounded seen-set would OOM the
+    state store."""
+    fp = pages.withColumn(
+        "_fp", F.md5(F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8"))
+    ).withWatermark(ts_col, watermark)
+    return fp.dropDuplicatesWithinWatermark(["_fp"]).drop("_fp")
+
+
 _HOT_STATE_SCHEMA = StructType([StructField("count", LongType(), False)])
 _HOT_OUT_SCHEMA = StructType([
     StructField("hex_cell", LongType(), False),

@@ -371,3 +371,38 @@ class TestSnapshotBackendSeam:
             ),
         )
         assert pages_fingerprint(p1) != pages_fingerprint(p2)
+
+
+class TestStreamDedup:
+    def test_stream_dedup_exact_drops_repeats(self, spark, tmp_path):
+        from ingest_spark.streaming.stream import PAGES_SCHEMA, stream_dedup_exact
+
+        src = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        ck = str(tmp_path / "ck")
+        rows = [
+            ("u1", 1_580_000_000, b"<x>", "same text", "en"),
+            ("u2", 1_580_000_100, b"<x>", "same text", "en"),  # dup
+            ("u3", 1_580_000_200, b"<x>", "other text", "en"),
+            ("u4", 1_580_000_300, b"<x>", "same text", "en"),  # dup
+        ]
+        from pyspark.sql import functions as F
+        spark.createDataFrame(
+            [(u, t, h, x, l) for u, t, h, x, l in rows],
+            "url string, warc_ts long, html binary, text string, lang string",
+        ).withColumn("warc_ts", F.timestamp_seconds("warc_ts")) \
+            .write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema(PAGES_SCHEMA)
+            .option("maxFilesPerTrigger", 8).parquet(src)
+        )
+        (
+            stream_dedup_exact(stream)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ck)
+            .outputMode("append").trigger(availableNow=True)
+            .start().awaitTermination(120)
+        )
+        got = sorted(r.text for r in spark.read.parquet(out).collect())
+        assert got == ["other text", "same text"]

@@ -369,3 +369,47 @@ class TestNgramPrefixFilterProperty:
             if j >= t:
                 want.add((a, b))
         assert got == want
+
+
+class TestConnectedComponents:
+    def test_transitive_clusters_and_singletons(self, spark):
+        from ingest_spark.operators.dedup import (
+            connected_components, duplicate_components,
+        )
+        from pyspark.sql import functions as F
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 5), (5, 6), (10, 11)], "src long, dst long"
+        )
+        comp = {r.node: r.component for r in connected_components(edges).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 5, 10: 10, 11: 10}
+
+        docs = spark.createDataFrame([(i,) for i in range(1, 13)], "doc_id long")
+        pairs = edges.withColumnRenamed("src", "doc_a").withColumnRenamed("dst", "doc_b")
+        dc = {r.doc_id: r.component for r in duplicate_components(docs, pairs).collect()}
+        assert dc[4] == 4 and dc[12] == 12  # singletons
+        assert dc[3] == 1 and dc[6] == 5
+
+    def test_long_chain_pointer_doubling(self, spark):
+        """A 200-node path graph converges within the round bound only
+        because of pointer doubling (plain propagation would need ~200
+        rounds); result must still be exact min-label."""
+        from ingest_spark.operators.dedup import connected_components
+
+        n = 200
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "src long, dst long"
+        )
+        out = connected_components(edges, max_rounds=12)
+        comps = {r.component for r in out.collect()}
+        assert comps == {0}
+        assert out.count() == n + 1
+
+    def test_exact_vs_onehop_difference(self, spark):
+        """The scenario one-hop dedup gets wrong: A~B and B~C without
+        A~C. Components must merge all three."""
+        from ingest_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame([(30, 20), (20, 10)], "src long, dst long")
+        comp = {r.node: r.component for r in connected_components(edges).collect()}
+        assert comp == {10: 10, 20: 10, 30: 10}
