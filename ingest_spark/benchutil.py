@@ -32,13 +32,19 @@ def timed_median(
     runs: int = 3,
     steal_gate: float = 0.25,
     max_attempts: int | None = None,
+    run_metrics=None,
 ):
     """Median wall seconds over ``runs`` clean executions of ``fn``.
 
     A run with avg stolen cores > ``steal_gate`` is logged as discarded
     and retried (while attempts remain — the last attempts always count
     so a permanently-noisy host still yields a number, flagged in the
-    log). Returns (median_seconds, run_log).
+    log). ``run_metrics(s0, s1, wall) -> dict`` optionally folds extra
+    per-run observations (e.g. achieved parallelism from the same
+    /proc/stat samples) into each log record. This is THE shared
+    protocol — bench.py and jobs/scaling_bench.py both call it, so the
+    retry-budget and discard rules cannot drift between them.
+    Returns (median_seconds, run_log).
     """
     max_attempts = max_attempts if max_attempts is not None else runs + 3
     walls: list[float] = []
@@ -50,8 +56,11 @@ def timed_median(
         t0 = time.time()
         fn()
         wall = time.time() - t0
-        sc = steal_cores(s0, read_proc_stat(), wall)
+        s1 = read_proc_stat()
+        sc = steal_cores(s0, s1, wall)
         rec = {"wall": round(wall, 3), "steal_cores": round(sc, 3)}
+        if run_metrics is not None:
+            rec.update(run_metrics(s0, s1, wall))
         can_retry = attempts < max_attempts and (max_attempts - attempts) >= (
             runs - len(walls)
         )

@@ -148,6 +148,15 @@ def hyperplane_codes_int(
     mat = np.asarray(mat, dtype=np.float64)
     planes = int_hyperplanes(n_planes, mat.shape[1], seed)
     vq = np.floor(mat * _LSH_Q + 0.5).astype(np.int64)
+    # int64 matmul wraps SILENTLY on overflow while the DuckDB twin sums
+    # in HUGEINT — guard the bound so divergence is an error, not a
+    # wrong candidate set (normalize embeddings if this ever fires)
+    bound = float(np.abs(vq).max(initial=0)) * float(np.abs(planes).max()) * mat.shape[1]
+    if bound >= 2**62:
+        raise OverflowError(
+            "hyperplane_codes_int: |dot| bound exceeds int64 — "
+            "normalize or scale down the embedding components"
+        )
     bits = (vq @ planes.T) > 0  # (n, n_planes)
     weights = (1 << np.arange(n_planes)).astype(np.int64)
     return bits @ weights

@@ -106,7 +106,15 @@ def minhash_lsh_pairs(
     not recompute for the band explode and both re-attach sides; its
     blocks are released by the ContextCleaner when the plan is GC'd
     (no session-lifetime persist)."""
-    sigs = with_minhash(docs, cfg, id_col, text_col).localCheckpoint(eager=True)
+    # one signature row per id: a duplicated input id would otherwise
+    # multiply deduped candidate pairs back out through the re-attach
+    # joins (signatures are a pure function of text, so with genuinely
+    # unique ids this is a no-op)
+    sigs = (
+        with_minhash(docs, cfg, id_col, text_col)
+        .dropDuplicates([id_col])
+        .localCheckpoint(eager=True)
+    )
     banded = sigs.select(
         F.col(id_col).alias("doc"),
         F.posexplode(_bands_udf(cfg.minhash_bands)("minhash")).alias("band_idx", "band_hash"),
@@ -173,9 +181,12 @@ def connected_components(
     pathological-chain backstop (raises rather than returning a wrong
     answer).
     """
+    # materialize the symmetrized edges ONCE: they sit on the probe side
+    # of every round's joins, and the upstream pair pipeline (a banded
+    # LSH self-join for dup_components) must not re-execute per round
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     labels = sym.select(F.col("s").alias("node")).distinct().withColumn(
         "lab", F.col("node")
     ).localCheckpoint(eager=True)

@@ -144,13 +144,11 @@ def _encode_point_udf(
     and a property test in test_functions.py."""
     import numpy as np
 
-    ids = tg.type_ids()
     po = tg.place_other_id()
     n = len(osm_id)
 
     # F1 classify: key.value → id, else key.other → id, else place.other
-    ft = (k + "." + v.fillna("\x00")).map(ids)
-    ft = ft.fillna((k + ".other").map(ids)).fillna(po).astype("int64")
+    ft = _classify_series(k, v)
     # F2 (place.other) + F9 (nulls that the scalar path dropped via
     # exceptions: missing id/coords)
     valid = (

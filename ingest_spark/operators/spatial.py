@@ -373,22 +373,25 @@ def knn_join(
         F.sum(F.when(is_pass2, 1).otherwise(0)).alias("np2"),
         F.sum(F.when(is_brute, 1).otherwise(0)).alias("nbr"),
     ).first()
+    n_res, n_p2, n_br = (tri[c] or 0 for c in ("nres", "np2", "nbr"))
 
     parts: list[DataFrame] = []
-    if tri["np2"] == 0 and tri["nbr"] == 0:
+    if n_p2 == 0 and n_br == 0:
+        # covers the empty-queries case too: topk1 is then empty with
+        # the right schema
         parts.append(topk1.select("_qid", "_pid", "dist", "rank"))
-    elif tri["nres"] > 0:
+    elif n_res > 0:
         parts.append(
             topk1.join(st.where(resolved).select("_qid"), "_qid", "inner").select(
                 "_qid", "_pid", "dist", "rank"
             )
         )
-    if tri["np2"] > 0:
+    if n_p2 > 0:
         pass2_q = st.where(is_pass2).select(
             "_qid", "_qx", "_qy", "_qcell", need_ring.alias("_ring")
         )
         parts.append(_probe(pass2_q).select("_qid", "_pid", "dist", "rank"))
-    if tri["nbr"] > 0:
+    if n_br > 0:
         brute_q = st.where(is_brute).select("_qid", "_qx", "_qy")
         parts.append(_topk(brute_q.crossJoin(pts)).select("_qid", "_pid", "dist", "rank"))
 

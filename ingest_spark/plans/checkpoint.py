@@ -77,10 +77,26 @@ class ParquetManifestBackend(SnapshotBackend):
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
 
+    def _recover(self, path):
+        """Heal a crash between merge_overwrite's two renames: if the
+        live dir is missing/incomplete but the backup is complete,
+        restore it (same recovery the streaming tile swap does)."""
+        backup = path + "._merge_old"
+        if not os.path.exists(os.path.join(path, "_SUCCESS")) and os.path.exists(
+            os.path.join(backup, "_SUCCESS")
+        ):
+            if os.path.exists(path):
+                import shutil
+
+                shutil.rmtree(path)
+            os.rename(backup, path)
+
     def read(self, spark, path):
+        self._recover(path)
         return spark.read.parquet(path)
 
     def is_complete(self, path):
+        self._recover(path)
         return os.path.exists(os.path.join(path, "_SUCCESS"))
 
     def merge_overwrite(self, spark, path, delete_keys, insert_rows, key="id"):
@@ -95,8 +111,8 @@ class ParquetManifestBackend(SnapshotBackend):
         backup = path + "._merge_old"
         if os.path.exists(backup):
             shutil.rmtree(backup)
-        os.rename(path, backup)
-        os.rename(staging, path)
+        os.rename(path, backup)  # crash after this line is healed by
+        os.rename(staging, path)  # _recover() on the next read
         shutil.rmtree(backup)
         return self.read(spark, path)
 

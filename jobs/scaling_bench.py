@@ -158,28 +158,17 @@ else:
                .sortWithinPartitions("hex_cell", "id")
                .write.mode("overwrite").parquet(f"/dev/shm/_scaling_out_{cpus}"))
 
-from ingest_spark.benchutil import read_proc_stat, steal_cores  # shared protocol
+from ingest_spark.benchutil import timed_median  # THE shared protocol
+
+def _par(s0, s1, wall):
+    d = [(b - a) / 100.0 for a, b in zip(s0, s1)]
+    return {"par": round((d[0] + d[2]) / wall, 1)}  # achieved busy cores
 
 job()  # warm-up, discarded
-runs = []
-clean = 0
-attempts = 0
-while clean < n_runs and attempts < n_runs + retries:
-    attempts += 1
-    s0 = read_proc_stat(); t0 = time.time()
-    job()
-    wall = time.time() - t0; s1 = read_proc_stat()
-    d = [(b - a) / 100.0 for a, b in zip(s0, s1)]
-    rec = {
-        "wall": round(wall, 3),
-        "steal_cores": round(steal_cores(s0, s1, wall), 3),
-        "par": round((d[0] + d[2]) / wall, 1),      # achieved busy cores
-    }
-    if rec["steal_cores"] > steal_gate:
-        rec["discarded"] = True  # noisy-neighbor burst: keep in log, retry
-    else:
-        clean += 1
-    runs.append(rec)
+_med, runs = timed_median(
+    job, runs=n_runs, steal_gate=steal_gate,
+    max_attempts=n_runs + retries, run_metrics=_par,
+)
 print(json.dumps({
     "cpus": cpus, "n_units": n_units, "runs": runs,
     "clean_times": [r["wall"] for r in runs if not r.get("discarded")],

@@ -406,3 +406,21 @@ class TestStreamDedup:
         )
         got = sorted(r.text for r in spark.read.parquet(out).collect())
         assert got == ["other text", "same text"]
+
+
+class TestMergeCrashRecovery:
+    def test_backup_restored_after_interrupted_swap(self, spark, tmp_path):
+        """Simulate a crash between merge_overwrite's two renames: the
+        live dir is gone, only the backup remains — the next read/
+        is_complete must heal the table."""
+        import os
+
+        from ingest_spark.plans.checkpoint import ParquetManifestBackend
+
+        backend = ParquetManifestBackend()
+        path = str(tmp_path / "tbl")
+        spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
+        os.rename(path, path + "._merge_old")  # crash window state
+        assert backend.is_complete(path)  # heals
+        assert {(r.id, r.v) for r in backend.read(spark, path).collect()} == {(1, "a")}
+        assert not os.path.exists(path + "._merge_old")

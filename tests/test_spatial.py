@@ -270,3 +270,19 @@ class TestBboxQuery:
         )
         got = {r.id for r in spatial.bbox_query(feats, 0.0, 0.0, 2.0, 2.0).collect()}
         assert got == {1, 3, 4}
+
+
+class TestKnnEdgeCases:
+    def test_empty_query_set(self, spark):
+        """Zero queries must yield an empty (qid, id, dist, rank) frame,
+        not a driver error (regression: the branch-pruning stat returns
+        NULL sums on an empty frame)."""
+        from ingest_spark.operators.spatial import knn_join
+
+        pts = spark.createDataFrame(
+            [(1, 0.0, 0.0), (2, 1.0, 1.0)], "id long, lon double, lat double"
+        )
+        qs = spark.createDataFrame([], "qid long, lon double, lat double")
+        out = knn_join(pts, qs, k=2, res=2)
+        assert out.count() == 0
+        assert set(out.columns) == {"qid", "id", "dist", "rank"}
