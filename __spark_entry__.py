@@ -948,6 +948,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return vt.select("tile_z", "tile_x", "tile_y", "n_features")
     q["vector_tiles"] = vector_tiles_q
 
+    def multimodal_frames(spark, sf):
+        # video frame-sampling PLAN over the deterministic synthetic
+        # media table (media bytes are opaque; the sampling/explode
+        # plumbing is the Spark-side substance) — oracle re-derives the
+        # generator arithmetic + sequence semantics in SQL
+        _ensure_shipped(spark)
+        from ingest_spark.operators.multimodal import frame_sample, synthetic_media
+        return frame_sample(synthetic_media(spark, n=500), every_ms=1000)
+    q["multimodal_frames"] = multimodal_frames
+
+    def multimodal_decode_shapes(spark, sf):
+        # decode plumbing cross-check: route image rows through the
+        # mapInPandas decode (deterministic fake codec — no imaging libs
+        # in this sandbox) and emit the SHAPE facts (height, width,
+        # tensor length) the oracle re-derives from the generator;
+        # pixel VALUES are pytest-tested (TestMultimodal)
+        _ensure_shipped(spark)
+        from ingest_spark.operators.multimodal import decode_image, synthetic_media
+        d = decode_image(synthetic_media(spark, n=500), fake=True)
+        return d.select(
+            "media_id", "height", "width", F.size("pixels").alias("n_px")
+        )
+    q["multimodal_decode_shapes"] = multimodal_decode_shapes
+
     def retile_incremental_q(spark, sf):
         # incremental vector-tile maintenance end-to-end: a deterministic
         # changeset (delete id%97, move id%31 east 7.3°, create a twin at
@@ -1463,6 +1487,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT qid, vec_id, ROUND(cos_raw, 4) AS cosine, rank
             FROM ranked WHERE rank <= 5
+        """,
+        "multimodal_frames": """
+            WITH m AS (
+              SELECT i AS media_id, 1000 + i % 9000 AS duration_ms
+              FROM (SELECT UNNEST(range(0, 500)) AS i) WHERE i % 3 = 2
+            ),
+            f AS (
+              SELECT media_id,
+                     UNNEST(range(0, GREATEST(duration_ms // 1000 - 1, 0) + 1)) AS fi
+              FROM m
+            )
+            SELECT media_id, fi::INT AS frame_idx, (fi * 1000)::INT AS ts_ms FROM f
+        """,
+        "multimodal_decode_shapes": """
+            SELECT i AS media_id,
+                   (16 + (i * 7) % 16)::INT AS height,
+                   (16 + i % 16)::INT AS width,
+                   ((16 + (i * 7) % 16) * (16 + i % 16) * 3)::INT AS n_px
+            FROM (SELECT UNNEST(range(0, 500)) AS i) WHERE i % 3 = 0
         """,
         "retile_incremental": f"""
             WITH base AS (SELECT id, lon, lat FROM {_POINTS_SQL} p),
