@@ -301,3 +301,66 @@ class TestQuadtreeDistributed:
         assert out.count() == 400
         buckets = out.groupBy("grid_cell", "bucket").count().collect()
         assert len(buckets) == 1 and buckets[0]["count"] == 400
+
+
+class TestQuadtreeDistributedProperty:
+    def test_randomized_parity(self, spark):
+        """Property check over randomized inputs/budgets: the
+        distributed pre-split must equal the single-worker recursion
+        EXACTLY (assignment, bucket ids, bboxes) for any mixture of
+        points/rects/duplicates and any budget."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        cfg = EngineConfig()
+
+        @settings(
+            max_examples=5,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            seed=st.integers(min_value=0, max_value=2**31 - 1),
+            bucket_max=st.integers(min_value=5, max_value=60),
+            budget_factor=st.integers(min_value=1, max_value=4),
+            n_dup=st.integers(min_value=0, max_value=120),
+        )
+        def run(seed, bucket_max, budget_factor, n_dup):
+            rng = np.random.default_rng(seed)
+            n_pts = 600
+            xs = rng.uniform(-5, 5, n_pts)
+            ys = rng.uniform(-5, 5, n_pts)
+            # a duplicate-coordinate cluster (exercises span guard /
+            # depth limits) + a few rects (interval kind)
+            xs[:n_dup] = 1.25
+            ys[:n_dup] = -0.75
+            rows = [
+                (int(i), 0, float(x), float(y), float(x), float(y))
+                for i, (x, y) in enumerate(zip(xs, ys))
+            ]
+            for i in range(20):
+                x0, y0 = rng.uniform(-5, 4, 2)
+                rows.append(
+                    (n_pts + i, 1, float(x0), float(y0),
+                     float(x0 + rng.uniform(0, 1)), float(y0 + rng.uniform(0, 1)))
+                )
+            feats = spark.createDataFrame(
+                rows,
+                "id long, kind tinyint, minx double, miny double, "
+                "maxx double, maxy double",
+            )
+            legacy = tiling.quadtree_partition(feats, cfg, gx=2, gy=2, bucket_max=bucket_max)
+            hybrid = tiling.quadtree_partition(
+                feats, cfg, gx=2, gy=2, bucket_max=bucket_max,
+                pandas_budget=bucket_max * budget_factor,
+            )
+
+            def key(df):
+                return {
+                    r.id: (r.grid_cell, r.bucket, r.bminx, r.bminy, r.bmaxx, r.bmaxy)
+                    for r in df.collect()
+                }
+
+            assert key(hybrid) == key(legacy)
+
+        run()
