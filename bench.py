@@ -132,7 +132,7 @@ def main() -> None:
     for name in [
         "pip_polygon_join", "knn_ring_expansion", "tile_xyz",
         "minhash_lsh", "ngram_jaccard", "ann_topk", "ann_lsh_topk",
-        "tpch_q1", "tpch_q5ish", "event_windows",
+        "dup_components", "tpch_q1", "tpch_q5ish", "event_windows",
     ]:
         timed(name, lambda n=name: q[n](spark, sf_dir).count())
 

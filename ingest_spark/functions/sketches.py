@@ -65,6 +65,30 @@ def hash_str(s: str, seed: int = 0) -> np.uint64:
     return h
 
 
+def hash_str_many(words: list) -> np.ndarray:
+    """Vectorized FNV-1a 64 over many strings — bit-identical to
+    ``hash_str`` (property-tested): the byte sequences are packed into
+    one padded matrix and the fold runs per byte POSITION (≈ max-length
+    vector ops instead of a Python loop per byte per word). The simhash
+    hot path hashes each unique token once through this."""
+    n = len(words)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    bs = [w.encode("utf-8") for w in words]
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
+    m = int(lens.max()) if n else 0
+    mat = np.zeros((n, m), dtype=np.uint64)
+    for i, b in enumerate(bs):
+        mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    p = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        for pos in range(m):
+            active = lens > pos
+            h[active] = (h[active] ^ mat[active, pos]) * p
+    return h
+
+
 def minhash_signature(shingle_hashes: np.ndarray, k: int = 64) -> np.ndarray:
     """k-permutation MinHash: sig_i = min over shingles of
     (a_i·x + b_i mod 2^61−1). Empty input → all-max signature."""

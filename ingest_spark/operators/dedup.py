@@ -253,10 +253,18 @@ def duplicate_components(
 def _simhash_udf():
     @F.pandas_udf(LongType())
     def _u(text: pd.Series) -> pd.Series:
+        # token hashes via the vectorized FNV kernel over the batch's
+        # UNIQUE tokens (zipf repetition makes this ~10-50x fewer
+        # hashes), then per-doc Charikar votes
+        docs_toks = [(t or "").lower().split() for t in text]
+        vocab: dict = {}
+        for toks in docs_toks:
+            for w in toks:
+                vocab.setdefault(w, len(vocab))
+        hashes = sk.hash_str_many(list(vocab))
         out = np.zeros(len(text), dtype=np.uint64)
-        for i, t in enumerate(text):
-            toks = (t or "").lower().split()
-            th = np.array([sk.hash_str(w) for w in toks], dtype=np.uint64)
+        for i, toks in enumerate(docs_toks):
+            th = hashes[[vocab[w] for w in toks]]
             out[i] = sk.simhash(th)
         return pd.Series(out.view(np.int64))
     return _u

@@ -186,3 +186,33 @@ class TestAreas:
         assert areas.relation_is_area({"type": "multipolygon", "natural": "water"}, 2)
         assert not areas.relation_is_area({"type": "route"}, 2)
         assert not areas.relation_is_area({"type": "multipolygon"}, 0)
+
+
+class TestHashStrMany:
+    def test_bit_identical_to_scalar(self):
+        import numpy as np
+
+        from ingest_spark.functions import sketches as sk
+
+        words = ["", "a", "the", "café", "straße", "x" * 100, "word", "Word", "éè"]
+        got = sk.hash_str_many(words)
+        want = np.array([sk.hash_str(w) for w in words], dtype=np.uint64)
+        assert (got == want).all()
+
+    def test_hypothesis_parity(self):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ingest_spark.functions import sketches as sk
+
+        @settings(max_examples=50, deadline=None)
+        @given(st.lists(st.text(max_size=40), max_size=30))
+        def run(words):
+            got = sk.hash_str_many(words)
+            want = np.array(
+                [sk.hash_str(w) for w in words], dtype=np.uint64
+            ).reshape(len(words))
+            assert (got == want).all()
+
+        run()
