@@ -44,19 +44,31 @@ def _ensure_shipped(spark: SparkSession) -> None:
     key = id(spark.sparkContext)
     if key in _SHIPPED:
         return
+    import hashlib
     import os
     import zipfile
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    zip_path = "/tmp/_ingest_spark_pyfiles.zip"
+    pkg = os.path.join(repo, "ingest_spark")
+    # content-addressed zip name: a stale cached zip from an earlier
+    # code version must never ship (addPyFile paths can shadow fresh
+    # modules on executors)
+    h = hashlib.sha256()
+    srcs = []
+    for root, _dirs, files in os.walk(pkg):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                srcs.append(full)
+    for full in sorted(srcs):
+        h.update(full.encode())
+        with open(full, "rb") as f:
+            h.update(f.read())
+    zip_path = f"/tmp/_ingest_spark_pyfiles_{h.hexdigest()[:16]}.zip"
     if not os.path.exists(zip_path):
         with zipfile.ZipFile(zip_path, "w") as zf:
-            pkg = os.path.join(repo, "ingest_spark")
-            for root, _dirs, files in os.walk(pkg):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        zf.write(full, os.path.relpath(full, repo))
+            for full in sorted(srcs):
+                zf.write(full, os.path.relpath(full, repo))
     spark.sparkContext.addPyFile(zip_path)
     _SHIPPED.add(key)
 
@@ -774,6 +786,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spatial.point_in_polygon_join(pts, polys).select("id", "polygon_id")
     q["pip_polygon_join"] = pip_polygon_join
 
+    def pip_grid_join(spark, sf):
+        # the NON-broadcast scale path: both sides keyed by hex cell
+        # (polygon bbox covering set × point cell equi-join) — same
+        # result set as the broadcast PIP, so it shares the exact
+        # even-odd SQL oracle
+        from ingest_spark.operators import spatial
+        pts = _points(spark, sf)
+        polys = spatial.make_polygons_df(spark, _POLYGONS)
+        out = spatial.point_in_polygon_grid_join(pts, polys, res=4)
+        return out.select("id", "polygon_id")
+    q["pip_grid_join"] = pip_grid_join
+
+    def asof_join_q(spark, sf):
+        # backward-inclusive as-of join (one-shuffle window plan, no
+        # range explode) — oracled by DuckDB's native ASOF LEFT JOIN.
+        # Right side deduped per (user_id, ts) (the determinism
+        # precondition both engines share)
+        from ingest_spark.operators.temporal import asof_join
+        e = _t(spark, sf, "events")
+        left = e.select("event_id", "user_id", "ts")
+        right = (
+            e.where(F.col("event_id") % 7 == 0)
+            .groupBy("user_id", "ts")
+            .agg(F.min("event_id").alias("ref_id"))
+        )
+        return asof_join(left, right, on="ts", by="user_id").select(
+            "event_id", "user_id", "ref_id"
+        )
+    q["asof_join"] = asof_join_q
+
     def knn_ring_expansion(spark, sf):
         from ingest_spark.config import EngineConfig
         from ingest_spark.operators.spatial import knn_join
@@ -1321,6 +1363,25 @@ def oracle_sql() -> dict[str, str]:
              AND p.lon < (e.px - e.cx) * (p.lat - e.cy) / (e.py - e.cy) + e.cx
             GROUP BY p.id, e.polygon_id
             HAVING COUNT(*) % 2 = 1
+        """,
+        "pip_grid_join": f"""
+            WITH edges(polygon_id, cx, cy, px, py) AS (VALUES {edges})
+            SELECT p.id, e.polygon_id
+            FROM {_POINTS_SQL} p
+            JOIN edges e
+              ON ((e.cy > p.lat) != (e.py > p.lat))
+             AND p.lon < (e.px - e.cx) * (p.lat - e.cy) / (e.py - e.cy) + e.cx
+            GROUP BY p.id, e.polygon_id
+            HAVING COUNT(*) % 2 = 1
+        """,
+        "asof_join": """
+            WITH r AS (
+              SELECT user_id, ts, MIN(event_id) AS ref_id
+              FROM events WHERE event_id % 7 = 0 GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, r.ref_id
+            FROM events e ASOF LEFT JOIN r
+              ON e.user_id = r.user_id AND e.ts >= r.ts
         """,
         "knn_ring_expansion": f"""
             WITH pts AS (SELECT * FROM {_POINTS_SQL} p),

@@ -205,6 +205,49 @@ def point_in_polygon_join(
     raise ValueError(f"unsupported join type: {how}")
 
 
+def point_in_polygon_grid_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int = 4,
+    point_x: str = "lon",
+    point_y: str = "lat",
+) -> DataFrame:
+    """Big-big PIP join — the NON-broadcast scale path for when the
+    polygon table itself is too large for a broadcast hash table:
+    polygons explode to the hex covering set of their bbox at ``res``
+    (cells whose center could own a contained point — hex_cover_bbox's
+    one-cell pad guarantees no point escapes the cover), points take
+    their single cell as a pure Catalyst expression, and an equi-join
+    on cell id bounds candidates to co-located pairs (shuffle-partition
+    friendly; hot cells behave like any skewed equi-join key and AQE's
+    skew splitting applies). The exact even-odd ray cast then gates the
+    result — identical rows to point_in_polygon_join (points are
+    single-assigned to one cell, so no dedup is needed; equality is
+    pytest-asserted)."""
+    @F.pandas_udf(ArrayType(LongType()))
+    def _cover(pminx: pd.Series, pminy: pd.Series, pmaxx: pd.Series, pmaxy: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                cell_fn.hex_cover_bbox(float(a), float(b), float(c), float(d), res)
+                for a, b, c, d in zip(pminx, pminy, pmaxx, pmaxy)
+            ]
+        )
+
+    polys = polygons.withColumn(
+        "_cell", F.explode(_cover("pminx", "pminy", "pmaxx", "pmaxy"))
+    )
+    px = F.col(point_x)
+    py = F.col(point_y)
+    pts = points.withColumn(
+        "_cell", _hex_col(px.cast("double"), py.cast("double"), res)
+    )
+    cand = pts.join(polys, "_cell").where(
+        (px >= F.col("pminx")) & (px <= F.col("pmaxx"))
+        & (py >= F.col("pminy")) & (py <= F.col("pmaxy"))
+    )
+    return cand.where(_pip_udf(px, py, F.col("ring_x"), F.col("ring_y"))).drop("_cell")
+
+
 def make_polygons_df(spark, polys: list[dict]) -> DataFrame:
     """Helper: [{'polygon_id', 'name', 'ring': [(lon,lat), …]}] →
     broadcast-ready polygon DataFrame with bbox prefilter columns."""

@@ -286,3 +286,81 @@ class TestKnnEdgeCases:
         out = knn_join(pts, qs, k=2, res=2)
         assert out.count() == 0
         assert set(out.columns) == {"qid", "id", "dist", "rank"}
+
+
+class TestPipGridJoin:
+    def test_equals_broadcast_path(self, spark):
+        """The big-big grid-partitioned PIP must return the exact rows
+        of the broadcast PIP for any input."""
+        import numpy as np
+
+        from ingest_spark.operators import spatial
+
+        rng = np.random.default_rng(31)
+        pts = spark.createDataFrame(
+            [(int(i), float(x), float(y)) for i, (x, y) in enumerate(
+                zip(rng.uniform(-120, 120, 3000), rng.uniform(-60, 60, 3000)))],
+            "id long, lon double, lat double",
+        )
+        polys = spatial.make_polygons_df(spark, [
+            {"polygon_id": 1, "name": "rect",
+             "ring": [(-90.0, -45.0), (0.0, -45.0), (0.0, 45.0), (-90.0, 45.0)]},
+            {"polygon_id": 2, "name": "tri",
+             "ring": [(10.0, -60.0), (110.0, -60.0), (60.0, 55.0)]},
+            {"polygon_id": 3, "name": "sliver",
+             "ring": [(100.0, 10.0), (101.0, 10.0), (101.0, 11.0), (100.0, 11.0)]},
+        ])
+        grid = {
+            (r.id, r.polygon_id)
+            for r in spatial.point_in_polygon_grid_join(pts, polys, res=3)
+            .select("id", "polygon_id").collect()
+        }
+        bcast = {
+            (r.id, r.polygon_id)
+            for r in spatial.point_in_polygon_join(pts, polys)
+            .select("id", "polygon_id").collect()
+        }
+        assert grid == bcast and len(grid) > 0
+
+
+class TestAsofJoin:
+    def _tables(self, spark):
+        from pyspark.sql import functions as F
+        left = spark.createDataFrame(
+            [(1, 10, 100), (2, 10, 205), (3, 10, 304), (4, 20, 150), (5, 30, 500)],
+            "event_id long, user_id long, t long",
+        ).withColumn("ts", F.timestamp_seconds("t")).drop("t")
+        right = spark.createDataFrame(
+            [(10, 100, 7), (10, 205, 8), (10, 300, 9), (20, 200, 5)],
+            "user_id long, t long, ref long",
+        ).withColumn("ts", F.timestamp_seconds("t")).drop("t")
+        return left, right
+
+    def test_backward_inclusive_and_left_semantics(self, spark):
+        from ingest_spark.operators.temporal import asof_join
+
+        left, right = self._tables(spark)
+        out = {r.event_id: r.ref for r in asof_join(left, right, on="ts", by="user_id").collect()}
+        # t=100 matches the ref AT 100 (inclusive); 205 matches 205;
+        # 304 matches 300; user 20 at 150 predates its first ref -> null;
+        # user 30 has no refs -> null
+        assert out == {1: 7, 2: 8, 3: 9, 4: None, 5: None}
+
+    def test_tolerance_voids_stale_matches(self, spark):
+        from ingest_spark.operators.temporal import asof_join
+
+        left, right = self._tables(spark)
+        out = {
+            r.event_id: r.ref
+            for r in asof_join(left, right, on="ts", by="user_id", tolerance_sec=3).collect()
+        }
+        assert out == {1: 7, 2: 8, 3: None, 4: None, 5: None}
+
+    def test_column_collision_raises(self, spark):
+        import pytest as _pt
+
+        from ingest_spark.operators.temporal import asof_join
+
+        left, right = self._tables(spark)
+        with _pt.raises(ValueError):
+            asof_join(left, right.withColumnRenamed("ref", "event_id"), on="ts", by="user_id")
