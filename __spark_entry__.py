@@ -816,6 +816,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["asof_join"] = asof_join_q
 
+    def interval_join_q(spark, sf):
+        # fact-to-interval join via time-bucket equi-join (no nested
+        # loop); oracle = the plain BETWEEN join in SQL
+        from ingest_spark.operators.temporal import interval_join
+        e = _t(spark, sf, "events")
+        facts = e.select("event_id", "user_id", "ts")
+        iv = (
+            e.where(F.col("event_id") % 11 == 0)
+            .select(
+                F.col("event_id").alias("iv_id"),
+                "user_id",
+                F.col("ts").alias("start_ts"),
+                (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+            )
+        )
+        out = interval_join(facts, iv, by="user_id", bucket_sec=3600)
+        return out.select("event_id", "iv_id")
+    q["interval_join"] = interval_join_q
+
+    def sample_det(spark, sf):
+        # deterministic md5-threshold sampling (reproducible corpus
+        # selection — same keys survive in any engine); trivial exact
+        # SQL twin
+        from ingest_spark.operators.sampling import sample_deterministic
+        d = _t(spark, sf, "documents")
+        return sample_deterministic(d, 0.25, "doc_id").select("doc_id", "source")
+    q["sample_det"] = sample_det
+
+    def sample_stratified_q(spark, sf):
+        from ingest_spark.operators.sampling import sample_stratified
+        e = _t(spark, sf, "events")
+        out = sample_stratified(
+            e,
+            {"click": 0.1, "view": 0.5, "purchase": 1.0},
+            stratum_col="event_type",
+            key_col="event_id",
+            default_rate=0.02,
+        )
+        return out.groupBy("event_type").agg(F.count("*").alias("n_kept"))
+    q["sample_stratified"] = sample_stratified_q
+
     def knn_ring_expansion(spark, sf):
         from ingest_spark.config import EngineConfig
         from ingest_spark.operators.spatial import knn_join
@@ -1364,6 +1405,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p.id, e.polygon_id
             HAVING COUNT(*) % 2 = 1
         """,
+        "interval_join": """
+            WITH iv AS (
+              SELECT event_id AS iv_id, user_id, ts AS start_ts,
+                     ts + INTERVAL 2 HOUR AS end_ts
+              FROM events WHERE event_id % 11 = 0
+            )
+            SELECT e.event_id, iv.iv_id
+            FROM events e JOIN iv ON e.user_id = iv.user_id
+             AND e.ts >= iv.start_ts AND e.ts <= iv.end_ts
+        """,
+        "sample_det": _sample_det_sql(),
+        "sample_stratified": _sample_stratified_sql(),
         "pip_grid_join": f"""
             WITH edges(polygon_id, cx, cy, px, py) AS (VALUES {edges})
             SELECT p.id, e.polygon_id
@@ -1687,6 +1740,32 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE o_custkey % 10 = 0
         """,
     }
+
+
+def _sample_det_sql() -> str:
+    """Twin of operators.sampling.sample_deterministic(p=0.25, doc_id):
+    thresholds come from the SAME helper, so quantization is shared."""
+    from ingest_spark.operators.sampling import _hex_threshold
+
+    return f"""
+        SELECT doc_id, source FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{_hex_threshold(0.25)}'
+    """
+
+
+def _sample_stratified_sql() -> str:
+    from ingest_spark.operators.sampling import _hex_threshold
+
+    rates = {"click": 0.1, "view": 0.5, "purchase": 1.0}
+    vals = ",".join(f"('{k}','{_hex_threshold(v)}')" for k, v in sorted(rates.items()))
+    return f"""
+        WITH cuts(event_type, cut) AS (VALUES {vals})
+        SELECT e.event_type, COUNT(*) AS n_kept
+        FROM events e LEFT JOIN cuts c USING (event_type)
+        WHERE substring(md5(CAST(e.event_id AS VARCHAR)), 1, 8)
+              < COALESCE(c.cut, '{_hex_threshold(0.02)}')
+        GROUP BY 1
+    """
 
 
 def _quality_sql() -> str:

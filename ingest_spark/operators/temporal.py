@@ -76,3 +76,36 @@ def asof_join(
         for c in rcols:
             out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
     return out.drop("_m_on").select(*by_cols, on, *lcols, *rcols)
+
+
+def interval_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    by: "str | list[str] | None" = None,
+    bucket_sec: int = 3600,
+) -> DataFrame:
+    """Fact-to-interval join (``start <= ts <= end``, optionally within
+    a ``by`` key) — the 1-D analog of the grid PIP join.
+
+    A naive non-equi join plans as a nested-loop at scale; here both
+    sides are keyed into fixed time buckets (intervals EXPLODE to every
+    bucket they overlap, facts take one bucket), the equi-join on
+    (by, bucket) bounds candidates to co-located rows, and the exact
+    BETWEEN predicate gates the result. Facts are single-assigned to
+    one bucket so no dedup is needed. ``bucket_sec`` trades explode
+    fan-out (long intervals) against candidate density (busy buckets),
+    like the cell resolution of the spatial join.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by or [])
+    fb = F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_sec).cast("long")
+    s_b = F.floor(F.unix_timestamp(F.col(start_col)) / bucket_sec).cast("long")
+    e_b = F.floor(F.unix_timestamp(F.col(end_col)) / bucket_sec).cast("long")
+    iv = intervals.withColumn("_bkt", F.explode(F.sequence(s_b, e_b)))
+    fc = facts.withColumn("_bkt", fb)
+    cand = fc.join(iv, by_cols + ["_bkt"])
+    return cand.where(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    ).drop("_bkt")

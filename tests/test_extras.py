@@ -95,3 +95,91 @@ class TestStatefulStreaming:
             for r in batch.groupBy("hex_cell").count().where(F.col("count") >= 20).collect()
         }
         assert {r.hex_cell for r in rows} == want
+
+
+class TestIntervalJoin:
+    def test_equals_naive_nonequi_join(self, spark):
+        """Bucketed interval join must equal the naive BETWEEN join for
+        any bucket size (incl. intervals spanning many buckets and
+        facts on exact boundaries)."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from ingest_spark.operators.temporal import interval_join
+
+        rng = np.random.default_rng(17)
+        base = 1_600_000_000
+        facts = spark.createDataFrame(
+            [(int(i), int(rng.integers(1, 4)), base + int(rng.integers(0, 90000)))
+             for i in range(800)],
+            "fid long, k long, t long",
+        ).withColumn("ts", F.timestamp_seconds("t")).drop("t")
+        ivs = spark.createDataFrame(
+            [(int(i), int(rng.integers(1, 4)),
+              base + int(s := rng.integers(0, 80000)), base + int(s + rng.integers(0, 30000)))
+             for i in range(40)],
+            "iv_id long, k long, s long, e long",
+        ).withColumn("start_ts", F.timestamp_seconds("s")) \
+         .withColumn("end_ts", F.timestamp_seconds("e")).drop("s", "e")
+
+        naive = facts.join(
+            ivs, (facts.k == ivs.k)
+            & (facts.ts >= ivs.start_ts) & (facts.ts <= ivs.end_ts)
+        ).select("fid", "iv_id")
+        want = {(r.fid, r.iv_id) for r in naive.collect()}
+        for bucket in (600, 3600, 50000):
+            got = {
+                (r.fid, r.iv_id)
+                for r in interval_join(
+                    facts, ivs, by="k", bucket_sec=bucket
+                ).select("fid", "iv_id").collect()
+            }
+            assert got == want and len(got) > 0
+
+
+class TestDeterministicSampling:
+    def test_reproducible_and_rate(self, spark):
+        from ingest_spark.operators.sampling import sample_deterministic
+
+        df = spark.range(0, 20_000).withColumnRenamed("id", "k")
+        a = {r.k for r in sample_deterministic(df, 0.3, "k").collect()}
+        b = {r.k for r in sample_deterministic(df, 0.3, "k").collect()}
+        assert a == b  # deterministic
+        assert abs(len(a) / 20_000 - 0.3) < 0.02  # close to the rate
+        # nested property: a lower rate selects a SUBSET (same hash order)
+        c = {r.k for r in sample_deterministic(df, 0.1, "k").collect()}
+        assert c <= a
+
+    def test_salt_decorrelates(self, spark):
+        from ingest_spark.operators.sampling import sample_deterministic
+
+        df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+        a = {r.k for r in sample_deterministic(df, 0.5, "k").collect()}
+        b = {r.k for r in sample_deterministic(df, 0.5, "k", salt="v2").collect()}
+        overlap = len(a & b) / max(len(a), 1)
+        assert 0.3 < overlap < 0.7  # ~independent draws
+
+    def test_rate_edges(self, spark):
+        from ingest_spark.operators.sampling import sample_deterministic
+
+        df = spark.range(0, 500).withColumnRenamed("id", "k")
+        assert sample_deterministic(df, 0.0, "k").count() == 0
+        assert sample_deterministic(df, 1.0, "k").count() == 500
+
+    def test_stratified_rates(self, spark):
+        from pyspark.sql import functions as F
+
+        from ingest_spark.operators.sampling import sample_stratified
+
+        df = spark.range(0, 30_000).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 3 == 0, "a").when(F.col("id") % 3 == 1, "b")
+            .otherwise("c").alias("g"),
+        )
+        out = sample_stratified(
+            df, {"a": 1.0, "b": 0.2}, stratum_col="g", key_col="k", default_rate=0.0
+        )
+        counts = {r.g: r.n for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+        assert counts.get("a") == 10_000  # rate 1.0 keeps every row
+        assert abs(counts.get("b", 0) / 10_000 - 0.2) < 0.03
+        assert "c" not in counts  # default 0.0
