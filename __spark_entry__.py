@@ -844,6 +844,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sample_deterministic(d, 0.25, "doc_id").select("doc_id", "source")
     q["sample_det"] = sample_det
 
+    def sample_per_group_q(spark, sf):
+        # source/domain balancing: deterministic cap per source by
+        # md5-hash order; oracle = the same row_number window in SQL
+        from ingest_spark.operators.sampling import sample_per_group
+        d = _t(spark, sf, "documents")
+        out = sample_per_group(d, 30, group_col="source", key_col="doc_id")
+        return out.select("doc_id", "source")
+    q["sample_per_group"] = sample_per_group_q
+
     def sample_stratified_q(spark, sf):
         from ingest_spark.operators.sampling import sample_stratified
         e = _t(spark, sf, "events")
@@ -1416,6 +1425,16 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts >= iv.start_ts AND e.ts <= iv.end_ts
         """,
         "sample_det": _sample_det_sql(),
+        "sample_per_group": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 30
+        """,
         "sample_stratified": _sample_stratified_sql(),
         "pip_grid_join": f"""
             WITH edges(polygon_id, cx, cy, px, py) AS (VALUES {edges})

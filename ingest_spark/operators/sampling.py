@@ -46,6 +46,27 @@ def sample_deterministic(
     return df.where(_bucket(F.col(key_col), salt) < _hex_threshold(p))
 
 
+def sample_per_group(
+    df: DataFrame, n: int, group_col: str, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Deterministic per-group cap (source/domain balancing): keep at
+    most ``n`` rows per group, chosen by md5-hash order of the key
+    (stable across runs/engines; key as final tiebreak). One window
+    pass — a skewed hot group costs one sorted partition, same profile
+    as any per-key top-k."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(salt))).asc(),
+        F.col(key_col).asc(),
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
 def sample_stratified(
     df: DataFrame,
     rates: dict,

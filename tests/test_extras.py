@@ -183,3 +183,22 @@ class TestDeterministicSampling:
         assert counts.get("a") == 10_000  # rate 1.0 keeps every row
         assert abs(counts.get("b", 0) / 10_000 - 0.2) < 0.03
         assert "c" not in counts  # default 0.0
+
+
+class TestSamplePerGroup:
+    def test_cap_and_determinism(self, spark):
+        from pyspark.sql import functions as F
+
+        from ingest_spark.operators.sampling import sample_per_group
+
+        df = spark.range(0, 5000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+        )
+        a = sample_per_group(df, 10, "g", "k")
+        counts = {r.g: r.n for r in a.groupBy("g").agg(F.count("*").alias("n")).collect()}
+        assert all(v == 10 for v in counts.values()) and len(counts) == 7
+        b = sample_per_group(df, 10, "g", "k")
+        assert {(r.g, r.k) for r in a.collect()} == {(r.g, r.k) for r in b.collect()}
+        # groups smaller than the cap survive whole
+        tiny = df.where(F.col("k") < 3)
+        assert sample_per_group(tiny, 10, "g", "k").count() == 3
