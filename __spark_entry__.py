@@ -66,9 +66,13 @@ def _ensure_shipped(spark: SparkSession) -> None:
             h.update(f.read())
     zip_path = f"/tmp/_ingest_spark_pyfiles_{h.hexdigest()[:16]}.zip"
     if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
+        # atomic publish: a concurrent driver (bench + pytest in
+        # parallel) must never addPyFile a half-written zip
+        tmp = f"{zip_path}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
             for full in sorted(srcs):
                 zf.write(full, os.path.relpath(full, repo))
+        os.replace(tmp, zip_path)
     spark.sparkContext.addPyFile(zip_path)
     _SHIPPED.add(key)
 

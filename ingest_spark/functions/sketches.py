@@ -76,16 +76,30 @@ def hash_str_many(words: list) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     bs = [w.encode("utf-8") for w in words]
     lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
-    m = int(lens.max()) if n else 0
-    mat = np.zeros((n, m), dtype=np.uint64)
-    for i, b in enumerate(bs):
-        mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
     h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
     p = np.uint64(0x100000001B3)
+    # group by exact byte length: zero padding, O(total_bytes) work and
+    # memory — one pathological long token (base64 blob, minified JS)
+    # must not inflate an (n_words x max_len) matrix
+    order = np.argsort(lens, kind="stable")
     with np.errstate(over="ignore"):  # uint64 wraparound is the hash
-        for pos in range(m):
-            active = lens > pos
-            h[active] = (h[active] ^ mat[active, pos]) * p
+        start = 0
+        while start < n:
+            ln = int(lens[order[start]])
+            end = start
+            while end < n and lens[order[end]] == ln:
+                end += 1
+            idx = order[start:end]
+            start = end
+            if ln == 0:
+                continue
+            mat = np.frombuffer(
+                b"".join(bs[i] for i in idx), dtype=np.uint8
+            ).reshape(len(idx), ln).astype(np.uint64)
+            hh = h[idx]
+            for pos in range(ln):
+                hh = (hh ^ mat[:, pos]) * p
+            h[idx] = hh
     return h
 
 

@@ -211,6 +211,7 @@ def point_in_polygon_grid_join(
     res: int = 4,
     point_x: str = "lon",
     point_y: str = "lat",
+    max_cover: int = 50_000,
 ) -> DataFrame:
     """Big-big PIP join — the NON-broadcast scale path for when the
     polygon table itself is too large for a broadcast hash table:
@@ -223,7 +224,25 @@ def point_in_polygon_grid_join(
     skew splitting applies). The exact even-odd ray cast then gates the
     result — identical rows to point_in_polygon_join (points are
     single-assigned to one cell, so no dedup is needed; equality is
-    pytest-asserted)."""
+    pytest-asserted).
+
+    Both sides use the BUILTIN grid unconditionally (hex_cover_bbox has
+    no real-H3 analog, so mixing _hex_col's gated ids with builtin
+    covers would silently join nothing under SPARK_GRAFT_USE_H3=1 —
+    the cell here is an internal join key, not a user-facing index).
+    ``res`` auto-coarsens until the LARGEST polygon bbox covers at most
+    ``max_cover`` cells (one tiny driver agg): a continent-sized
+    polygon must not explode to millions of cover rows; the result is
+    resolution-independent, only candidate density changes."""
+    ext = polygons.agg(
+        F.max(F.col("pmaxx") - F.col("pminx")).alias("dx"),
+        F.max(F.col("pmaxy") - F.col("pminy")).alias("dy"),
+    ).first()
+    dx = float(ext["dx"] or 0.0)
+    dy = float(ext["dy"] or 0.0)
+    while res > 0 and cell_fn.hex_cover_size(0.0, 0.0, dx, dy, res) > max_cover:
+        res -= 1
+
     @F.pandas_udf(ArrayType(LongType()))
     def _cover(pminx: pd.Series, pminy: pd.Series, pmaxx: pd.Series, pmaxy: pd.Series) -> pd.Series:
         return pd.Series(
@@ -239,7 +258,7 @@ def point_in_polygon_grid_join(
     px = F.col(point_x)
     py = F.col(point_y)
     pts = points.withColumn(
-        "_cell", _hex_col(px.cast("double"), py.cast("double"), res)
+        "_cell", hex_cell_col(px.cast("double"), py.cast("double"), res)
     )
     cand = pts.join(polys, "_cell").where(
         (px >= F.col("pminx")) & (px <= F.col("pmaxx"))

@@ -37,20 +37,34 @@ def asof_join(
     voids matches older than the given horizon (timestamp ``on`` only).
     Right payload column names must not collide with left's."""
     by_cols = [by] if isinstance(by, str) else list(by or [])
+    if not by_cols:
+        raise ValueError(
+            "asof_join requires a non-empty `by` key: a keyless as-of is a "
+            "single-partition global window (one-task sort — not a scale "
+            "plan); add an explicit constant key column if a global join "
+            "is genuinely intended"
+        )
     lcols = [c for c in left.columns if c not in by_cols + [on]]
     rcols = [c for c in right.columns if c not in by_cols + [on]]
     clash = set(lcols) & set(rcols)
     if clash:
         raise ValueError(f"column collision between sides: {sorted(clash)}")
 
+    # the right payload travels as ONE struct so the carried match is a
+    # single right ROW — per-column last(ignorenulls) would skip a
+    # legitimate NULL payload field and stitch values from different
+    # right rows (DuckDB ASOF semantics carry the whole matched row)
+    r_payload = F.struct(F.col(on).alias("_m_on"), *[F.col(c) for c in rcols])
     l2 = left.select(
         *by_cols, on, F.lit(1).alias("_is_l"), *lcols,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rcols],
+        F.lit(None).cast(
+            right.select(r_payload.alias("_r")).schema["_r"].dataType
+        ).alias("_r"),
     )
     r2 = right.select(
         *by_cols, on, F.lit(0).alias("_is_l"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *rcols,
+        r_payload.alias("_r"),
     )
     u = l2.unionByName(r2)
     w = (
@@ -58,24 +72,21 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("_is_l").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(F.when(F.col("_is_l") == 0, F.col(c)), ignorenulls=True)
-        .over(w)
-        .alias(c)
-        for c in rcols
-    ]
-    matched_on = F.last(
-        F.when(F.col("_is_l") == 0, F.col(on)), ignorenulls=True
-    ).over(w)
-    out = u.select(*by_cols, on, "_is_l", *lcols, *carried, matched_on.alias("_m_on"))
-    out = out.where(F.col("_is_l") == 1).drop("_is_l")
+    out = (
+        u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .where(F.col("_is_l") == 1)
+        .drop("_is_l", "_r")
+    )
+    match = F.col("_m")
     if tolerance_sec is not None:
         stale = (
-            F.unix_timestamp(F.col(on)) - F.unix_timestamp(F.col("_m_on"))
+            F.unix_timestamp(F.col(on)) - F.unix_timestamp(F.col("_m._m_on"))
         ) > tolerance_sec
-        for c in rcols:
-            out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
-    return out.drop("_m_on").select(*by_cols, on, *lcols, *rcols)
+        match = F.when(stale, F.lit(None)).otherwise(F.col("_m"))
+    out = out.withColumn("_m", match)
+    return out.select(
+        *by_cols, on, *lcols, *[F.col(f"_m.{c}").alias(c) for c in rcols]
+    )
 
 
 def interval_join(

@@ -364,3 +364,30 @@ class TestAsofJoin:
         left, right = self._tables(spark)
         with _pt.raises(ValueError):
             asof_join(left, right.withColumnRenamed("ref", "event_id"), on="ts", by="user_id")
+
+    def test_null_payload_carried_as_whole_row(self, spark):
+        """A matched right row whose payload column is NULL must yield
+        NULL (the whole matched row carries as one unit) — not a value
+        stitched from an older right row."""
+        from pyspark.sql import functions as F
+
+        from ingest_spark.operators.temporal import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10, 250)], "event_id long, user_id long, t long"
+        ).withColumn("ts", F.timestamp_seconds("t")).drop("t")
+        right = spark.createDataFrame(
+            [(10, 100, 1, 2), (10, 200, None, 5)],
+            "user_id long, t long, a long, b long",
+        ).withColumn("ts", F.timestamp_seconds("t")).drop("t")
+        r = asof_join(left, right, on="ts", by="user_id").collect()[0]
+        assert r.a is None and r.b == 5
+
+    def test_empty_by_raises(self, spark):
+        import pytest as _pt
+
+        from ingest_spark.operators.temporal import asof_join
+
+        left, right = self._tables(spark)
+        with _pt.raises(ValueError):
+            asof_join(left, right, on="ts")
