@@ -324,7 +324,28 @@ def _ann_lsh_oracle_sql(
     """
 
 
-def _georender_oracle_sql() -> str:
+# deterministic changeset applied by the georender_changeset query (the
+# reference's declared-but-unimplemented capability, bin.rs:229-231;
+# edit flavors follow its dormant suite, tests/ingest.rs:141-146):
+# move+retag node 2000, move way-member node 1313 (bbox closure), delete
+# node 1312, create node 3000
+_CS_MOVED_2000 = (2000, "13.04", "37.04", "highway=bus_stop")
+_CS_MOVED_1313 = (1313, "12.99", "36.99", "")
+_CS_DELETED_NODE = 1312
+_CS_CREATED_3000 = (3000, "5.5", "-10.5", "amenity=cafe")
+
+
+def _post_changeset_model():
+    from ingest_spark.sources import pages as _pg
+
+    nodes = [
+        n for n in _pg.FIXTURE_NODES
+        if n[0] not in (_CS_DELETED_NODE, 2000, 1313)
+    ] + [_CS_MOVED_2000, _CS_MOVED_1313, _CS_CREATED_3000]
+    return nodes, list(_pg.FIXTURE_WAYS), list(_pg.FIXTURE_RELATIONS)
+
+
+def _georender_oracle_sql(model=None) -> str:
     """Exact SQL twin of the georender fixture pipeline's decodable
     fields: the fixture element model (the INPUT of sources/pages.py,
     not any output) is embedded as VALUES; classification (F1/F2 —
@@ -340,6 +361,10 @@ def _georender_oracle_sql() -> str:
     from ingest_spark.functions import tags as _tg
     from ingest_spark.sources import pages as _pg
 
+    model = model or (
+        list(_pg.FIXTURE_NODES), list(_pg.FIXTURE_WAYS), list(_pg.FIXTURE_RELATIONS)
+    )
+    model_nodes, model_ways, model_rels = model
     po = _tg.place_other_id()
     types = ",".join(f"('{n}',{i})" for n, i in sorted(_tg.type_ids().items()))
     prio = ",".join(f"('{kk}',{i})" for i, kk in enumerate(_tg.PRIORITY_KEYS))
@@ -350,10 +375,10 @@ def _georender_oracle_sql() -> str:
         for v in sorted(vs)
     )
     nodes = ",".join(
-        f"({nid},{lon},{lat},'{t}')" for nid, lon, lat, t in _pg.FIXTURE_NODES
+        f"({nid},{lon},{lat},'{t}')" for nid, lon, lat, t in model_nodes
     )
-    ways = ",".join(f"({wid},'{refs}','{t}')" for wid, refs, t in _pg.FIXTURE_WAYS)
-    rels = ",".join(f"({rid},'{m}','{t}')" for rid, m, t in _pg.FIXTURE_RELATIONS)
+    ways = ",".join(f"({wid},'{refs}','{t}')" for wid, refs, t in model_ways)
+    rels = ",".join(f"({rid},'{m}','{t}')" for rid, m, t in model_rels)
     return f"""
         WITH types(tname, ftype) AS (VALUES {types}),
         prio(pkey, prank) AS (VALUES {prio}),
@@ -971,6 +996,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["minhash_lsh"] = minhash_lsh
 
+    def minhash_incremental(spark, sf):
+        # incremental dedup state machine: corpus split old/new, old
+        # signatures are the stored state, the new batch sketches only
+        # itself and band-joins against the state; oracle = the full
+        # MinHash SQL pipeline filtered to pairs touching a new doc
+        from ingest_spark.operators.dedup import (
+            minhash_lsh_pairs_incremental, with_minhash,
+        )
+        d = _t(spark, sf, "documents")
+        old = d.where(F.col("doc_id") % 5 != 0)
+        new = d.where(F.col("doc_id") % 5 == 0)
+        old_sigs = with_minhash(old)
+        pairs, _state = minhash_lsh_pairs_incremental(old_sigs, new, threshold=0.8)
+        return pairs.select(
+            "doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard")
+        )
+    q["minhash_incremental"] = minhash_incremental
+
     def simhash_dups(spark, sf):
         # oracle-backed: FNV-1a token hashes + Charikar votes + block
         # join re-expressed exactly in SQL (_simhash_oracle_sql)
@@ -1294,10 +1337,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 {"decoded_id": ids, "decoded_ftype": fts, "geom_kind": gks}
             )
 
+        def _project(feats):
+            f2 = feats.withColumn("_h", _hdr("encoded"))
+            return f2.select(
+                "id", "osm_id", "kind", "feature_type",
+                F.col("_h.decoded_id").alias("decoded_id"),
+                F.col("_h.decoded_ftype").alias("decoded_ftype"),
+                F.col("_h.geom_kind").alias("geom_kind"),
+                F.round(F.col("minx").cast("double"), 5).alias("minx"),
+                F.round(F.col("miny").cast("double"), 5).alias("miny"),
+                F.round(F.col("maxx").cast("double"), 5).alias("maxx"),
+                F.round(F.col("maxy").cast("double"), 5).alias("maxy"),
+            )
+
         pages = pages_src.fixture_pages(spark)
         nodes, ways, rels = extract.parse_elements(pages)
-        feats = build_features(nodes, ways, rels, spark).withColumn("_h", _hdr("encoded"))
-        return feats.select(
+        feats = build_features(nodes, ways, rels, spark)
+        return _project(feats)
+    q["georender_features"] = georender_features
+
+    def georender_changeset(spark, sf):
+        # the capability the reference declares but leaves
+        # unimplemented (bin.rs:229-231): apply a deterministic
+        # changeset (move+retag / move a way member / delete / create —
+        # the dormant-suite edit flavors) through the affected-closure
+        # MERGE, then project the same decodable header fields; the
+        # ORACLE re-derives the POST-changeset model from first
+        # principles in SQL, so kept-vs-recomputed rows both check out
+        _ensure_shipped(spark)
+        from ingest_spark.operators import extract
+        from ingest_spark.operators.changeset import Changeset, apply_changeset
+        from ingest_spark.operators.features import build_features
+        from ingest_spark.sources import pages as pages_src
+
+        pages = pages_src.fixture_pages(spark)
+        nodes, ways, rels = extract.parse_elements(pages)
+        feats = build_features(nodes, ways, rels, spark)
+        up_rows = []
+        for nid, lon, lat, tags in (_CS_MOVED_2000, _CS_MOVED_1313, _CS_CREATED_3000):
+            tag_map = dict(kv.split("=", 1) for kv in tags.split("|") if kv)
+            up_rows.append((nid, float(lon), float(lat), tag_map))
+        nodes_up = spark.createDataFrame(
+            up_rows, "id long, lon double, lat double, tags map<string,string>"
+        )
+        cs = Changeset(nodes_upsert=nodes_up, node_deletes=[_CS_DELETED_NODE])
+        feats2, _n2, _w2, _r2 = apply_changeset(spark, feats, nodes, ways, rels, cs)
+
+        from pyspark.sql.types import (
+            IntegerType, LongType, StructField as _SF, StructType as _ST,
+        )
+        hdr_schema = _ST([
+            _SF("decoded_id", LongType(), False),
+            _SF("decoded_ftype", IntegerType(), False),
+            _SF("geom_kind", IntegerType(), False),
+        ])
+
+        @F.pandas_udf(hdr_schema)
+        def _hdr(enc: pd.Series) -> pd.DataFrame:
+            from ingest_spark.functions import georender as gr2
+            ids, fts, gks = [], [], []
+            for b in enc:
+                d = gr2.decode(bytes(b))
+                ids.append(d["id"])
+                fts.append(d["feature_type"])
+                gks.append(d["geom_kind"])
+            return pd.DataFrame(
+                {"decoded_id": ids, "decoded_ftype": fts, "geom_kind": gks}
+            )
+
+        f2 = feats2.withColumn("_h", _hdr("encoded"))
+        return f2.select(
             "id", "osm_id", "kind", "feature_type",
             F.col("_h.decoded_id").alias("decoded_id"),
             F.col("_h.decoded_ftype").alias("decoded_ftype"),
@@ -1307,7 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("maxx").cast("double"), 5).alias("maxx"),
             F.round(F.col("maxy").cast("double"), 5).alias("maxy"),
         )
-    q["georender_features"] = georender_features
+    q["georender_changeset"] = georender_changeset
 
     return q
 
@@ -1531,6 +1640,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_sql(),
         "fingerprint_md5": "SELECT doc_id, md5(text) AS fp FROM documents",
         "minhash_lsh": _minhash_oracle_sql(threshold=0.8),
+        "minhash_incremental": f"""
+            SELECT * FROM ({_minhash_oracle_sql(threshold=0.8)})
+            WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
+        """,
         "simhash_dups": _simhash_oracle_sql(max_hamming=3),
         "ann_lsh_topk": _ann_lsh_oracle_sql(
             k=5, n_planes=4, n_probe=5, n_tables=8
@@ -1551,6 +1664,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents doc LEFT JOIN comp c ON c.node = doc.doc_id
         """,
         "georender_features": _georender_oracle_sql(),
+        "georender_changeset": _georender_oracle_sql(_post_changeset_model()),
         "fingerprint_rolling": """
             SELECT doc_id,
               CASE WHEN h >= 9223372036854775808::HUGEINT

@@ -129,7 +129,12 @@ def minhash_lsh_pairs(
         .join(sigs.select(F.col(id_col).alias("doc_a"), F.col("minhash").alias("sig_a")), "doc_a")
         .join(sigs.select(F.col(id_col).alias("doc_b"), F.col("minhash").alias("sig_b")), "doc_b")
     )
-    # count of equal signature positions / k = Jaccard estimate
+    return _estimate_pairs(pairs, threshold, cfg)
+
+
+def _estimate_pairs(pairs: DataFrame, threshold: float, cfg: EngineConfig) -> DataFrame:
+    """(doc_a, doc_b, sig_a, sig_b) → scored pairs ≥ threshold: count of
+    equal signature positions / k = the Jaccard estimate."""
     eq_count = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0),
@@ -140,6 +145,59 @@ def minhash_lsh_pairs(
         .where(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )
+
+
+def minhash_lsh_pairs_incremental(
+    old_sigs: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = 0.8,
+    cfg: EngineConfig = DEFAULT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup detection for a GROWING corpus: the stored
+    signature table is the state (the webtext analog of the reference's
+    resumable scan file); a new batch computes signatures for its own
+    docs only and the banded candidate join is restricted to pairs
+    touching a new doc (new × all) — per-batch work scales with the
+    BATCH plus its collisions, never re-sketching the corpus.
+
+    Returns (pairs, all_sigs): pairs = exactly the full-recompute
+    pair set filtered to new-doc involvement (oracle + pytest parity);
+    all_sigs = the updated signature state to persist for the next
+    batch (e.g. through plans.checkpoint's SnapshotBackend)."""
+    new_sigs = (
+        with_minhash(new_docs, cfg, id_col, text_col)
+        .dropDuplicates([id_col])
+        .localCheckpoint(eager=True)
+    )
+    all_sigs = old_sigs.unionByName(new_sigs)
+
+    def _band(sigs):
+        return sigs.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(_bands_udf(cfg.minhash_bands)("minhash")).alias(
+                "band_idx", "band_hash"
+            ),
+        )
+
+    pairs = (
+        _band(new_sigs)
+        .select(F.col("doc").alias("doc_n"), "band_idx", "band_hash")
+        .join(
+            _band(all_sigs).select(F.col("doc").alias("doc_o"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .where(F.col("doc_n") != F.col("doc_o"))
+        .select(
+            F.least("doc_n", "doc_o").alias("doc_a"),
+            F.greatest("doc_n", "doc_o").alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .join(all_sigs.select(F.col(id_col).alias("doc_a"), F.col("minhash").alias("sig_a")), "doc_a")
+        .join(all_sigs.select(F.col(id_col).alias("doc_b"), F.col("minhash").alias("sig_b")), "doc_b")
+    )
+    return _estimate_pairs(pairs, threshold, cfg), all_sigs
 
 
 def dedup_minhash(

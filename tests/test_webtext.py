@@ -413,3 +413,39 @@ class TestConnectedComponents:
         edges = spark.createDataFrame([(30, 20), (20, 10)], "src long, dst long")
         comp = {r.node: r.component for r in connected_components(edges).collect()}
         assert comp == {10: 10, 20: 10, 30: 10}
+
+
+class TestIncrementalMinhash:
+    def test_two_batches_equal_full_recompute(self, spark):
+        """Feed the corpus in two batches through the signature-state
+        machine; the union of per-batch pair sets must equal the
+        one-shot full recompute (and the final state must cover every
+        doc)."""
+        from pyspark.sql import functions as F
+
+        from ingest_spark.operators.dedup import (
+            minhash_lsh_pairs, minhash_lsh_pairs_incremental, with_minhash,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog while numbers run"
+        rows = []
+        for i in range(60):
+            # clusters of 3 near-identical docs
+            rows.append((i, base + f" cluster{i // 3} tail {i % 3}"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        full = {
+            (r.doc_a, r.doc_b)
+            for r in minhash_lsh_pairs(docs, threshold=0.6).collect()
+        }
+
+        b1 = docs.where(F.col("doc_id") < 40)
+        b2 = docs.where(F.col("doc_id") >= 40)
+        sigs0 = with_minhash(spark.createDataFrame([], "doc_id long, text string"))
+        p1, st1 = minhash_lsh_pairs_incremental(sigs0, b1, threshold=0.6)
+        p2, st2 = minhash_lsh_pairs_incremental(st1, b2, threshold=0.6)
+        got = {(r.doc_a, r.doc_b) for r in p1.collect()} | {
+            (r.doc_a, r.doc_b) for r in p2.collect()
+        }
+        assert got == full and len(full) > 0
+        assert st2.count() == 60
