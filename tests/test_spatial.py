@@ -391,3 +391,43 @@ class TestAsofJoin:
         left, right = self._tables(spark)
         with _pt.raises(ValueError):
             asof_join(left, right, on="ts")
+
+    def test_randomized_parity_vs_naive(self, spark):
+        """Property check: the one-shuffle window as-of equals the naive
+        implementation (non-equi join + per-left-row max of eligible
+        right timestamps) on random data with ties and gaps."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from ingest_spark.operators.temporal import asof_join
+
+        rng = np.random.default_rng(5)
+        base = 1_600_000_000
+        left = spark.createDataFrame(
+            [(int(i), int(rng.integers(1, 6)), base + int(rng.integers(0, 500)))
+             for i in range(400)],
+            "lid long, k long, t long",
+        ).withColumn("ts", F.timestamp_seconds("t")).drop("t")
+        right = spark.createDataFrame(
+            [(int(1000 + i), int(rng.integers(1, 6)), base + int(rng.integers(0, 500)))
+             for i in range(80)],
+            "rid long, k long, t long",
+        ).withColumn("ts", F.timestamp_seconds("t")).drop("t")
+        # unique (k, ts) on the right (the operator's precondition)
+        right = right.groupBy("k", "ts").agg(F.min("rid").alias("rid"))
+
+        got = {
+            (r.lid, r.rid)
+            for r in asof_join(left, right, on="ts", by="k").collect()
+        }
+        r2 = right.select(F.col("k").alias("rk"), F.col("ts").alias("rts"), "rid")
+        cand = left.join(r2, (left.k == r2.rk) & (left.ts >= r2.rts), "left")
+        from pyspark.sql.window import Window
+        w = Window.partitionBy("lid").orderBy(F.desc_nulls_last("rts"))
+        naive = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("lid", "rid")
+        )
+        want = {(r.lid, r.rid) for r in naive.collect()}
+        assert got == want
