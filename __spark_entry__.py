@@ -338,11 +338,51 @@ _CS_CREATED_3000 = (3000, "5.5", "-10.5", "amenity=cafe")
 def _post_changeset_model():
     from ingest_spark.sources import pages as _pg
 
-    nodes = [
-        n for n in _pg.FIXTURE_NODES
-        if n[0] not in (_CS_DELETED_NODE, 2000, 1313)
-    ] + [_CS_MOVED_2000, _CS_MOVED_1313, _CS_CREATED_3000]
+    replaced = {_CS_DELETED_NODE, _CS_MOVED_2000[0], _CS_MOVED_1313[0]}
+    nodes = [n for n in _pg.FIXTURE_NODES if n[0] not in replaced] + [
+        _CS_MOVED_2000, _CS_MOVED_1313, _CS_CREATED_3000,
+    ]
     return nodes, list(_pg.FIXTURE_WAYS), list(_pg.FIXTURE_RELATIONS)
+
+
+def _georender_header_projection(feats: DataFrame) -> DataFrame:
+    """Shared projection for the georender contract queries: decode the
+    header fields back OUT of the binary payload (E5) and round the f32
+    bbox — one definition so the two queries cannot drift."""
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField as _SF, StructType as _ST,
+    )
+
+    hdr_schema = _ST([
+        _SF("decoded_id", LongType(), False),
+        _SF("decoded_ftype", IntegerType(), False),
+        _SF("geom_kind", IntegerType(), False),
+    ])
+
+    @F.pandas_udf(hdr_schema)
+    def _hdr(enc: pd.Series) -> pd.DataFrame:
+        from ingest_spark.functions import georender as gr2
+        ids, fts, gks = [], [], []
+        for b in enc:
+            d = gr2.decode(bytes(b))
+            ids.append(d["id"])
+            fts.append(d["feature_type"])
+            gks.append(d["geom_kind"])
+        return pd.DataFrame(
+            {"decoded_id": ids, "decoded_ftype": fts, "geom_kind": gks}
+        )
+
+    f2 = feats.withColumn("_h", _hdr("encoded"))
+    return f2.select(
+        "id", "osm_id", "kind", "feature_type",
+        F.col("_h.decoded_id").alias("decoded_id"),
+        F.col("_h.decoded_ftype").alias("decoded_ftype"),
+        F.col("_h.geom_kind").alias("geom_kind"),
+        F.round(F.col("minx").cast("double"), 5).alias("minx"),
+        F.round(F.col("miny").cast("double"), 5).alias("miny"),
+        F.round(F.col("maxx").cast("double"), 5).alias("maxx"),
+        F.round(F.col("maxy").cast("double"), 5).alias("maxy"),
+    )
 
 
 def _georender_oracle_sql(model=None) -> str:
@@ -1310,50 +1350,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # comparison checks the encode→decode round trip. Payload BYTES
         # stay pytest-golden (test_golden_ingest).
         _ensure_shipped(spark)
-        from pyspark.sql.types import (
-            IntegerType, LongType, StructField as _SF, StructType as _ST,
-        )
-
         from ingest_spark.operators import extract
         from ingest_spark.operators.features import build_features
         from ingest_spark.sources import pages as pages_src
 
-        hdr_schema = _ST([
-            _SF("decoded_id", LongType(), False),
-            _SF("decoded_ftype", IntegerType(), False),
-            _SF("geom_kind", IntegerType(), False),
-        ])
-
-        @F.pandas_udf(hdr_schema)
-        def _hdr(enc: pd.Series) -> pd.DataFrame:
-            from ingest_spark.functions import georender as gr2
-            ids, fts, gks = [], [], []
-            for b in enc:
-                d = gr2.decode(bytes(b))
-                ids.append(d["id"])
-                fts.append(d["feature_type"])
-                gks.append(d["geom_kind"])
-            return pd.DataFrame(
-                {"decoded_id": ids, "decoded_ftype": fts, "geom_kind": gks}
-            )
-
-        def _project(feats):
-            f2 = feats.withColumn("_h", _hdr("encoded"))
-            return f2.select(
-                "id", "osm_id", "kind", "feature_type",
-                F.col("_h.decoded_id").alias("decoded_id"),
-                F.col("_h.decoded_ftype").alias("decoded_ftype"),
-                F.col("_h.geom_kind").alias("geom_kind"),
-                F.round(F.col("minx").cast("double"), 5).alias("minx"),
-                F.round(F.col("miny").cast("double"), 5).alias("miny"),
-                F.round(F.col("maxx").cast("double"), 5).alias("maxx"),
-                F.round(F.col("maxy").cast("double"), 5).alias("maxy"),
-            )
-
         pages = pages_src.fixture_pages(spark)
         nodes, ways, rels = extract.parse_elements(pages)
         feats = build_features(nodes, ways, rels, spark)
-        return _project(feats)
+        return _georender_header_projection(feats)
     q["georender_features"] = georender_features
 
     def georender_changeset(spark, sf):
@@ -1382,40 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         cs = Changeset(nodes_upsert=nodes_up, node_deletes=[_CS_DELETED_NODE])
         feats2, _n2, _w2, _r2 = apply_changeset(spark, feats, nodes, ways, rels, cs)
-
-        from pyspark.sql.types import (
-            IntegerType, LongType, StructField as _SF, StructType as _ST,
-        )
-        hdr_schema = _ST([
-            _SF("decoded_id", LongType(), False),
-            _SF("decoded_ftype", IntegerType(), False),
-            _SF("geom_kind", IntegerType(), False),
-        ])
-
-        @F.pandas_udf(hdr_schema)
-        def _hdr(enc: pd.Series) -> pd.DataFrame:
-            from ingest_spark.functions import georender as gr2
-            ids, fts, gks = [], [], []
-            for b in enc:
-                d = gr2.decode(bytes(b))
-                ids.append(d["id"])
-                fts.append(d["feature_type"])
-                gks.append(d["geom_kind"])
-            return pd.DataFrame(
-                {"decoded_id": ids, "decoded_ftype": fts, "geom_kind": gks}
-            )
-
-        f2 = feats2.withColumn("_h", _hdr("encoded"))
-        return f2.select(
-            "id", "osm_id", "kind", "feature_type",
-            F.col("_h.decoded_id").alias("decoded_id"),
-            F.col("_h.decoded_ftype").alias("decoded_ftype"),
-            F.col("_h.geom_kind").alias("geom_kind"),
-            F.round(F.col("minx").cast("double"), 5).alias("minx"),
-            F.round(F.col("miny").cast("double"), 5).alias("miny"),
-            F.round(F.col("maxx").cast("double"), 5).alias("maxx"),
-            F.round(F.col("maxy").cast("double"), 5).alias("maxy"),
-        )
+        return _georender_header_projection(feats2)
     q["georender_changeset"] = georender_changeset
 
     return q

@@ -162,6 +162,12 @@ def minhash_lsh_pairs_incremental(
     touching a new doc (new × all) — per-batch work scales with the
     BATCH plus its collisions, never re-sketching the corpus.
 
+    Sketching is batch-scaled (only new docs cross the MinHash kernel);
+    the band join re-bands the STORED signatures each batch — one
+    vectorized pass over the state, never re-sketching text. Re-
+    delivered ids (an at-least-once replay) are dropped against the
+    state so the signature table never accumulates duplicate rows.
+
     Returns (pairs, all_sigs): pairs = exactly the full-recompute
     pair set filtered to new-doc involvement (oracle + pytest parity);
     all_sigs = the updated signature state to persist for the next
@@ -169,9 +175,13 @@ def minhash_lsh_pairs_incremental(
     new_sigs = (
         with_minhash(new_docs, cfg, id_col, text_col)
         .dropDuplicates([id_col])
+        .join(old_sigs.select(id_col), id_col, "left_anti")
         .localCheckpoint(eager=True)
     )
-    all_sigs = old_sigs.unionByName(new_sigs)
+    # materialized once: consumed by the band explode AND both
+    # re-attach joins below (the sibling one-shot path checkpoints for
+    # the same reason — without it old_sigs' plan re-executes 3x/batch)
+    all_sigs = old_sigs.unionByName(new_sigs).localCheckpoint(eager=True)
 
     def _band(sigs):
         return sigs.select(

@@ -449,3 +449,27 @@ class TestIncrementalMinhash:
         }
         assert got == full and len(full) > 0
         assert st2.count() == 60
+
+    def test_replayed_batch_does_not_corrupt_state(self, spark):
+        """At-least-once delivery: re-feeding an already-ingested doc id
+        must not duplicate signature-state rows or fan out pairs."""
+        from pyspark.sql import functions as F
+
+        from ingest_spark.operators.dedup import (
+            minhash_lsh_pairs_incremental, with_minhash,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"common shared text body tail {i % 2}") for i in range(10)],
+            "doc_id long, text string",
+        )
+        b1 = docs.where(F.col("doc_id") < 6)
+        sigs0 = with_minhash(spark.createDataFrame([], "doc_id long, text string"))
+        p1, st1 = minhash_lsh_pairs_incremental(sigs0, b1, threshold=0.6)
+        # replay: batch 2 re-delivers docs 4-5 alongside new 6-9
+        b2 = docs.where(F.col("doc_id") >= 4)
+        p2, st2 = minhash_lsh_pairs_incremental(st1, b2, threshold=0.6)
+        assert st2.count() == 10  # no duplicate state rows
+        assert st2.select("doc_id").distinct().count() == 10
+        pairs2 = [(r.doc_a, r.doc_b) for r in p2.collect()]
+        assert len(pairs2) == len(set(pairs2))  # no fanned-out duplicates
