@@ -151,6 +151,35 @@ def simhash(token_hashes: np.ndarray, weights: np.ndarray | None = None, bits: i
     return result
 
 
+def simhash_many(token_hashes: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Batched unweighted Charikar simhash: ``token_hashes`` holds all
+    docs' token hashes concatenated, ``counts[i]`` tokens for doc i.
+    Bit votes are segment-summed across the whole batch
+    (np.add.reduceat) instead of building a per-doc matrix — identical
+    results to ``simhash`` per doc (±1 votes are integer-exact under
+    any summation order; parity-tested), ~an order of magnitude less
+    Python overhead. Zero-token docs hash to 0, matching ``simhash``.
+    int32 votes bound docs to < 2^31 tokens (web docs are ~10^3)."""
+    n_docs = len(counts)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    nz = counts > 0
+    if not nz.any():
+        return out
+    th = np.asarray(token_hashes, dtype=np.uint64)
+    signed = (
+        ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
+        * 2 - 1
+    )  # (T, 64)
+    nz_counts = counts[nz]
+    offsets = np.zeros(len(nz_counts), dtype=np.int64)
+    np.cumsum(nz_counts[:-1], out=offsets[1:])
+    votes = np.add.reduceat(signed, offsets, axis=0)  # (n_nz_docs, 64)
+    bits = (votes > 0).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    out[nz] = bits @ weights
+    return out
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = np.bitwise_xor(np.asarray(a, dtype=np.uint64), np.asarray(b, dtype=np.uint64))
     # popcount via bit tricks (numpy<2 lacks bit_count ufunc)

@@ -323,17 +323,35 @@ def _simhash_udf():
     def _u(text: pd.Series) -> pd.Series:
         # token hashes via the vectorized FNV kernel over the batch's
         # UNIQUE tokens (zipf repetition makes this ~10-50x fewer
-        # hashes), then per-doc Charikar votes
+        # hashes), then BATCHED Charikar votes: every doc's token
+        # hashes concatenate into one segment-summed matrix (chunked
+        # so the (tokens x 64) int32 vote matrix stays ~100 MB)
         docs_toks = [(t or "").lower().split() for t in text]
         vocab: dict = {}
-        for toks in docs_toks:
-            for w in toks:
-                vocab.setdefault(w, len(vocab))
-        hashes = sk.hash_str_many(list(vocab))
-        out = np.zeros(len(text), dtype=np.uint64)
+        tok_ids: list = []
+        counts = np.zeros(len(text), dtype=np.int64)
         for i, toks in enumerate(docs_toks):
-            th = hashes[[vocab[w] for w in toks]]
-            out[i] = sk.simhash(th)
+            counts[i] = len(toks)
+            for w in toks:
+                tok_ids.append(vocab.setdefault(w, len(vocab)))
+        hashes = sk.hash_str_many(list(vocab))
+        tok_ids = np.asarray(tok_ids, dtype=np.int64)
+        out = np.zeros(len(text), dtype=np.uint64)
+        budget = 400_000  # tokens per chunk
+        start_doc = 0
+        start_tok = 0
+        while start_doc < len(text):
+            end_doc = start_doc
+            tok_end = start_tok
+            while end_doc < len(text) and (
+                tok_end - start_tok < budget or end_doc == start_doc
+            ):
+                tok_end += int(counts[end_doc])
+                end_doc += 1
+            th = hashes[tok_ids[start_tok:tok_end]]
+            out[start_doc:end_doc] = sk.simhash_many(th, counts[start_doc:end_doc])
+            start_doc = end_doc
+            start_tok = tok_end
         return pd.Series(out.view(np.int64))
     return _u
 

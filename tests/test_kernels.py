@@ -216,3 +216,26 @@ class TestHashStrMany:
             assert (got == want).all()
 
         run()
+
+
+class TestSimhashMany:
+    def test_parity_with_scalar(self):
+        import numpy as np
+
+        from ingest_spark.functions import sketches as sk
+
+        rng = np.random.default_rng(9)
+        docs = [rng.integers(0, 2**63, size=int(n), dtype=np.uint64)
+                for n in rng.integers(0, 40, size=50)]
+        th = np.concatenate([d for d in docs]) if docs else np.empty(0, np.uint64)
+        counts = np.array([len(d) for d in docs], dtype=np.int64)
+        got = sk.simhash_many(th, counts)
+        want = np.array([sk.simhash(d) for d in docs], dtype=np.uint64)
+        assert (got == want).all()
+
+    def test_empty_and_all_empty(self):
+        import numpy as np
+
+        from ingest_spark.functions import sketches as sk
+
+        assert (sk.simhash_many(np.empty(0, np.uint64), np.zeros(3, np.int64)) == 0).all()
