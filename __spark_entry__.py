@@ -1047,7 +1047,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _t(spark, sf, "documents")
         old = d.where(F.col("doc_id") % 5 != 0)
         new = d.where(F.col("doc_id") % 5 == 0)
-        old_sigs = with_minhash(old)
+        # the operator's contract: state comes in MATERIALIZED (in a
+        # real loop it is the prior call's checkpointed return or a
+        # storage read)
+        old_sigs = with_minhash(old).localCheckpoint(eager=True)
         pairs, _state = minhash_lsh_pairs_incremental(old_sigs, new, threshold=0.8)
         return pairs.select(
             "doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard")

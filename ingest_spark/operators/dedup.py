@@ -164,24 +164,35 @@ def minhash_lsh_pairs_incremental(
 
     Sketching is batch-scaled (only new docs cross the MinHash kernel);
     the band join re-bands the STORED signatures each batch — one
-    vectorized pass over the state, never re-sketching text. Re-
-    delivered ids (an at-least-once replay) are dropped against the
-    state so the signature table never accumulates duplicate rows.
+    vectorized pass over the state, never re-sketching text. Batch rows
+    are reconciled against the state BY SIGNATURE: an exact replay
+    (same id, same signature — at-least-once redelivery) is dropped,
+    while a redelivered id with CHANGED text is an UPDATE — its new
+    signature replaces the stored one and its pairs re-emit. Pass a
+    MATERIALIZED ``old_sigs`` (the previous call's return, or a
+    storage read) — it sits on three join sides below, and this
+    function deliberately does NOT re-materialize corpus-sized state
+    per batch (that would make every batch O(corpus) write).
 
     Returns (pairs, all_sigs): pairs = exactly the full-recompute
-    pair set filtered to new-doc involvement (oracle + pytest parity);
-    all_sigs = the updated signature state to persist for the next
-    batch (e.g. through plans.checkpoint's SnapshotBackend)."""
+    pair set filtered to batch-doc involvement (oracle + pytest
+    parity); all_sigs = the updated signature state to persist for the
+    next batch (e.g. through plans.checkpoint's SnapshotBackend)."""
+    fresh = with_minhash(new_docs, cfg, id_col, text_col).dropDuplicates([id_col])
+    prev = old_sigs.select(
+        F.col(id_col), F.col("minhash").alias("_prev_sig")
+    )
     new_sigs = (
-        with_minhash(new_docs, cfg, id_col, text_col)
-        .dropDuplicates([id_col])
-        .join(old_sigs.select(id_col), id_col, "left_anti")
+        fresh.join(prev, id_col, "left")
+        .where(
+            F.col("_prev_sig").isNull() | (F.col("minhash") != F.col("_prev_sig"))
+        )
+        .drop("_prev_sig")
         .localCheckpoint(eager=True)
     )
-    # materialized once: consumed by the band explode AND both
-    # re-attach joins below (the sibling one-shot path checkpoints for
-    # the same reason — without it old_sigs' plan re-executes 3x/batch)
-    all_sigs = old_sigs.unionByName(new_sigs).localCheckpoint(eager=True)
+    all_sigs = old_sigs.join(new_sigs.select(id_col), id_col, "left_anti").unionByName(
+        new_sigs
+    )
 
     def _band(sigs):
         return sigs.select(
@@ -337,7 +348,10 @@ def _simhash_udf():
         hashes = sk.hash_str_many(list(vocab))
         tok_ids = np.asarray(tok_ids, dtype=np.int64)
         out = np.zeros(len(text), dtype=np.uint64)
-        budget = 400_000  # tokens per chunk
+        # tokens per chunk: the vote kernel's transient peak is the
+        # (tokens x 64) uint64 shift intermediate (~8*64 B/token) plus
+        # the int32 copies — ~150k tokens ≈ 200 MB peak per worker
+        budget = 150_000
         start_doc = 0
         start_tok = 0
         while start_doc < len(text):

@@ -225,7 +225,10 @@ class TestSimhashMany:
         from ingest_spark.functions import sketches as sk
 
         rng = np.random.default_rng(9)
-        docs = [rng.integers(0, 2**63, size=int(n), dtype=np.uint64)
+        # full uint64 range so bit 63 (set in ~half of real FNV
+        # hashes) is exercised; sizes include zero-count docs
+        # interleaved with non-empty ones (the reduceat offset path)
+        docs = [rng.integers(0, 2**64, size=int(n), dtype=np.uint64)
                 for n in rng.integers(0, 40, size=50)]
         th = np.concatenate([d for d in docs]) if docs else np.empty(0, np.uint64)
         counts = np.array([len(d) for d in docs], dtype=np.int64)

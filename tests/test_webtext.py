@@ -473,3 +473,40 @@ class TestIncrementalMinhash:
         assert st2.select("doc_id").distinct().count() == 10
         pairs2 = [(r.doc_a, r.doc_b) for r in p2.collect()]
         assert len(pairs2) == len(set(pairs2))  # no fanned-out duplicates
+
+    def test_updated_text_on_redelivered_id_is_an_update(self, spark):
+        """A redelivered id with CHANGED text must replace the stored
+        signature and re-emit pairs (an update, not a replay)."""
+        from pyspark.sql import functions as F
+
+        from ingest_spark.operators.dedup import (
+            minhash_lsh_pairs_incremental, with_minhash,
+        )
+
+        b1 = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon wholly unique content one"),
+             (2, "completely different text body with nothing shared here")],
+            "doc_id long, text string",
+        )
+        sigs0 = with_minhash(spark.createDataFrame([], "doc_id long, text string"))
+        p1, st1 = minhash_lsh_pairs_incremental(sigs0, b1, threshold=0.6)
+        assert p1.count() == 0
+        # batch 2: doc 1 redelivered with text now near-identical to new doc 3
+        b2 = spark.createDataFrame(
+            [(1, "shared near duplicate body of text tail one"),
+             (3, "shared near duplicate body of text tail two")],
+            "doc_id long, text string",
+        )
+        p2, st2 = minhash_lsh_pairs_incremental(st1, b2, threshold=0.5)
+        got = {(r.doc_a, r.doc_b) for r in p2.collect()}
+        assert (1, 3) in got
+        assert st2.count() == 3  # updated in place, no duplicate rows
+        # the stored signature for doc 1 is the NEW one: pairing it
+        # against its new twin must also hold on a THIRD batch
+        b3 = spark.createDataFrame(
+            [(4, "shared near duplicate body of text tail three")],
+            "doc_id long, text string",
+        )
+        p3, _ = minhash_lsh_pairs_incremental(st2, b3, threshold=0.5)
+        got3 = {(r.doc_a, r.doc_b) for r in p3.collect()}
+        assert (1, 4) in got3 and (3, 4) in got3
