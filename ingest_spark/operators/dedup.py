@@ -4,15 +4,27 @@ Five dedup families, each a first-class operator with a declarative
 Spark plan; Python only in the sketch kernels (Arrow-batched):
 
 1. exact        — md5 hash groupBy (portable oracle: DuckDB md5)
-2. minhash-LSH  — shingle → k-perm MinHash → banded bucket join
-3. simhash      — 64-bit Charikar fingerprint + banded hamming join
-4. ngram-jaccard— exact set Jaccard via shingle explode + self-join
+2. minhash-LSH  — shingle → k-perm MinHash → banded bucket join,
+                  plus an INCREMENTAL state-machine variant
+                  (minhash_incremental_*: new batches band-join
+                  against a signature store; replay-safe, updates
+                  replace by signature)
+3. simhash      — 64-bit Charikar fingerprint + pigeonhole block join
+                  with exact hamming recheck
+4. ngram-jaccard— exact set Jaccard, PPJoin-style: prefix-filtered
+                  candidates (hot grams excluded) + exact verify on
+                  candidates only
 5. embedding    — cosine near-dup via hyperplane LSH buckets
 
-Scale notes: every pairwise family is bucketed (LSH bands / hash
-prefixes) so the self-join is per-bucket, never a global cross join;
-bucket skew is bounded because signatures are uniform hashes. The
-canonical-survivor rule is always min(doc_id) — deterministic.
+Plus exact transitive clustering (``connected_components``):
+min-label propagation with pointer doubling, O(log diameter) rounds.
+
+Scale notes: every pairwise family is bucketed (LSH bands / pigeonhole
+blocks / hash prefixes) so the self-join is per-bucket, never a global
+cross join; bucket skew is bounded by uniform hashing plus explicit
+caps where inputs can degenerate (hot-gram exclusion; simhash
+hot-block cap). The canonical-survivor rule is always min(doc_id) —
+deterministic.
 """
 
 from __future__ import annotations
@@ -374,19 +386,9 @@ def with_simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     return docs.select(F.col(id_col), _simhash_udf()(F.col(text_col)).alias("simhash"))
 
 
-def simhash_pairs(
-    docs: DataFrame,
-    max_hamming: int = 3,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) ≤ d via the pigeonhole
-    block trick: split 64 bits into d+1 blocks; equal pair ⇒ at least
-    one block identical ⇒ candidate join per block, exact hamming
-    re-check after."""
-    sh = with_simhash(docs, id_col, text_col)
-    nblocks = max_hamming + 1
-    width = 64 // nblocks
+def _value_blocks(vals: DataFrame, nblocks: int, width: int) -> DataFrame:
+    """Explode each distinct simhash value into its d+1 pigeonhole
+    blocks: (simhash, block_idx, block_val)."""
     blocks = F.array(*[
         F.struct(
             F.lit(i).alias("block_idx"),
@@ -396,21 +398,161 @@ def simhash_pairs(
         )
         for i in range(nblocks)
     ])
-    exploded = sh.select(F.col(id_col).alias("doc"), "simhash", F.explode(blocks).alias("b")) \
-        .select("doc", "simhash", F.col("b.block_idx").alias("block_idx"), F.col("b.block_val").alias("block_val"))
-    a = exploded.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sh_a"), "block_idx", "block_val")
-    b = exploded.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sh_b"), "block_idx", "block_val")
+    return (
+        vals.select("simhash", F.explode(blocks).alias("b"))
+        .select("simhash", F.col("b.block_idx").alias("block_idx"),
+                F.col("b.block_val").alias("block_val"))
+    )
+
+
+def _complement_col(nblocks: int, width: int):
+    """The 64-width bits of ``simhash`` OUTSIDE block ``block_idx``,
+    packed into the low bits (used to sub-pigeonhole hot blocks)."""
+    expr = F.lit(0).cast("long")
+    for i in range(nblocks):
+        low_bits = i * width
+        hi_shift = (i + 1) * width
+        low = (
+            F.col("simhash").bitwiseAND(F.lit((1 << low_bits) - 1))
+            if low_bits > 0 else F.lit(0).cast("long")
+        )
+        # Java shifts are mod-64: an explicit 0 guards the last block
+        hi = (
+            F.shiftleft(F.shiftrightunsigned(F.col("simhash"), hi_shift), low_bits)
+            if hi_shift < 64 else F.lit(0).cast("long")
+        )
+        expr = F.when(F.col("block_idx") == i, hi.bitwiseOR(low)).otherwise(expr)
+    return expr
+
+
+def _simhash_value_pairs(
+    vals: DataFrame, max_hamming: int, hot_block_cap: int
+) -> DataFrame:
+    """Pigeonhole candidate join over DISTINCT simhash values with a
+    hot-block cap, exact hamming re-check applied.
+
+    Three tiers (skew ladder, mirroring ngram's hot-gram exclusion):
+    1. cold blocks (≤ cap distinct values) — plain equi-self-join.
+    2. hot blocks — sub-pigeonhole the 64-width complement bits into
+       d+1 sub-blocks (a qualifying pair equal on the hot block has
+       ≤ d diffs in the complement ⇒ shares a sub-block) and join on
+       (block, sub-block); exact.
+    3. still-hot sub-groups (> cap distinct values equal on
+       width + sub_w bits — a near-clique): contracted to STAR pairs
+       against the group's min value. Exactness degrades to
+       connectivity-preserving there; below that threshold the output
+       is the exact pair set. Contract data never reaches tier 3.
+    """
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    ex = _value_blocks(vals, nblocks, width)
+    hot = (
+        ex.groupBy("block_idx", "block_val").count()
+        .where(F.col("count") > hot_block_cap)
+        .select("block_idx", "block_val", F.lit(1).alias("_hot"))
+    )
+    ex = ex.join(F.broadcast(hot), ["block_idx", "block_val"], "left")
+    cold = ex.where(F.col("_hot").isNull()).drop("_hot")
+    xa = cold.select(F.col("simhash").alias("sh_a"), "block_idx", "block_val")
+    xb = cold.select(F.col("simhash").alias("sh_b"), "block_idx", "block_val")
+    cand_cold = (
+        xa.join(xb, ["block_idx", "block_val"])
+        .where(F.col("sh_a") < F.col("sh_b"))
+        .select("sh_a", "sh_b")
+    )
+
+    sub_w = (64 - width) // nblocks
+    hotex = (
+        ex.where(F.col("_hot") == 1).drop("_hot")
+        .withColumn("comp", _complement_col(nblocks, width))
+    )
+    subs = F.array(*[
+        F.struct(
+            F.lit(j).alias("sub_idx"),
+            F.shiftrightunsigned(F.col("comp"), j * sub_w).bitwiseAND(
+                F.lit((1 << sub_w) - 1)
+            ).alias("sub_val"),
+        )
+        for j in range(nblocks)
+    ])
+    k4 = ["block_idx", "block_val", "sub_idx", "sub_val"]
+    hs = (
+        hotex.select("simhash", "block_idx", "block_val", F.explode(subs).alias("s"))
+        .select("simhash", "block_idx", "block_val",
+                F.col("s.sub_idx").alias("sub_idx"), F.col("s.sub_val").alias("sub_val"))
+    )
+    subhot = (
+        hs.groupBy(*k4).count()
+        .where(F.col("count") > hot_block_cap)
+        .select(*k4, F.lit(1).alias("_hot2"))
+    )
+    hs = hs.join(F.broadcast(subhot), k4, "left")
+    cold2 = hs.where(F.col("_hot2").isNull())
+    ya = cold2.select(F.col("simhash").alias("sh_a"), *k4)
+    yb = cold2.select(F.col("simhash").alias("sh_b"), *k4)
+    cand_sub = (
+        ya.join(yb, k4)
+        .where(F.col("sh_a") < F.col("sh_b"))
+        .select("sh_a", "sh_b")
+    )
+
+    hot2 = hs.where(F.col("_hot2") == 1)
+    reps = hot2.groupBy(*k4).agg(F.min("simhash").alias("_rep"))
+    cand_star = (
+        hot2.join(reps, k4)
+        .where(F.col("simhash") != F.col("_rep"))
+        .select(F.least("_rep", "simhash").alias("sh_a"),
+                F.greatest("_rep", "simhash").alias("sh_b"))
+    )
+
     cand = (
-        a.join(b, ["block_idx", "block_val"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        cand_cold.unionByName(cand_sub).unionByName(cand_star)
+        .dropDuplicates(["sh_a", "sh_b"])
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hot_block_cap: int = 1024,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ d via the pigeonhole
+    block trick: split 64 bits into d+1 blocks; equal pair ⇒ at least
+    one block identical ⇒ candidate join per block, exact hamming
+    re-check after.
+
+    Skew-safe by construction: the candidate join runs over DISTINCT
+    simhash VALUES (a million byte-identical or empty docs collapse to
+    ONE value row — zero candidates), and hot value-blocks are capped
+    via ``_simhash_value_pairs``' sub-pigeonhole/star ladder. Value
+    pairs are then expanded back to doc pairs by two equi-joins, so the
+    only quadratic term left is the qualifying OUTPUT itself (identical
+    docs: the intra-value clique), which is what the operator is asked
+    to produce."""
+    sh = with_simhash(docs, id_col, text_col)
+    vals = sh.select("simhash").distinct()
+    vp = _simhash_value_pairs(vals, max_hamming, hot_block_cap)
+    a = sh.select(F.col(id_col).alias("_da"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("_db"), F.col("simhash").alias("sh_b"))
+    inter = (
+        vp.join(a, "sh_a").join(b, "sh_b")
+        .select(F.least("_da", "_db").alias("doc_a"),
+                F.greatest("_da", "_db").alias("doc_b"), "hamming")
+    )
+    intra = (
+        a.join(b.withColumnRenamed("sh_b", "sh_a"), "sh_a")
+        .where(F.col("_da") < F.col("_db"))
+        .select(F.col("_da").alias("doc_a"), F.col("_db").alias("doc_b"),
+                F.lit(0).cast("integer").alias("hamming"))
+    )
+    return inter.unionByName(intra)
 
 
 # ----------------------------------------------------- ngram jaccard

@@ -31,7 +31,10 @@ def _hex_threshold(p: float) -> str:
         raise ValueError(f"rate must be in [0,1], got {p}")
     if p >= 1.0:
         return "g"
-    return format(int(p * (1 << 32)), "08x")
+    # for p within ~2^-21 of 1.0, p*(1<<32) rounds UP to exactly 2^32 in
+    # float64 and format(...) would emit the 9-digit '100000000' the
+    # docstring warns about — clamp to the largest 8-digit cutoff
+    return format(min(int(p * (1 << 32)), 0xFFFFFFFF), "08x")
 
 
 def _bucket(key_col, salt: str):

@@ -18,13 +18,17 @@ tests/ingest.rs:29-34) — to the north_rule's operator set. Design:
   even-odd ray casting in a vectorized numpy kernel. At 100 TB the
   fact side streams; the dim side is a broadcast hash table — no
   shuffle of the big side.
-- kNN: points bucketed by hex cell; queries gather candidates from
-  k_ring(cell, R) (dimension-side explode, so the big point table
-  shuffles once per round on cell id), take top-k per query, and a
-  geometric guarantee decides exactness: any point outside rings 0..R
-  is at distance > edge·(1.5·(R+1) − 2). Unresolved queries expand R
-  (driver loop, bounded), with a brute-force fallback for stragglers —
-  the result is EXACT kNN, verified against a cross-join oracle.
+- kNN: a provably-terminal TWO-PASS plan, no driver loop (see
+  knn_ring_expansion below). Pass 1 seeds a per-query ring radius from
+  the query cell's local point density, gathers k_ring(cell, R0)
+  candidates (dimension-side explode — the big point table shuffles
+  once on cell id), and takes each query's kth-candidate distance.
+  Pass 2 re-gathers with the ring radius R2 implied by that kth
+  distance via the geometric guarantee (any point outside rings 0..R
+  is at distance > edge·(1.5·(R+1) − 2)); because pass 1's kth over a
+  candidate SUBSET is ≥ the true kth, rings 0..R2 provably contain the
+  true top-k — no recheck round, no stragglers. EXACT kNN, verified
+  against a cross-join oracle.
 """
 
 from __future__ import annotations

@@ -49,6 +49,12 @@ def asof_join(
     clash = set(lcols) & set(rcols)
     if clash:
         raise ValueError(f"column collision between sides: {sorted(clash)}")
+    reserved = {"_is_l", "_r", "_m"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(
+            f"columns {sorted(reserved)} collide with asof_join's internal "
+            "names (_is_l/_r/_m); rename them before joining"
+        )
 
     # the right payload travels as ONE struct so the carried match is a
     # single right ROW — per-column last(ignorenulls) would skip a

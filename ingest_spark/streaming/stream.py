@@ -134,6 +134,11 @@ def stream_tile_maintenance(
         swap renames (live dir missing, backup present)."""
         if not os.path.exists(os.path.join(tiles_path, "_SUCCESS")):
             if os.path.exists(os.path.join(backup_path, "_SUCCESS")):
+                # a crash mid-write can leave a partial live dir (no
+                # _SUCCESS): clear it or os.rename raises — mirrors
+                # ParquetManifestBackend._recover
+                if os.path.exists(tiles_path):
+                    shutil.rmtree(tiles_path)
                 os.rename(backup_path, tiles_path)
             else:
                 return None

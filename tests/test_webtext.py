@@ -171,6 +171,77 @@ class TestDedup:
         hams = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
         assert all(h == 0 for (a, b), h in hams.items() if b == a + 100000)
 
+    def test_simhash_degenerate_clique_bounded(self, spark):
+        """10k identical/empty docs — the classic simhash skew bomb.
+        All copies collapse to ONE distinct simhash value each, so the
+        pigeonhole candidate join sees ≤2 value rows (zero or one
+        candidate pair) instead of ~n²·(d+1); the only quadratic term
+        is the required intra-clique OUTPUT, produced by an
+        output-bound expansion join."""
+        n = 5000
+        rows = [(i, "") for i in range(n)] + [
+            (n + i, "the same boilerplate page text every time") for i in range(n)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sh = dedup.with_simhash(docs)
+        vals = sh.select("simhash").distinct()
+        assert vals.count() == 2
+        # candidate stage is value-level: at most 1 candidate pair
+        vp = dedup._simhash_value_pairs(vals, 3, hot_block_cap=1024)
+        n_vp = vp.count()
+        assert n_vp <= 1
+        # the full operator completes and returns the two cliques
+        # (plus the cross-clique pairs iff the two sims are within d)
+        total = dedup.simhash_pairs(docs, max_hamming=3).count()
+        clique = n * (n - 1) // 2
+        expect = 2 * clique + (n * n if n_vp == 1 else 0)
+        assert total == expect
+
+    def test_simhash_hot_block_cap_parity(self, spark):
+        """Hot-block sub-pigeonhole tier is EXACT: 300 distinct values
+        all sharing pigeonhole block 0 (block-0 group far over cap)
+        must yield the identical pair set with and without the cap."""
+        import random
+
+        rng = random.Random(7)
+        base = rng.getrandbits(48) << 16 | 0x1234
+        vals_py = {base}
+        while len(vals_py) < 280:
+            # random high bits, same low 16 (block 0)
+            vals_py.add(rng.getrandbits(48) << 16 | 0x1234)
+        # planted near pairs (single high-bit flips -> hamming 1)
+        for v in list(vals_py)[:20]:
+            vals_py.add(v ^ (1 << rng.randrange(20, 63)))
+        to_i64 = lambda u: u - (1 << 64) if u >= (1 << 63) else u
+        vals = spark.createDataFrame(
+            [(to_i64(v),) for v in vals_py], "simhash long"
+        )
+        capped = {
+            (r.sh_a, r.sh_b, r.hamming)
+            for r in dedup._simhash_value_pairs(vals, 3, hot_block_cap=50).collect()
+        }
+        uncapped = {
+            (r.sh_a, r.sh_b, r.hamming)
+            for r in dedup._simhash_value_pairs(vals, 3, hot_block_cap=10**9).collect()
+        }
+        assert len(uncapped) >= 20
+        assert capped == uncapped
+
+    def test_simhash_star_tier_connectivity(self, spark):
+        """Adversarial near-clique (values equal on block 0 AND the
+        first complement sub-block, > cap of them): the final star tier
+        keeps every member connected to the group rep with bounded
+        candidates instead of going quadratic."""
+        base = 0x0123456789ABCDEF & ((1 << 40) - 1)  # bits 40+ zero
+        vals_py = [base] + [base | (1 << b) for b in range(40, 63)]
+        vals = spark.createDataFrame([(v,) for v in vals_py], "simhash long")
+        pairs = dedup._simhash_value_pairs(vals, 3, hot_block_cap=8).collect()
+        seen = {r.sh_a for r in pairs} | {r.sh_b for r in pairs}
+        # every member pairs with the rep (hamming(base, base|bit) = 1)
+        assert seen == set(vals_py)
+        # star tier emits O(group) pairs, not O(group^2)
+        assert len(pairs) <= 3 * len(vals_py)
+
     def test_ngram_jaccard_exact_pairs(self, spark, dup_docs):
         pairs = dedup.ngram_jaccard_pairs(dup_docs, n=3, threshold=0.9).collect()
         found = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
