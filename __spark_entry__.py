@@ -1142,17 +1142,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def multimodal_decode_shapes(spark, sf):
         # decode plumbing cross-check: route image rows through the
-        # mapInPandas decode (deterministic fake codec — no imaging libs
-        # in this sandbox) and emit the SHAPE facts (height, width,
-        # tensor length) the oracle re-derives from the generator;
-        # pixel VALUES are pytest-tested (TestMultimodal)
+        # mapInPandas decode — REAL pure-numpy BMP parse since r4 (no
+        # fake flag) — and emit the SHAPE facts (height, width, tensor
+        # length) the oracle re-derives from the generator; pixel
+        # VALUES are oracled in multimodal_decode_pixels
         _ensure_shipped(spark)
         from ingest_spark.operators.multimodal import decode_image, synthetic_media
-        d = decode_image(synthetic_media(spark, n=500), fake=True)
+        d = decode_image(synthetic_media(spark, n=500))
         return d.select(
             "media_id", "height", "width", F.size("pixels").alias("n_px")
         )
     q["multimodal_decode_shapes"] = multimodal_decode_shapes
+
+    def multimodal_decode_pixels(spark, sf):
+        # PIXEL-EXACT decode: synthetic_media emits valid 24-bit BMP
+        # bytes (closed-form RGB pattern); decode_image_stats parses the
+        # real binary (header, bottom-up rows, BGR order, row padding)
+        # and sums raw RGB values; the oracle recomputes the pattern sum
+        # in pure SQL — any byte-level decode error breaks the hash
+        _ensure_shipped(spark)
+        from ingest_spark.operators.multimodal import (
+            decode_image_stats, synthetic_media,
+        )
+        return decode_image_stats(synthetic_media(spark, n=500))
+    q["multimodal_decode_pixels"] = multimodal_decode_pixels
+
+    def multimodal_audio_decode(spark, sf):
+        # SAMPLE-EXACT WAV decode: valid PCM16 payloads (closed-form
+        # samples), native RIFF chunk-walk decode, integer sample sums
+        # re-derived by the oracle
+        _ensure_shipped(spark)
+        from ingest_spark.operators.multimodal import (
+            decode_audio_stats, synthetic_media,
+        )
+        return decode_audio_stats(synthetic_media(spark, n=500))
+    q["multimodal_audio_decode"] = multimodal_audio_decode
 
     def retile_incremental_q(spark, sf):
         # incremental vector-tile maintenance end-to-end: a deterministic
@@ -1731,6 +1755,43 @@ def oracle_sql() -> dict[str, str]:
                    (16 + i % 16)::INT AS width,
                    ((16 + (i * 7) % 16) * (16 + i % 16) * 3)::INT AS n_px
             FROM (SELECT UNNEST(range(0, 500)) AS i) WHERE i % 3 = 0
+        """,
+        # closed-form twin of operators/multimodal.synthetic_pixels:
+        # r=(x*7+y*13+id)%256, g=(x*3+y*5+2id)%256, b=(x*11+y+3id)%256
+        # summed over the image grid — pixel-exact vs the real BMP parse
+        "multimodal_decode_pixels": """
+            WITH m AS (
+              SELECT i AS media_id,
+                     16 + i % 16 AS w, 16 + (i * 7) % 16 AS h
+              FROM (SELECT UNNEST(range(0, 500)) AS i) WHERE i % 3 = 0
+            ),
+            px AS (
+              SELECT media_id, h, w,
+                     (x * 7 + y * 13 + media_id) % 256
+                   + (x * 3 + y * 5 + 2 * media_id) % 256
+                   + (x * 11 + y + 3 * media_id) % 256 AS v
+              FROM m, UNNEST(range(0, w)) AS ux(x), UNNEST(range(0, h)) AS uy(y)
+            )
+            SELECT media_id, h::INT AS height, w::INT AS width,
+                   SUM(v)::BIGINT AS checksum
+            FROM px GROUP BY media_id, h, w
+        """,
+        # closed-form twin of synthetic_samples: s=((t*31+17id)%65536)-32768
+        # over n = duration_ms * 8000 / 1000 samples
+        "multimodal_audio_decode": """
+            WITH m AS (
+              SELECT i AS media_id,
+                     (1000 + i % 9000) * 8 AS n
+              FROM (SELECT UNNEST(range(0, 500)) AS i) WHERE i % 3 = 1
+            ),
+            s AS (
+              SELECT media_id, n,
+                     ((t * 31 + media_id * 17) % 65536) - 32768 AS v
+              FROM m, UNNEST(range(0, n)) AS ut(t)
+            )
+            SELECT media_id, 8000 AS sample_rate, n::BIGINT AS n_samples,
+                   SUM(v)::BIGINT AS checksum
+            FROM s GROUP BY media_id, n
         """,
         "retile_incremental": f"""
             WITH base AS (SELECT id, lon, lat FROM {_POINTS_SQL} p),

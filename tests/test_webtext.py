@@ -364,11 +364,89 @@ class TestSimilarity:
 
 
 class TestMultimodal:
-    def test_decode_requires_lib_or_fake(self, spark):
+    def test_compressed_decode_requires_lib_or_fake(self, spark):
+        """BMP/PPM decode natively; unknown (compressed) magic without
+        PIL must raise rather than silently produce wrong pixels."""
+        if multimodal.HAVE_PIL:
+            pytest.skip("PIL present: compressed formats decode for real")
+        fake_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+        media = spark.createDataFrame(
+            [(1, "image", fake_png, "image/png", 16, 16, None, len(fake_png))],
+            multimodal.MEDIA_SCHEMA,
+        )
+        with pytest.raises(Exception, match="PIL"):
+            multimodal.decode_image(media, fake=False).collect()
+        # fake=True pseudo-decodes it instead
+        rows = multimodal.decode_image(media, fake=True).collect()
+        assert len(rows) == 1 and len(rows[0].pixels) == 16 * 16 * 3
+
+    def test_bmp_codec_roundtrip_and_golden(self):
+        import numpy as np
+
+        # odd width exercises 4-byte row padding; values exercise BGR swap
+        rgb = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(3, 5, 3)
+        data = multimodal.bmp_encode(rgb)
+        assert data[:2] == b"BM"
+        pad = (4 - (5 * 3) % 4) % 4
+        assert len(data) == 54 + 3 * (5 * 3 + pad)
+        back = multimodal.bmp_decode(data)
+        assert (back == rgb).all()
+        # golden 1x1 red pixel: header + bottom-up BGR row padded to 4
+        one = multimodal.bmp_encode(np.array([[[255, 0, 0]]], dtype=np.uint8))
+        assert one[-4:] == b"\x00\x00\xff\x00"  # B,G,R + 1 pad byte
+
+    def test_ppm_codec_roundtrip(self):
+        import numpy as np
+
+        rgb = (np.arange(4 * 7 * 3, dtype=np.int64) * 13 % 256).astype(
+            np.uint8
+        ).reshape(7, 4, 3)
+        data = multimodal.ppm_encode(rgb)
+        assert data.startswith(b"P6\n4 7\n255\n")
+        assert (multimodal.ppm_decode(data) == rgb).all()
+
+    def test_wav_codec_roundtrip_and_chunk_walk(self):
+        import numpy as np
+
+        s = multimodal.synthetic_samples(9, 1001)  # odd count → odd chunk
+        data = multimodal.wav_encode(s, 8000)
+        sr, back = multimodal.wav_decode(data)
+        assert sr == 8000 and (back == s).all()
+        # extra chunk before data must be skipped by the walk
+        extra = data[:12] + b"LIST\x04\x00\x00\x00abcd" + data[12:]
+        head = bytearray(extra)
+        # fix RIFF size
+        import struct
+        struct.pack_into("<I", head, 4, len(extra) - 8)
+        sr2, back2 = multimodal.wav_decode(bytes(head))
+        assert sr2 == 8000 and (back2 == s).all()
+
+    def test_real_decode_matches_pattern(self, spark):
+        """decode_image on synthetic media parses the REAL BMP bytes and
+        must reproduce the closed-form pixel pattern exactly."""
+        import numpy as np
+
         media = multimodal.synthetic_media(spark, 30)
-        if not multimodal.HAVE_PIL:
-            with pytest.raises(NotImplementedError):
-                multimodal.decode_image(media, fake=False)
+        rows = multimodal.decode_image(media).collect()
+        assert len(rows) == 10
+        for r in rows:
+            want = multimodal.synthetic_pixels(r.media_id, r.width, r.height)
+            got = np.rint(
+                np.asarray(r.pixels, dtype=np.float32).reshape(
+                    r.height, r.width, 3
+                ) * 255.0
+            ).astype(np.uint8)
+            assert (got == want).all()
+
+    def test_audio_stats_match_pattern(self, spark):
+        media = multimodal.synthetic_media(spark, 30)
+        rows = multimodal.decode_audio_stats(media).collect()
+        assert len(rows) == 10
+        for r in rows:
+            n = r.n_samples
+            s = multimodal.synthetic_samples(r.media_id, n)
+            assert r.sample_rate == 8000
+            assert r.checksum == int(s.sum())
 
     def test_fake_decode_pipeline(self, spark):
         media = multimodal.synthetic_media(spark, 30)
