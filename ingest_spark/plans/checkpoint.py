@@ -117,6 +117,97 @@ class ParquetManifestBackend(SnapshotBackend):
         return self.read(spark, path)
 
 
+class SnapshotDirBackend(SnapshotBackend):
+    """Second seam implementation — the Iceberg-shaped one: every
+    commit writes an IMMUTABLE snapshot directory
+    (``{path}/snap-{n}``) and then atomically swaps a pointer file
+    (``{path}/_current``, os.replace) — the same commit protocol as an
+    Iceberg metadata-pointer swap. Properties the parquet-rename
+    backend can't offer, which is exactly why it proves the seam:
+
+    - no destructive rename: a crash at ANY point leaves the table
+      serving the previous snapshot (an orphan data dir at worst);
+      there is no recovery path because there is no broken state,
+    - old snapshots stay readable (``read_snapshot`` = time travel;
+      ``expire_snapshots`` = GC),
+    - MERGE reads snap-N while writing snap-N+1 — no
+      read-while-overwrite hazard.
+    """
+
+    def _pointer(self, path: str) -> str:
+        return os.path.join(path, "_current")
+
+    def _current(self, path: str) -> "str | None":
+        try:
+            with open(self._pointer(path)) as f:
+                name = f.read().strip()
+        except FileNotFoundError:
+            return None
+        return os.path.join(path, name) if name else None
+
+    def _next_snap(self, path: str) -> str:
+        os.makedirs(path, exist_ok=True)
+        existing = [
+            int(d.split("-", 1)[1])
+            for d in os.listdir(path)
+            if d.startswith("snap-") and d.split("-", 1)[1].isdigit()
+        ]
+        return f"snap-{(max(existing) + 1) if existing else 0}"
+
+    def _swap(self, path: str, snap_name: str) -> None:
+        tmp = self._pointer(path) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(snap_name)
+        os.replace(tmp, self._pointer(path))  # the atomic commit point
+
+    def commit(self, df, path, partition_by=None):
+        snap = self._next_snap(path)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(path, snap))
+        self._swap(path, snap)
+
+    def read(self, spark, path):
+        cur = self._current(path)
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot at {path}")
+        return spark.read.parquet(cur)
+
+    def read_snapshot(self, spark, path, n: int):
+        """Time travel: read snapshot ``n`` regardless of the pointer."""
+        return spark.read.parquet(os.path.join(path, f"snap-{n}"))
+
+    def is_complete(self, path):
+        cur = self._current(path)
+        return cur is not None and os.path.exists(os.path.join(cur, "_SUCCESS"))
+
+    def merge_overwrite(self, spark, path, delete_keys, insert_rows, key="id"):
+        target = self.read(spark, path)
+        merged = target.join(delete_keys.select(key), key, "left_anti").unionByName(
+            insert_rows.select(*target.columns)
+        )
+        self.commit(merged, path)  # reads snap-N, writes snap-N+1
+        return self.read(spark, path)
+
+    def expire_snapshots(self, path: str, keep: int = 1) -> int:
+        """Drop all but the newest ``keep`` snapshots (never the
+        current one). Returns the number removed."""
+        import shutil
+
+        cur = self._current(path)
+        snaps = sorted(
+            (d for d in os.listdir(path) if d.startswith("snap-")),
+            key=lambda d: int(d.split("-", 1)[1]),
+        )
+        victims = [
+            s for s in snaps[:-keep] if os.path.join(path, s) != cur
+        ] if keep > 0 else []
+        for s in victims:
+            shutil.rmtree(os.path.join(path, s))
+        return len(victims)
+
+
 DEFAULT_BACKEND = ParquetManifestBackend()
 
 

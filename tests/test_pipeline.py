@@ -293,17 +293,26 @@ class TestStreamRetryIdempotency:
         assert got == want
 
 
+def _make_backend(name):
+    from ingest_spark.plans.checkpoint import (
+        ParquetManifestBackend, SnapshotDirBackend,
+    )
+
+    return ParquetManifestBackend() if name == "parquet" else SnapshotDirBackend()
+
+
 class TestSnapshotBackendSeam:
     """The storage seam a real catalog (Iceberg) replaces: run_stage's
-    resume semantics must hold for any SnapshotBackend; merge_overwrite
-    is the MERGE INTO analog."""
+    resume semantics must hold for ANY SnapshotBackend — proven by
+    parametrizing over two structurally different implementations
+    (in-place parquet + rename-swap vs immutable snapshot dirs +
+    pointer swap); merge_overwrite is the MERGE INTO analog."""
 
-    def test_run_stage_with_explicit_backend(self, spark, tmp_path):
-        from ingest_spark.plans.checkpoint import (
-            Manifest, ParquetManifestBackend, run_stage,
-        )
+    @pytest.mark.parametrize("bname", ["parquet", "snapdir"])
+    def test_run_stage_with_explicit_backend(self, spark, tmp_path, bname):
+        from ingest_spark.plans.checkpoint import Manifest, run_stage
 
-        backend = ParquetManifestBackend()
+        backend = _make_backend(bname)
         root = str(tmp_path / "ck_backend")
         m = Manifest.load(root)
         calls = []
@@ -318,18 +327,43 @@ class TestSnapshotBackendSeam:
         df2 = run_stage(spark, m2, "s", build, backend=backend)
         assert df2.count() == 7 and len(calls) == 1  # skip-complete held
 
-    def test_merge_overwrite_semantics(self, spark, tmp_path):
+    @pytest.mark.parametrize("bname", ["parquet", "snapdir"])
+    def test_upstream_change_invalidates_downstream(self, spark, tmp_path, bname):
+        from ingest_spark.plans.checkpoint import Manifest, run_stage
+
+        backend = _make_backend(bname)
+        root = str(tmp_path / "ck_up")
+        m = Manifest.load(root)
+        run_stage(spark, m, "a", lambda: spark.range(5), backend=backend)
+        calls = []
+        run_stage(
+            spark, m, "b", lambda: (calls.append(1), spark.range(3))[1],
+            inputs=["a"], backend=backend,
+        )
+        assert len(calls) == 1
+        m.stages["a"]["snapshot_id"] = "changed!"
+        m.save()
+        m2 = Manifest.load(root)
+        run_stage(
+            spark, m2, "b", lambda: (calls.append(1), spark.range(3))[1],
+            inputs=["a"], backend=backend,
+        )
+        assert len(calls) == 2
+
+    @pytest.mark.parametrize("bname", ["parquet", "snapdir"])
+    def test_merge_overwrite_semantics(self, spark, tmp_path, bname):
         """delete matched keys + insert new rows in one commit; the
         store stays readable afterwards (swap is crash-bounded)."""
         import os
 
-        from ingest_spark.plans.checkpoint import ParquetManifestBackend
-
-        backend = ParquetManifestBackend()
+        backend = _make_backend(bname)
         path = str(tmp_path / "tbl")
-        spark.createDataFrame(
-            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
-        ).write.parquet(path)
+        backend.commit(
+            spark.createDataFrame(
+                [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+            ),
+            path,
+        )
         deletes = spark.createDataFrame([(2,), (3,)], "id long")
         inserts = spark.createDataFrame([(3, "c2"), (4, "d")], "id long, v string")
         out = backend.merge_overwrite(spark, path, deletes, inserts, key="id")
@@ -338,6 +372,44 @@ class TestSnapshotBackendSeam:
         }
         assert backend.is_complete(path)
         assert not os.path.exists(path + "._merge_old")
+
+    def test_snapdir_crash_leaves_old_snapshot_serving(self, spark, tmp_path):
+        """A crash mid-commit (data written, pointer not swapped) must
+        leave the table serving the PREVIOUS snapshot — the property
+        the pointer-swap protocol buys over in-place renames."""
+        import os
+
+        from ingest_spark.plans.checkpoint import SnapshotDirBackend
+
+        backend = SnapshotDirBackend()
+        path = str(tmp_path / "tbl2")
+        backend.commit(spark.createDataFrame([(1, "a")], "id long, v string"), path)
+        # simulate crash: orphan data dir written, pointer untouched
+        spark.createDataFrame([(9, "z")], "id long, v string").write.parquet(
+            os.path.join(path, "snap-1")
+        )
+        assert backend.is_complete(path)
+        assert {(r.id, r.v) for r in backend.read(spark, path).collect()} == {(1, "a")}
+        # the next commit supersedes the orphan (monotonic numbering)
+        backend.commit(spark.createDataFrame([(2, "b")], "id long, v string"), path)
+        assert {(r.id, r.v) for r in backend.read(spark, path).collect()} == {(2, "b")}
+
+    def test_snapdir_time_travel_and_expiry(self, spark, tmp_path):
+        from ingest_spark.plans.checkpoint import SnapshotDirBackend
+
+        backend = SnapshotDirBackend()
+        path = str(tmp_path / "tbl3")
+        backend.commit(spark.createDataFrame([(1, "a")], "id long, v string"), path)
+        backend.merge_overwrite(
+            spark, path,
+            spark.createDataFrame([(1,)], "id long"),
+            spark.createDataFrame([(2, "b")], "id long, v string"),
+        )
+        # current = snap-1; snap-0 still readable (time travel)
+        assert {r.id for r in backend.read(spark, path).collect()} == {2}
+        assert {r.id for r in backend.read_snapshot(spark, path, 0).collect()} == {1}
+        assert backend.expire_snapshots(path, keep=1) == 1
+        assert {r.id for r in backend.read(spark, path).collect()} == {2}
 
     def test_map_column_change_changes_digest(self, spark, tmp_path):
         """A tags-only (MapType) value change must change the content
