@@ -837,6 +837,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return p.groupBy(ix.alias("cell_ix"), iy.alias("cell_iy")).agg(F.count("*").alias("n"))
     q["o3_grid_assign"] = o3_grid_assign
 
+    def salt_hot_cells_q(spark, sf):
+        # skew-bounding operator end-to-end: 45° grid cells over the
+        # synthetic points are all "hot" at bucket_max=500, so every
+        # row gets a real ceil(count/bound) salt via the portable LCG
+        # hash — per-row (id, cell, salt) re-derived exactly in SQL
+        _ensure_shipped(spark)
+        from ingest_spark.operators.tiling import salt_hot_cells
+        p = _points(spark, sf)
+        ix = F.least(F.greatest(F.ceil((F.col("lon") + 180.0) / 45.0) - 1, F.lit(0)), F.lit(7))
+        iy = F.least(F.greatest(F.ceil((F.col("lat") + 90.0) / 45.0) - 1, F.lit(0)), F.lit(3))
+        cells = p.select("id", (ix * 4 + iy).cast("long").alias("cell"))
+        return salt_hot_cells(cells, cell_col="cell", bucket_max=500, id_col="id")
+    q["salt_hot_cells"] = salt_hot_cells_q
+
     def o5_sorted_topk(spark, sf):
         return (
             _t(spark, sf, "orders")
@@ -1514,6 +1528,27 @@ def oracle_sql() -> dict[str, str]:
         "o5_sorted_topk": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50
+        """,
+        # exact twin of tiling.salt_hot_cells: ceil(count/bound) salts on
+        # over-cap cells, per-row salt = LCG(id) % n_salts (pure int64
+        # arithmetic — the reason the operator is portable)
+        "salt_hot_cells": f"""
+            WITH cells AS (
+              SELECT id,
+                     (LEAST(GREATEST(CEIL((lon + 180.0) / 45.0)::BIGINT - 1, 0), 7) * 4
+                    + LEAST(GREATEST(CEIL((lat + 90.0) / 45.0)::BIGINT - 1, 0), 3)) AS cell
+              FROM {_POINTS_SQL} p
+            ),
+            hot AS (
+              SELECT cell, CAST(CEIL(COUNT(*) / 500.0) AS INT) AS n_salts
+              FROM cells GROUP BY cell HAVING COUNT(*) > 500
+            )
+            SELECT c.id, c.cell,
+                   CASE WHEN h.n_salts IS NULL THEN 0
+                        ELSE (((c.id % 2147483648) * 1103515245 + 12345)
+                              % 2147483648 % h.n_salts)::INT
+                   END AS salt
+            FROM cells c LEFT JOIN hot h USING (cell)
         """,
         "pip_polygon_join": f"""
             WITH edges(polygon_id, cx, cy, px, py) AS (VALUES {edges})

@@ -278,9 +278,15 @@ def connected_components(
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     ).distinct().localCheckpoint(eager=True)
-    labels = sym.select(F.col("s").alias("node")).distinct().withColumn(
-        "lab", F.col("node")
-    ).localCheckpoint(eager=True)
+    # seed with the neighborhood minimum — equivalent to running the
+    # first propagation round during init, so tiny-diameter clusters
+    # (the web-dedup common case) converge one round earlier
+    labels = (
+        sym.groupBy("s")
+        .agg(F.min("d").alias("_m"))
+        .select(F.col("s").alias("node"), F.least("s", "_m").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(max_rounds):
         # neighborhood minimum (incl. own label)
@@ -297,9 +303,10 @@ def connected_components(
             new.select(F.col("node").alias("lab"), F.col("lab").alias("_ll")),
             "lab",
         ).select("node", F.col("_ll").alias("lab"))
-        # one materialization per round (truncates lineage; 2 narrow
-        # columns only, so the footprint is tiny relative to the data)
-        short = short.localCheckpoint(eager=True)
+        # LAZY checkpoint: the convergence count below is the action
+        # that materializes it — one Spark job per round, not two
+        # (lineage still truncates; 2 narrow columns only)
+        short = short.localCheckpoint(eager=False)
         changed = (
             short.join(labels.withColumnRenamed("lab", "_old"), "node")
             .where(F.col("lab") != F.col("_old"))
@@ -341,49 +348,67 @@ def duplicate_components(
 
 # ---------------------------------------------------------- simhash
 
+def _simhash_kernel(docs_toks: list, n_docs: int) -> np.ndarray:
+    """Shared vote kernel: list of per-doc token lists/arrays → uint64
+    sketches. Vocabulary dedup via np.unique (C-speed; zipf repetition
+    makes unique tokens ~10-50x fewer than total), FNV hashes over the
+    unique tokens only, then BATCHED Charikar votes chunked so the
+    (tokens x 64) vote intermediate stays ~200 MB per worker."""
+    counts = np.fromiter((len(t) for t in docs_toks), dtype=np.int64, count=n_docs)
+    if counts.sum() == 0:
+        return np.zeros(n_docs, dtype=np.uint64)
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in docs_toks if len(t)])
+    vocab, tok_ids = np.unique(flat, return_inverse=True)
+    hashes = sk.hash_str_many(vocab.tolist())
+    out = np.zeros(n_docs, dtype=np.uint64)
+    budget = 150_000
+    start_doc = 0
+    start_tok = 0
+    while start_doc < n_docs:
+        end_doc = start_doc
+        tok_end = start_tok
+        while end_doc < n_docs and (
+            tok_end - start_tok < budget or end_doc == start_doc
+        ):
+            tok_end += int(counts[end_doc])
+            end_doc += 1
+        th = hashes[tok_ids[start_tok:tok_end]]
+        out[start_doc:end_doc] = sk.simhash_many(th, counts[start_doc:end_doc])
+        start_doc = end_doc
+        start_tok = tok_end
+    return out
+
+
 def _simhash_udf():
+    """Legacy text-input path (Python-side tokenization) — kept for the
+    JVM/Python tokenizer parity test."""
     @F.pandas_udf(LongType())
     def _u(text: pd.Series) -> pd.Series:
-        # token hashes via the vectorized FNV kernel over the batch's
-        # UNIQUE tokens (zipf repetition makes this ~10-50x fewer
-        # hashes), then BATCHED Charikar votes: every doc's token
-        # hashes concatenate into one segment-summed matrix (chunked
-        # so the (tokens x 64) int32 vote matrix stays ~100 MB)
         docs_toks = [(t or "").lower().split() for t in text]
-        vocab: dict = {}
-        tok_ids: list = []
-        counts = np.zeros(len(text), dtype=np.int64)
-        for i, toks in enumerate(docs_toks):
-            counts[i] = len(toks)
-            for w in toks:
-                tok_ids.append(vocab.setdefault(w, len(vocab)))
-        hashes = sk.hash_str_many(list(vocab))
-        tok_ids = np.asarray(tok_ids, dtype=np.int64)
-        out = np.zeros(len(text), dtype=np.uint64)
-        # tokens per chunk: the vote kernel's transient peak is the
-        # (tokens x 64) uint64 shift intermediate (~8*64 B/token) plus
-        # the int32 copies — ~150k tokens ≈ 200 MB peak per worker
-        budget = 150_000
-        start_doc = 0
-        start_tok = 0
-        while start_doc < len(text):
-            end_doc = start_doc
-            tok_end = start_tok
-            while end_doc < len(text) and (
-                tok_end - start_tok < budget or end_doc == start_doc
-            ):
-                tok_end += int(counts[end_doc])
-                end_doc += 1
-            th = hashes[tok_ids[start_tok:tok_end]]
-            out[start_doc:end_doc] = sk.simhash_many(th, counts[start_doc:end_doc])
-            start_doc = end_doc
-            start_tok = tok_end
-        return pd.Series(out.view(np.int64))
+        return pd.Series(_simhash_kernel(docs_toks, len(text)).view(np.int64))
+    return _u
+
+
+def _simhash_tokens_udf():
+    @F.pandas_udf(LongType())
+    def _u(tokens: pd.Series) -> pd.Series:
+        toks = tokens.to_numpy()
+        return pd.Series(_simhash_kernel(list(toks), len(toks)).view(np.int64))
     return _u
 
 
 def with_simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    return docs.select(F.col(id_col), _simhash_udf()(F.col(text_col)).alias("simhash"))
+    """(id, simhash). Tokenization runs JVM-side (codegen'd lower +
+    regex split on ASCII whitespace — the exact semantics of the DuckDB
+    oracle's string_split_regex('\\s+')); the Arrow-batched UDF only
+    runs the numpy hash/vote kernels. Note: Python str.split() also
+    splits on UNICODE whitespace — the engines agree on ASCII corpora
+    (tested), and the JVM path is the contract-oracled one."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda c: c != F.lit(""),
+    )
+    return docs.select(F.col(id_col), _simhash_tokens_udf()(toks).alias("simhash"))
 
 
 def _value_blocks(vals: DataFrame, nblocks: int, width: int) -> DataFrame:

@@ -783,21 +783,30 @@ def salt_hot_cells(
     id_col: str = "id",
 ) -> DataFrame:
     """Explicit skew defusal (north_rule): cells whose count exceeds the
-    bucket bound get ``ceil(count / bound)`` salts; rows are salted by
-    deterministic hash of their id. The (cell, salt) pair is then a
-    bounded shuffle/write key — the declarative analog of the
-    reference's quadtree overflow splitting (src/divide.rs:12,54)."""
+    bucket bound get ``ceil(count / bound)`` salts; rows are salted by a
+    deterministic LCG hash of their (numeric) id — pure int64
+    arithmetic, so the full operator is cross-engine reproducible and
+    exactly oracled by the `salt_hot_cells` contract query (id is
+    pre-folded mod 2^31 so the multiply never overflows int64 under
+    ANSI). The (cell, salt) pair is then a bounded shuffle/write key —
+    the declarative analog of the reference's quadtree overflow
+    splitting (src/divide.rs:12,54)."""
     n = bucket_max or cfg.bucket_max_records
     counts = cell_counts(df, cell_col)
     hot = counts.where(F.col("n") > n).select(
         cell_col, F.ceil(F.col("n") / n).cast("int").alias("n_salts")
     )
     out = df.join(F.broadcast(hot), cell_col, "left")
+    lcg = F.pmod(
+        F.pmod(F.col(id_col).cast("long"), F.lit(2147483648)) * 1103515245
+        + 12345,
+        F.lit(2147483648),
+    )
     return out.withColumn(
         "salt",
         F.when(
             F.col("n_salts").isNotNull(),
-            F.pmod(F.xxhash64(F.col(id_col)), F.col("n_salts")).cast("int"),
+            F.pmod(lcg, F.col("n_salts")).cast("int"),
         ).otherwise(F.lit(0)),
     ).drop("n_salts")
 

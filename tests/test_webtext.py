@@ -171,6 +171,23 @@ class TestDedup:
         hams = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
         assert all(h == 0 for (a, b), h in hams.items() if b == a + 100000)
 
+    def test_simhash_jvm_tokenizer_parity(self, spark, dup_docs):
+        """JVM-side tokenization (F.split on \\s+) must produce
+        byte-identical sketches to the legacy Python str.split() path
+        on the corpus (ASCII whitespace; the documented divergence is
+        Unicode-whitespace-only)."""
+        jvm = {
+            (r.doc_id, r.simhash)
+            for r in dedup.with_simhash(dup_docs).collect()
+        }
+        legacy = {
+            (r.doc_id, r.simhash)
+            for r in dup_docs.select(
+                "doc_id", dedup._simhash_udf()(F.col("text")).alias("simhash")
+            ).collect()
+        }
+        assert jvm == legacy
+
     def test_simhash_degenerate_clique_bounded(self, spark):
         """10k identical/empty docs — the classic simhash skew bomb.
         All copies collapse to ONE distinct simhash value each, so the
