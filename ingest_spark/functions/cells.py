@@ -10,15 +10,16 @@ scheme (s2geometry.io; quadratic ST projection, Hilbert curve via
 bits + trailing 1). Implemented from the published algorithm — no S2
 library is available in this environment.
 
-**Hex grid**: the real `h3` package is not installed here, so the
-default is a deterministic axial hex grid ("hex cells") with the H3
-*interface* (resolution, int64 cell ids, k_ring neighbors, aperture-7
-area scaling: edge length shrinks by √7 per resolution, matching H3's
-res-8 mean edge ≈ 461 m). If `h3` is importable and
-``SPARK_GRAFT_USE_H3=1``, the genuine H3 encoder is used instead
-(import-try gate). The hex grid is planar on (lon, lat) degrees —
-locality-correct for ring expansion, documented anisotropy at high
-latitude (kNN compensates by expanding rings).
+**Hex cells**: the public encoder (``hex_cell``/``h3_cell``) emits
+REAL H3 ids by default — the full icosahedral algorithm implemented
+from the published spec in pure numpy (functions/h3core.py; no `h3`
+wheel needed; gated library arbitration kept via SPARK_GRAFT_USE_H3).
+A deterministic PLANAR axial grid (``hex_cell_id``; aperture-7 edge
+scaling matched to H3's res-8 mean edge ≈ 461 m) remains first-class
+as the RING-MATH grid: kNN k_ring expansion and bbox covers key on it
+explicitly (its planar geometry is what the ring-distance guarantee is
+proven on), and ``SPARK_GRAFT_PLANAR_HEX=1`` routes the public
+encoder to it as a fallback.
 
 Reference parity: cell assignment generalizes the reference's
 grid-bucket assignment (src/lib.rs:427-444 grid, src/divide.rs:43-52
@@ -272,8 +273,11 @@ def hex_k_ring(cell_id: int, k: int) -> list[int]:
     return out
 
 
-# ------------------------------------------------- optional real H3 gate
+# --------------------------------------------------- real H3 (default)
 
+from . import h3core as _h3core  # noqa: E402  (real H3 in pure numpy)
+
+_USE_PLANAR_HEX = os.environ.get("SPARK_GRAFT_PLANAR_HEX") == "1"
 _USE_REAL_H3 = os.environ.get("SPARK_GRAFT_USE_H3") == "1"
 try:  # pragma: no cover - not installed in this environment
     import h3 as _h3  # type: ignore
@@ -285,23 +289,38 @@ except ImportError:
 
 
 def use_real_h3() -> bool:
-    """True when the genuine-H3 gate is active (SPARK_GRAFT_USE_H3=1 and
-    the h3 library is importable) — callers that have a JVM-expression
-    twin of the builtin grid must fall back to the Python kernel then."""
-    return _USE_REAL_H3 and _HAVE_H3
+    """True unless the planar fallback flag is set: the interop cell
+    surface (``hex_cell`` / with_cells) emits REAL H3 ids by default
+    since round 4 (functions/h3core.py, pure numpy — no library
+    needed). Callers with a JVM-expression twin of the PLANAR grid must
+    use the Python kernel whenever this is True."""
+    return not _USE_PLANAR_HEX
 
 
-def hex_cell(lon, lat, res: int = 8) -> np.ndarray:
-    """Public hex encoder; genuine H3 when available+enabled, else the
-    deterministic builtin grid."""
-    if _USE_REAL_H3 and _HAVE_H3:
-        lon = np.asarray(lon, dtype=np.float64)
-        lat = np.asarray(lat, dtype=np.float64)
+def h3_cell(lon, lat, res: int = 8) -> np.ndarray:
+    """Real H3 cell ids (int64). Default: the in-repo pure-numpy
+    implementation (h3core.latlng_to_cell — validated against embedded
+    public vectors). With SPARK_GRAFT_USE_H3=1 and the `h3` wheel
+    importable, routes through the library instead (the original
+    parity gate, kept so the wheel can arbitrate if ever present)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    if _USE_REAL_H3 and _HAVE_H3:  # pragma: no cover - wheel absent here
         return np.asarray(
             [_h3.str_to_int(_h3.latlng_to_cell(la, lo, res)) for lo, la in zip(lon, lat)],
             dtype=np.int64,
         )
-    return hex_cell_id(lon, lat, res)
+    return _h3core.latlng_to_cell(lon, lat, res)
+
+
+def hex_cell(lon, lat, res: int = 8) -> np.ndarray:
+    """Public hex encoder — REAL H3 res-`res` ids by default; the
+    planar builtin grid only with SPARK_GRAFT_PLANAR_HEX=1 (the grid
+    itself stays first-class for ring math: kNN k_ring expansion and
+    bbox covers key on it explicitly via hex_cell_id)."""
+    if _USE_PLANAR_HEX:
+        return hex_cell_id(lon, lat, res)
+    return h3_cell(lon, lat, res)
 
 
 def hex_cover_size(x0: float, y0: float, x1: float, y1: float, res: int = 8) -> int:

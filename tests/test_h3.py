@@ -1,0 +1,168 @@
+"""Validation suite for the pure-numpy real-H3 kernel (functions/h3core).
+
+Three independent lines of evidence pin the implementation to REAL H3
+(no `h3` wheel exists in this environment — see the gated parity test
+in test_cells.py for when one does):
+
+1. embedded PUBLIC test vectors from the H3 docs (SF-area points at
+   res 5/7/9 — both Class II and Class III paths),
+2. the published base-cell structure: the 12 pentagon ids and the
+   exact global cell counts (122 / 842 / 5882 at res 0/1/2),
+3. internal tiling consistency: near-coincident points crossing
+   icosa-face seams (incl. pentagon sectors) map to the same cell.
+"""
+
+import numpy as np
+import pytest
+
+from ingest_spark.functions import h3core as h
+
+
+class TestPublicVectors:
+    # (lat, lng, res, expected) — H3 documentation / h3-py, h3-js READMEs
+    VECTORS = [
+        (37.7752702151959257, -122.418307270836565, 9, "8928308280fffff"),
+        (37.3615593, -122.0553238, 5, "85283473fffffff"),
+        (37.3615593, -122.0553238, 7, "87283472bffffff"),
+    ]
+
+    @pytest.mark.parametrize("lat,lng,res,want", VECTORS)
+    def test_vector(self, lat, lng, res, want):
+        got = h.cell_to_string(h.latlng_to_cell(np.array([lng]), np.array([lat]), res))
+        assert got[0] == want
+
+    def test_index_layout(self):
+        # mode 1, res bits, base cell bits, trailing 7s
+        idx = int(h.latlng_to_cell(np.array([-122.418307]), np.array([37.775270]), 9)[0])
+        assert (idx >> 59) & 0xF == 1          # mode
+        assert (idx >> 52) & 0xF == 9          # res
+        assert (idx >> 45) & 0x7F == 20        # SF base cell (published)
+        assert idx & ((1 << 18) - 1) == (1 << 18) - 1  # unused digits = 7
+
+
+class TestBaseCellStructure:
+    def test_pentagon_ids_match_published(self):
+        pents = tuple(i for i in range(122) if h._IS_PENT[i])
+        assert pents == h.PENTAGON_CELLS
+
+    def test_icosahedron_regularity(self):
+        X = h._FACE_CENTER_XYZ
+        d = np.linalg.norm(X[:, None, :] - X[None, :, :], axis=2)
+        np.fill_diagonal(d, 9)
+        # every face: exactly 3 edge neighbors at one chord distance
+        mins = d.min(axis=1)
+        assert np.allclose(mins, mins[0], atol=1e-9)
+        assert ((np.abs(d - mins[:, None]) < 1e-9).sum(axis=1) == 3).all()
+
+    def test_recalled_basecell_anchors(self):
+        # baseCellData fragments recalled from the public source — the
+        # derivation reproduces them (home face, home ijk)
+        assert h._BASE_DATA[0][:2] == (1, (1, 0, 0))
+        assert h._BASE_DATA[2][:2] == (1, (0, 0, 0))
+        assert h._BASE_DATA[3][:2] == (2, (1, 0, 0))
+        assert h._BASE_DATA[4][:2] == (0, (2, 0, 0))
+
+    def test_global_cell_counts(self):
+        rng = np.random.default_rng(42)
+        n = 1_500_000
+        z = rng.uniform(-1, 1, n)
+        lng = rng.uniform(-180, 180, n)
+        lat = np.degrees(np.arcsin(z))
+        assert len(np.unique(h.latlng_to_cell(lng, lat, 0))) == 122
+        assert len(np.unique(h.latlng_to_cell(lng, lat, 1))) == 842
+        assert len(np.unique(h.latlng_to_cell(lng, lat, 2))) == 5882
+
+    def test_res0_children_per_base_cell(self):
+        rng = np.random.default_rng(7)
+        n = 1_000_000
+        z = rng.uniform(-1, 1, n)
+        lng = rng.uniform(-180, 180, n)
+        lat = np.degrees(np.arcsin(z))
+        c1 = h.latlng_to_cell(lng, lat, 1)
+        u1 = np.unique(c1)
+        bcs = (u1.astype(np.uint64) >> np.uint64(45)) & np.uint64(127)
+        from collections import Counter
+
+        cnt = Counter(bcs.tolist())
+        pents = set(h.PENTAGON_CELLS)
+        for b in range(122):
+            want = 6 if b in pents else 7
+            assert cnt[b] == want, (b, cnt[b])
+
+
+class TestTilingConsistency:
+    def _patchy(self, lng, lat, res, max_chord):
+        """Every cell's point set must be one patch of bounded extent."""
+        ids = h.latlng_to_cell(lng, lat, res)
+        phi = np.radians(lat)
+        lam = np.radians(lng)
+        X = np.stack(
+            [np.cos(phi) * np.cos(lam), np.cos(phi) * np.sin(lam), np.sin(phi)],
+            axis=1,
+        )
+        order = np.argsort(ids, kind="stable")
+        si = ids[order]
+        SX = X[order]
+        starts = np.r_[0, np.nonzero(np.diff(si))[0] + 1, len(si)]
+        worst = 0.0
+        for s, e in zip(starts[:-1], starts[1:]):
+            seg = SX[s:e]
+            if len(seg) < 2:
+                continue
+            ext = float(np.linalg.norm(seg.max(axis=0) - seg.min(axis=0)))
+            worst = max(worst, ext)
+        assert worst < max_chord, worst
+
+    def test_no_split_cells_globally(self):
+        rng = np.random.default_rng(3)
+        n = 400_000
+        z = rng.uniform(-1, 1, n)
+        lng = rng.uniform(-180, 180, n)
+        lat = np.degrees(np.arcsin(z))
+        # res-2 cell diameter ~ 2*0.38/7 ≈ 0.11 chord; bound with slack
+        self._patchy(lng, lat, 2, 0.16)
+
+    def test_no_split_cells_around_every_pentagon(self):
+        rng = np.random.default_rng(5)
+        for cid in h.PENTAGON_CELLS:
+            hf, hijk, _ = h._BASE_DATA[cid]
+            x, y = h._ijk_to_hex2d(*hijk)
+            lat0, lng0 = h._hex2d_to_geo(hf, x, y, 0)
+            v = np.array(h._geo_to_xyz(lat0, lng0))
+            # sample a cap around the vertex
+            z = rng.uniform(np.cos(0.45), 1.0, 60_000)
+            ph = rng.uniform(0, 2 * np.pi, len(z))
+            r = np.sqrt(1 - z**2)
+            local = np.stack([r * np.cos(ph), r * np.sin(ph), z], axis=1)
+            zax = np.array([0.0, 0.0, 1.0])
+            w = np.cross(zax, v)
+            s = np.linalg.norm(w)
+            d = float(np.dot(zax, v))
+            if s < 1e-12:
+                R = np.eye(3) if d > 0 else np.diag([1.0, -1.0, -1.0])
+            else:
+                wx = np.array(
+                    [[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]]
+                )
+                R = np.eye(3) + wx + wx @ wx * ((1 - d) / s**2)
+            P = local @ R.T
+            lat = np.degrees(np.arcsin(np.clip(P[:, 2], -1, 1)))
+            lng = np.degrees(np.arctan2(P[:, 1], P[:, 0]))
+            # res-3 cells near a pentagon: diameter ~0.045 chord
+            self._patchy(lng, lat, 3, 0.08)
+
+    def test_res0_matches_descent_mostly(self):
+        """latlng_to_cell(p, 0) and the res-8 id's base-cell bits agree
+        except on the documented approximate-containment boundary band
+        (H3's hierarchy is approximate; compounding the aperture-7
+        offset over 8 levels leaves ~93% direct agreement — the binding
+        invariants are the exact counts + patch bounds above)."""
+        rng = np.random.default_rng(11)
+        n = 200_000
+        z = rng.uniform(-1, 1, n)
+        lng = rng.uniform(-180, 180, n)
+        lat = np.degrees(np.arcsin(z))
+        b0 = (h.latlng_to_cell(lng, lat, 0).astype(np.uint64) >> np.uint64(45)) & np.uint64(127)
+        b8 = (h.latlng_to_cell(lng, lat, 8).astype(np.uint64) >> np.uint64(45)) & np.uint64(127)
+        agree = float((b0 == b8).mean())
+        assert agree > 0.90, agree

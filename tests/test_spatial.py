@@ -106,7 +106,7 @@ class TestKNN:
 
         res = 6
         edge = C.hex_edge_deg(res)
-        qcell = int(C.hex_cell(np.array([0.31 * edge]), np.array([0.17 * edge]), res)[0])
+        qcell = int(C.hex_cell_id(np.array([0.31 * edge]), np.array([0.17 * edge]), res)[0])
         cx, cy = C.hex_center(np.array([qcell]))
         cx, cy = float(cx[0]), float(cy[0])
 
@@ -114,7 +114,7 @@ class TestKNN:
         g = np.linspace(-1.0, 1.0, 21) * edge
         qx, qy = np.meshgrid(cx + g, cy + g)
         qx, qy = qx.ravel(), qy.ravel()
-        inside_q = C.hex_cell(qx, qy, res) == qcell
+        inside_q = C.hex_cell_id(qx, qy, res) == qcell
         qx, qy = qx[inside_q], qy[inside_q]
         assert len(qx) > 50
 
@@ -124,7 +124,7 @@ class TestKNN:
             gg = np.linspace(-span, span, 301)
             px, py = np.meshgrid(cx + gg, cy + gg)
             px, py = px.ravel(), py.ravel()
-            pcell = C.hex_cell(px, py, res)
+            pcell = C.hex_cell_id(px, py, res)
             outside = ~np.isin(pcell, np.fromiter(ring_set, dtype=np.int64))
             px, py = px[outside], py[outside]
             # min over all (query position, outside point) pairs
@@ -150,7 +150,7 @@ class TestKNN:
 
         res = 6
         edge = C.hex_edge_deg(res)
-        qcell = int(C.hex_cell(np.array([0.0]), np.array([0.0]), res)[0])
+        qcell = int(C.hex_cell_id(np.array([0.0]), np.array([0.0]), res)[0])
         cx, cy = C.hex_center(np.array([qcell]))
         cx, cy = float(cx[0]), float(cy[0])
         _, q0, r0 = C.hex_unpack(np.array([qcell]))
@@ -170,7 +170,7 @@ class TestKNN:
             for _ in range(50):
                 mid = (lo + hi) / 2.0
                 x, y = ox + mid * (tx - ox), oy + mid * (ty - oy)
-                if int(C.hex_cell(np.array([x]), np.array([y]), res)[0]) == cell:
+                if int(C.hex_cell_id(np.array([x]), np.array([y]), res)[0]) == cell:
                     lo = mid
                 else:
                     hi = mid
@@ -179,11 +179,11 @@ class TestKNN:
         # query near its cell's corner toward the diagonal cell
         t = max_toward(cx, cy, dx, dy, qcell)
         qx, qy = cx + t * (dx - cx), cy + t * (dy - cy)
-        assert int(C.hex_cell(np.array([qx]), np.array([qy]), res)[0]) == qcell
+        assert int(C.hex_cell_id(np.array([qx]), np.array([qy]), res)[0]) == qcell
         # true NN: in the diagonal cell, at its corner toward the query
         s = max_toward(dx, dy, cx, cy, int(diag))
         nx, ny = dx + s * (cx - dx), dy + s * (cy - dy)
-        assert int(C.hex_cell(np.array([nx]), np.array([ny]), res)[0]) == int(diag)
+        assert int(C.hex_cell_id(np.array([nx]), np.array([ny]), res)[0]) == int(diag)
         d_true = float(np.hypot(nx - qx, ny - qy))
         old_bound = edge * (2 * np.sqrt(3.0) - 2.0)
         assert d_true < old_bound  # the old bound would wrongly certify a decoy
