@@ -32,6 +32,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
 from pyspark.sql.types import ArrayType, LongType
 
 from ..config import DEFAULT, EngineConfig
@@ -255,22 +256,28 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 25,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """EXACT duplicate clustering: (node, component) where component =
     the minimum node id reachable over the (undirected) edge set — the
     distributed union-find the one-hop dedup approximations lack
     (transitive duplicates: A~B, B~C but A!~C still form one cluster).
 
-    Plan: min-label propagation with POINTER DOUBLING — each round
-    first propagates the neighborhood minimum (one shuffle on the edge
-    key), then shortcuts every label to its label's label (one self-
-    join), so convergence is O(log diameter) rounds rather than
-    O(diameter). Each round is two equi-joins + one aggregate on a
-    2-column frame; convergence is detected with a one-row count of
-    changed labels. Duplicate clusters in web corpora have tiny
-    diameters, so this is 2-3 rounds in practice; ``max_rounds`` is a
-    pathological-chain backstop (raises rather than returning a wrong
-    answer).
+    Two execution tiers (adaptive, AQE-spirited):
+
+    - edge sets ≤ ``driver_threshold`` run a DRIVER union-find: the
+      near-dup pair list of a corpus is metadata-sized long before the
+      corpus is (LSH pairs ≪ docs), and at this size the distributed
+      loop is pure scheduling latency. One collect of a 2-column
+      frame; exact, deterministic.
+    - larger graphs run min-label propagation with POINTER DOUBLING —
+      each round propagates the neighborhood minimum then shortcuts
+      every label to its label's label, so convergence is
+      O(log diameter) rounds on 2-column frames; convergence is
+      checked every SECOND round (the count is the action that
+      materializes the round's lazy checkpoint). ``max_rounds`` is a
+      pathological-chain backstop (raises rather than returning a
+      wrong answer). Both tiers are parity-tested against each other.
     """
     # materialize the symmetrized edges ONCE: they sit on the probe side
     # of every round's joins, and the upstream pair pipeline (a banded
@@ -278,17 +285,48 @@ def connected_components(
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     ).distinct().localCheckpoint(eager=True)
+
+    if driver_threshold and sym.count() <= driver_threshold:
+        rows = sym.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            a, b = row["s"], row["d"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN so the root IS the component id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(n, find(n)) for n in parent]
+        spark = edges.sparkSession
+        node_t = edges.schema[src].dataType
+        schema = T.StructType([
+            T.StructField("node", node_t, False),
+            T.StructField("component", node_t, False),
+        ])
+        return spark.createDataFrame(out, schema)
     # seed with the neighborhood minimum — equivalent to running the
     # first propagation round during init, so tiny-diameter clusters
-    # (the web-dedup common case) converge one round earlier
+    # (the web-dedup common case) converge one round earlier; LAZY
+    # checkpoint: round 1's convergence count materializes it
     labels = (
         sym.groupBy("s")
         .agg(F.min("d").alias("_m"))
         .select(F.col("s").alias("node"), F.least("s", "_m").alias("lab"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         # neighborhood minimum (incl. own label)
         nbr = sym.join(labels.withColumnRenamed("node", "d"), "d").select(
             F.col("s").alias("node"), "lab"
@@ -303,15 +341,19 @@ def connected_components(
             new.select(F.col("node").alias("lab"), F.col("lab").alias("_ll")),
             "lab",
         ).select("node", F.col("_ll").alias("lab"))
-        # LAZY checkpoint: the convergence count below is the action
-        # that materializes it — one Spark job per round, not two
-        # (lineage still truncates; 2 narrow columns only)
+        # LAZY checkpoint; convergence checked every SECOND round (its
+        # count is the action that materializes the checkpoint) — odd
+        # rounds are a single materialize job with no compare
         short = short.localCheckpoint(eager=False)
-        changed = (
-            short.join(labels.withColumnRenamed("lab", "_old"), "node")
-            .where(F.col("lab") != F.col("_old"))
-            .count()
-        )
+        if rnd % 2 == 1 or rnd == max_rounds - 1:
+            changed = (
+                short.join(labels.withColumnRenamed("lab", "_old"), "node")
+                .where(F.col("lab") != F.col("_old"))
+                .count()
+            )
+        else:
+            short.count()  # materialize only
+            changed = None
         labels.unpersist()
         labels = short
         if changed == 0:
@@ -476,6 +518,22 @@ def _simhash_value_pairs(
         .where(F.col("count") > hot_block_cap)
         .select("block_idx", "block_val", F.lit(1).alias("_hot"))
     )
+    if hot.isEmpty():
+        # common case (uniform sketches): no hot block — pure cold
+        # join, none of the ladder stages are even planned
+        xa = ex.select(F.col("simhash").alias("sh_a"), "block_idx", "block_val")
+        xb = ex.select(F.col("simhash").alias("sh_b"), "block_idx", "block_val")
+        cand = (
+            xa.join(xb, ["block_idx", "block_val"])
+            .where(F.col("sh_a") < F.col("sh_b"))
+            .select("sh_a", "sh_b")
+            .dropDuplicates(["sh_a", "sh_b"])
+        )
+        hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        return (
+            cand.withColumn("hamming", hamming)
+            .where(F.col("hamming") <= max_hamming)
+        )
     ex = ex.join(F.broadcast(hot), ["block_idx", "block_val"], "left")
     cold = ex.where(F.col("_hot").isNull()).drop("_hot")
     xa = cold.select(F.col("simhash").alias("sh_a"), "block_idx", "block_val")
@@ -561,7 +619,10 @@ def simhash_pairs(
     only quadratic term left is the qualifying OUTPUT itself (identical
     docs: the intra-value clique), which is what the operator is asked
     to produce."""
-    sh = with_simhash(docs, id_col, text_col)
+    # ONE materialization of the (expensive) sketch UDF: the signature
+    # table feeds the distinct-values join, the hot-block count AND
+    # both doc-expansion sides — without this the UDF re-executes 3x
+    sh = with_simhash(docs, id_col, text_col).localCheckpoint(eager=True)
     vals = sh.select("simhash").distinct()
     vp = _simhash_value_pairs(vals, max_hamming, hot_block_cap)
     a = sh.select(F.col(id_col).alias("_da"), F.col("simhash").alias("sh_a"))

@@ -559,17 +559,36 @@ class TestConnectedComponents:
     def test_long_chain_pointer_doubling(self, spark):
         """A 200-node path graph converges within the round bound only
         because of pointer doubling (plain propagation would need ~200
-        rounds); result must still be exact min-label."""
+        rounds); result must still be exact min-label. Forces the
+        DISTRIBUTED tier (driver_threshold=0)."""
         from ingest_spark.operators.dedup import connected_components
 
         n = 200
         edges = spark.createDataFrame(
             [(i, i + 1) for i in range(n)], "src long, dst long"
         )
-        out = connected_components(edges, max_rounds=12)
+        out = connected_components(edges, max_rounds=12, driver_threshold=0)
         comps = {r.component for r in out.collect()}
         assert comps == {0}
         assert out.count() == n + 1
+
+    def test_driver_and_distributed_tiers_agree(self, spark):
+        """The small-graph driver union-find and the distributed
+        pointer-doubling loop are the same function (randomized)."""
+        import random
+
+        from ingest_spark.operators.dedup import connected_components
+
+        rng = random.Random(3)
+        edges = spark.createDataFrame(
+            [(rng.randrange(400), rng.randrange(400)) for _ in range(300)],
+            "src long, dst long",
+        ).where(F.col("src") != F.col("dst"))
+        a = {(r.node, r.component)
+             for r in connected_components(edges).collect()}
+        b = {(r.node, r.component)
+             for r in connected_components(edges, driver_threshold=0).collect()}
+        assert a == b
 
     def test_exact_vs_onehop_difference(self, spark):
         """The scenario one-hop dedup gets wrong: A~B and B~C without
