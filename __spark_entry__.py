@@ -1150,6 +1150,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["tile_xyz"] = tile_xyz
 
+    def h3_rollup(spark, sf):
+        # H3 hierarchy rollup: res-8 cell assignment (real H3, UDF) →
+        # res-5 parent via PURE Catalyst bit math (cellToParent is bit
+        # surgery: swap the res field, pad child digits with 7s) →
+        # count per parent. Oracle: same bit math over the SQL H3 twin.
+        _ensure_shipped(spark)
+        from ingest_spark.operators.spatial import with_cells
+        cells = with_cells(_points(spark, sf), lon_col="lon", lat_col="lat")
+        parent = (
+            F.col("hex_cell").bitwiseAND(F.lit(~(0xF << 52)))
+            .bitwiseOR(F.lit(5 << 52))
+            .bitwiseOR(F.lit((1 << (3 * (15 - 5))) - 1))
+        )
+        return (
+            cells.groupBy(parent.alias("h3_res5"))
+            .agg(F.count(F.lit(1)).alias("n_points"))
+        )
+    q["h3_rollup"] = h3_rollup
+
     def cells_hex_s2(spark, sf):
         # oracle-backed: both cell kernels are re-expressed in exact
         # SQL arithmetic (see _hex_cell_sql / _s2_cell_sql)
@@ -1895,6 +1914,14 @@ def oracle_sql() -> dict[str, str]:
             WITH {_s2_cell_ctes(_POINTS_SQL)}
             SELECT s.id, h.hex_cell, s.s2_cell
             FROM s2cells s JOIN ({_h3_cell_sql(_POINTS_SQL)}) h USING (id)
+        """,
+        # cellToParent twin: identical bit surgery on the SQL H3 ids
+        "h3_rollup": f"""
+            SELECT ((hex_cell & ~({0xF << 52}::BIGINT)) | {5 << 52}::BIGINT
+                    | {(1 << (3 * (15 - 5))) - 1}::BIGINT) AS h3_res5,
+                   COUNT(*) AS n_points
+            FROM ({_h3_cell_sql(_POINTS_SQL)})
+            GROUP BY 1
         """,
         "vector_tiles": f"""
             WITH t AS (

@@ -569,3 +569,160 @@ def cell_to_string(cid) -> "np.ndarray":
     """int64 H3 index → canonical lowercase hex string (h3 text form)."""
     cid = np.asarray(cid, dtype=np.int64)
     return np.array([format(int(c) & 0xFFFFFFFFFFFFFFFF, "x") for c in cid.ravel()]).reshape(cid.shape)
+
+
+# ------------------------------------------------- hierarchy + inverse
+
+def cell_to_parent(cid, parent_res: int) -> np.ndarray:
+    """Exact H3 parent: set the res field and pad child digits with 7
+    (pure bit math — identical to h3's cellToParent)."""
+    cid = np.asarray(cid, dtype=np.int64)
+    res = (cid >> np.int64(52)) & np.int64(0xF)
+    if (parent_res > res).any():
+        raise ValueError("parent_res must be <= cell res")
+    out = (cid & ~np.int64(0xF << 52)) | (np.int64(parent_res) << np.int64(52))
+    # set digits parent_res+1 .. 15 to 7
+    mask = (np.int64(1) << (np.int64(3) * (np.int64(15) - np.int64(parent_res)))) - np.int64(1)
+    return out | mask
+
+
+def cell_to_children(cid: int, child_res: int) -> np.ndarray:
+    """Exact H3 children enumeration: every digit combination at the
+    intermediate resolutions (pentagon cells skip the deleted K digit
+    at their center path, mirroring h3's cellToChildren)."""
+    cid = int(cid)
+    res = (cid >> 52) & 0xF
+    if child_res < res:
+        raise ValueError("child_res must be >= cell res")
+    bc = (cid >> 45) & 0x7F
+    cells = [cid]
+    for r in range(res + 1, child_res + 1):
+        nxt = []
+        shift = 3 * (15 - r)
+        for c in cells:
+            base = (c & ~(0xF << 52)) | (r << 52)
+            base &= ~(0x7 << shift)  # clear this res digit (was 7)
+            lead_is_center = all(
+                ((c >> (3 * (15 - rr))) & 7) in (0, 7)
+                for rr in range(res + 1, r)
+            )
+            pent_center = _IS_PENT[bc] and lead_is_center
+            for d in range(7):
+                if pent_center and d == _K:
+                    continue  # deleted K subsequence under a pentagon
+                nxt.append(base | (d << shift))
+        cells = nxt
+    return np.asarray(cells, dtype=np.int64)
+
+
+def _cell_center_estimate(cid) -> "tuple[np.ndarray, np.ndarray]":
+    """First-pass inverse: descend the digit path from the base cell's
+    HOME face (h3's `_h3ToFaceIjkWithInitializedFijk`, incl. the
+    pentagon leading-5 cw adjustment) and inverse-project. Cells that
+    overage onto a neighbor face come out displaced — callers snap
+    them (see cell_to_latlng)."""
+    cid = np.asarray(cid, dtype=np.int64)
+    out_lat = np.zeros(len(cid), dtype=np.float64)
+    out_lon = np.zeros(len(cid), dtype=np.float64)
+    for n, c in enumerate(cid):
+        c = int(c)
+        res = (c >> 52) & 0xF
+        bc = (c >> 45) & 0x7F
+        digits = [(c >> (3 * (15 - r))) & 7 for r in range(1, res + 1)]
+        if _IS_PENT[bc]:
+            # h3ToFaceIjk: rotate the pentagon's sub-sequence 5 back cw
+            lead = next((d for d in digits if d != 0), 0)
+            if lead == 5:
+                digits = [int(_ROT_CW[d]) for d in digits]
+        home_face, home_ijk, _ = _BASE_DATA[bc]
+        i, j, k = home_ijk
+        for r in range(1, res + 1):
+            rotrev = r % 2 == 0  # Class II at even res
+            ia, ja, ka = np.array([i]), np.array([j]), np.array([k])
+            ia, ja, ka = _down_ap7_vec(ia, ja, ka, rotrev=rotrev)
+            d = digits[r - 1]
+            di, dj, dk = (d >> 2) & 1, (d >> 1) & 1, d & 1
+            ia, ja, ka = _ijk_normalize_vec(ia + di, ja + dj, ka + dk)
+            i, j, k = int(ia[0]), int(ja[0]), int(ka[0])
+        x, y = _ijk_to_hex2d(i, j, k)
+        lat, lng = _hex2d_to_geo(home_face, x, y, res)
+        out_lat[n] = math.degrees(lat)
+        out_lon[n] = math.degrees(lng)
+    return out_lon, out_lat
+
+
+def cell_to_latlng(cid) -> "tuple[np.ndarray, np.ndarray]":
+    """Cell → (lon°, lat°) of a point provably INSIDE the cell (its
+    membership centroid). The home-face digit descent gives the first
+    estimate; cells that overage onto a neighbor face (the published
+    algorithm re-anchors these via face-neighbor tables) come out
+    displaced, so any estimate whose roundtrip misses is SNAPPED: a
+    small disc of probe points around it is classified with
+    latlng_to_cell and the matching probes' centroid is returned.
+    Self-consistent by construction (roundtrip-tested ≈ 1.0); the
+    boundary-exact h3 center for overage cells would need the
+    face-neighbor re-anchor step (documented gap)."""
+    cid = np.asarray(cid, dtype=np.int64)
+    lon, lat = _cell_center_estimate(cid)
+    if len(cid) == 0:
+        return lon, lat
+    res = int((int(cid[0]) >> 52) & 0xF)
+    est_lon, est_lat = lon.copy(), lat.copy()  # est(c), reused each pass
+    for _ in range(4):
+        back = latlng_to_cell(lon, lat, res)
+        bad = np.nonzero(back != cid)[0]
+        if len(bad) == 0:
+            break
+        # bias-cancelling fixpoint: est(c) and est(cell(x)) carry the
+        # SAME home-face projection bias in a neighborhood, so
+        # x += est(c) - est(cell(x)) translates x by ≈ the true
+        # center-to-center vector; converges in 1-2 passes
+        w_lon, w_lat = _cell_center_estimate(back[bad])
+        lon[bad] += est_lon[bad] - w_lon
+        lat[bad] += est_lat[bad] - w_lat
+        lat = np.clip(lat, -90.0, 90.0)
+    # residual (cross-home-face neighbors where the bias does not
+    # cancel): probe a disc around the estimate and keep the matching
+    # probes' centroid
+    back = latlng_to_cell(lon, lat, res)
+    bad = np.nonzero(back != cid)[0]
+    edge_deg = 0.0041444 * (M_SQRT7 ** (8 - res))
+    bearings = np.arange(12) * (2 * np.pi / 12)
+    for radius in (0.6, 1.0, 1.6, 2.4, 3.5, 5.0):
+        if len(bad) == 0:
+            break
+        coslat = np.maximum(np.cos(np.radians(lat[bad])), 0.05)
+        cand_lat = lat[bad, None] + radius * edge_deg * np.sin(bearings)[None, :]
+        cand_lon = lon[bad, None] + (
+            radius * edge_deg * np.cos(bearings)[None, :] / coslat[:, None]
+        )
+        cells = latlng_to_cell(
+            cand_lon.ravel(), np.clip(cand_lat.ravel(), -90, 90), res
+        ).reshape(len(bad), -1)
+        hit = cells == cid[bad, None]
+        any_hit = hit.any(axis=1)
+        for rr in np.nonzero(any_hit)[0]:
+            m = hit[rr]
+            lon[bad[rr]] = float(cand_lon[rr][m].mean())
+            lat[bad[rr]] = float(cand_lat[rr][m].mean())
+        bad = bad[~any_hit]
+    # last resort: anchor on the PARENT's (recursive) center — the cell
+    # lies within ~2.7 child edges of it — and sweep a dense probe grid
+    if len(bad) > 0 and res > 0:
+        p_lon, p_lat = cell_to_latlng(cell_to_parent(cid[bad], res - 1))
+        bearings = np.arange(24) * (2 * np.pi / 24)
+        radii = np.array([0.0, 0.7, 1.4, 2.1, 2.8, 3.5])
+        dx = (radii[:, None] * np.cos(bearings)[None, :]).ravel()
+        dy = (radii[:, None] * np.sin(bearings)[None, :]).ravel()
+        coslat = np.maximum(np.cos(np.radians(p_lat)), 0.05)
+        cand_lat = p_lat[:, None] + edge_deg * dy[None, :]
+        cand_lon = p_lon[:, None] + edge_deg * dx[None, :] / coslat[:, None]
+        cells = latlng_to_cell(
+            cand_lon.ravel(), np.clip(cand_lat.ravel(), -90, 90), res
+        ).reshape(len(bad), -1)
+        hit = cells == cid[bad, None]
+        for rr in np.nonzero(hit.any(axis=1))[0]:
+            m = hit[rr]
+            lon[bad[rr]] = float(cand_lon[rr][m].mean())
+            lat[bad[rr]] = float(cand_lat[rr][m].mean())
+    return lon, lat

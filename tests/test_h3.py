@@ -166,3 +166,46 @@ class TestTilingConsistency:
         b8 = (h.latlng_to_cell(lng, lat, 8).astype(np.uint64) >> np.uint64(45)) & np.uint64(127)
         agree = float((b0 == b8).mean())
         assert agree > 0.90, agree
+
+
+class TestHierarchyAndInverse:
+    def test_parent_of_public_vector(self):
+        sf9 = h.latlng_to_cell(np.array([-122.418307270836565]),
+                               np.array([37.7752702151959257]), 9)
+        sf8 = h.latlng_to_cell(np.array([-122.418307270836565]),
+                               np.array([37.7752702151959257]), 8)
+        assert int(h.cell_to_parent(sf9, 8)[0]) == int(sf8[0])
+        assert h.cell_to_string(h.cell_to_parent(sf9, 8))[0] == "8828308281fffff"
+
+    def test_children_roundtrip_and_counts(self):
+        cu5 = int(h.latlng_to_cell(np.array([-122.0553238]),
+                                   np.array([37.3615593]), 5)[0])
+        ch = h.cell_to_children(cu5, 7)
+        assert len(ch) == 49  # hexagon: 7^2
+        assert (h.cell_to_parent(ch, 5) == cu5).all()
+        # pentagon center cells have 6 children
+        pent_res1 = None
+        rng = np.random.default_rng(1)
+        lng = rng.uniform(-180, 180, 150_000)
+        lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 150_000)))
+        for c in np.unique(h.latlng_to_cell(lng, lat, 1)):
+            bc = (int(c) >> 45) & 127
+            d1 = (int(c) >> 42) & 7
+            if h._IS_PENT[bc] and d1 == 0:
+                pent_res1 = int(c)
+                break
+        assert pent_res1 is not None
+        assert len(h.cell_to_children(pent_res1, 2)) == 6
+
+    def test_center_roundtrip(self):
+        """cell_to_latlng returns a point INSIDE the cell (membership
+        centroid; overage cells snapped — see docstring) for ≥99.5%
+        of random cells at every tested res."""
+        rng = np.random.default_rng(2)
+        lng = rng.uniform(-180, 180, 30_000)
+        lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 30_000)))
+        for res in (2, 5, 8):
+            u = np.unique(h.latlng_to_cell(lng, lat, res))[:3000]
+            lo, la = h.cell_to_latlng(u)
+            frac = float((h.latlng_to_cell(lo, la, res) == u).mean())
+            assert frac >= 0.995, (res, frac)
