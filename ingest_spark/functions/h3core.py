@@ -350,20 +350,12 @@ _CW_OFFSET = {cid: fit["cw"] for cid, fit in _PENTAGON_FIT.items()}
 # ------------------------------------------------ vectorized IJK math
 
 def _ijk_normalize_vec(i, j, k):
-    """coordijk.c `_ijkNormalize`, vectorized (same three sequential
-    negativity folds, then subtract the positive min)."""
-    neg = i < 0
-    j = np.where(neg, j - i, j)
-    k = np.where(neg, k - i, k)
-    i = np.where(neg, 0, i)
-    neg = j < 0
-    i = np.where(neg, i - j, i)
-    k = np.where(neg, k - j, k)
-    j = np.where(neg, 0, j)
-    neg = k < 0
-    i = np.where(neg, i - k, i)
-    j = np.where(neg, j - k, j)
-    k = np.where(neg, 0, k)
+    """coordijk.c `_ijkNormalize`, vectorized. The C sequence (three
+    negativity folds then subtract the positive min) is identically
+    ``v - min(v)`` elementwise — each fold subtracts one coordinate
+    from all three, so only the final min matters. (The SQL twin uses
+    the same identity; equivalence is pinned by the bit-exact
+    cross-engine checks.)"""
     m = np.minimum(np.minimum(i, j), k)
     return i - m, j - m, k - m
 
@@ -474,14 +466,18 @@ def latlng_to_cell(lon, lat, res: int = 8, _cw_offset=None) -> np.ndarray:
     py = cosphi * np.sin(lam)
     pz = np.sin(phi)
 
-    # closest icosa face by squared chord distance
-    sqd_all = (
-        (px[:, None] - _FACE_CENTER_XYZ[None, :, 0]) ** 2
-        + (py[:, None] - _FACE_CENTER_XYZ[None, :, 1]) ** 2
-        + (pz[:, None] - _FACE_CENTER_XYZ[None, :, 2]) ** 2
-    )
-    face = np.argmin(sqd_all, axis=1)
-    sqd = sqd_all[np.arange(len(face)), face]
+    # closest icosa face by squared chord distance — streamed per face
+    # (identical FP expression per element as the (n, 20) matrix form,
+    # so ids are bit-stable; ties keep the LOWEST face, matching both
+    # np.argmin and the SQL twin's ORDER BY sqd, face)
+    sqd = np.full(len(px), np.inf)
+    face = np.zeros(len(px), dtype=np.int64)
+    for f in range(20):
+        fx, fy, fz = _FACE_CENTER_XYZ[f]
+        d = (px - fx) ** 2 + (py - fy) ** 2 + (pz - fz) ** 2
+        better = d < sqd
+        face[better] = f
+        np.minimum(sqd, d, out=sqd)
 
     r = np.arccos(np.clip(1.0 - sqd / 2.0, -1.0, 1.0))
     flat0 = FACE_CENTER_GEO[face, 0]
