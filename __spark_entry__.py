@@ -548,9 +548,11 @@ def _rint_sql(x: str) -> str:
 
 
 def _hex_cell_sql(points_sql: str, res: int = 8) -> str:
-    """Exact SQL twin of functions.cells.hex_cell: axial projection,
-    cube rounding (half-even, mirroring np.rint), id packing. Float
-    constants are repr()-exact so every IEEE op matches the kernel."""
+    """Exact SQL twin of the PLANAR grid (functions.cells.hex_cell_id):
+    axial projection, cube rounding (half-even, mirroring np.rint), id
+    packing; repr()-exact float constants. Since round 4 the
+    cells_hex_s2 oracle uses _h3_cell_sql (real H3) — this twin is
+    retained for the SPARK_GRAFT_PLANAR_HEX fallback surface."""
     import math as _m
     from ingest_spark.functions import cells as _c
 
@@ -1171,7 +1173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def cells_hex_s2(spark, sf):
         # oracle-backed: both cell kernels are re-expressed in exact
-        # SQL arithmetic (see _hex_cell_sql / _s2_cell_sql)
+        # SQL arithmetic (see _h3_cell_sql — the FULL real-H3
+        # algorithm — and _s2_cell_ctes)
         from ingest_spark.operators.spatial import with_cells
         return with_cells(_points(spark, sf), lon_col="lon", lat_col="lat").select(
             "id", "hex_cell", "s2_cell"

@@ -356,3 +356,35 @@ def hex_cover_bbox(x0: float, y0: float, x1: float, y1: float, res: int = 8) -> 
                 (res << 56) | ((q + _AXIAL_OFFSET) << 28) | (r + _AXIAL_OFFSET)
             )
     return out
+
+
+def h3_cover_bbox(x0: float, y0: float, x1: float, y1: float, res: int = 8) -> list[int]:
+    """All REAL-H3 cells whose center could own a point inside the bbox
+    — the covering IN-list for an indexed bbox read over a table keyed
+    by `hex_cell` (real H3 ids). Derived by GUARANTEED-HIT sampling:
+    a cell owning a bbox point has its center within one cell diameter
+    of the box, so with the box padded by 2.5 edge-lengths the whole
+    hex (inradius ≈ 0.87·edge) lies inside the padded region, and a
+    sample grid with step ≤ 0.8·edge lands at least one probe in it.
+    (The lon step is NOT widened by 1/cos(lat): H3 cells get WIDER in
+    lon-degrees toward the poles, so the unscaled grid is strictly
+    denser than required — conservative, never lossy.)"""
+    edge = 0.0041444 * _SQRT7 ** (8 - res)
+    pad = 2.5 * edge
+    step = 0.8 * edge
+    lats = np.arange(max(y0 - pad, -90.0), min(y1 + pad, 90.0) + step, step)
+    lons = np.arange(x0 - pad, x1 + pad + step, step)
+    glon, glat = np.meshgrid(lons, lats)
+    ids = h3_cell(glon.ravel(), np.clip(glat.ravel(), -90.0, 90.0), res)
+    return np.unique(ids).tolist()
+
+
+def h3_cover_size(x0: float, y0: float, x1: float, y1: float, res: int = 8) -> int:
+    """Upper-bound PROBE count of h3_cover_bbox without running it —
+    callers fall back to a plain scan for huge boxes (same contract as
+    hex_cover_size)."""
+    edge = 0.0041444 * _SQRT7 ** (8 - res)
+    step = 0.8 * edge
+    rows = int(math.ceil((min(y1, 90.0) - max(y0, -90.0) + 5 * edge) / step)) + 2
+    cols = int(math.ceil((x1 - x0 + 5 * edge) / step)) + 2
+    return max(rows, 0) * max(cols, 0)

@@ -598,9 +598,14 @@ def cell_to_children(cid: int, child_res: int) -> np.ndarray:
         for c in cells:
             base = (c & ~(0xF << 52)) | (r << 52)
             base &= ~(0x7 << shift)  # clear this res digit (was 7)
+            # the K digit is deleted ONLY along the all-zero path from
+            # the pentagon BASE CELL: check every digit 1..r-1 of the
+            # candidate child, including the input cell's own digits
+            # (round-4 review finding — checking only the expansion
+            # digits dropped a real child under every pentagon bc)
             lead_is_center = all(
                 ((c >> (3 * (15 - rr))) & 7) in (0, 7)
-                for rr in range(res + 1, r)
+                for rr in range(1, r)
             )
             pent_center = _IS_PENT[bc] and lead_is_center
             for d in range(7):
@@ -662,7 +667,14 @@ def cell_to_latlng(cid) -> "tuple[np.ndarray, np.ndarray]":
     lon, lat = _cell_center_estimate(cid)
     if len(cid) == 0:
         return lon, lat
-    res = int((int(cid[0]) >> 52) & 0xF)
+    all_res = (cid >> np.int64(52)) & np.int64(0xF)
+    if (all_res != all_res[0]).any():
+        raise ValueError(
+            "cell_to_latlng requires a uniform-resolution batch "
+            f"(got resolutions {sorted(set(all_res.tolist()))}); "
+            "split the batch by resolution first"
+        )
+    res = int(all_res[0])
     est_lon, est_lat = lon.copy(), lat.copy()  # est(c), reused each pass
     for _ in range(4):
         back = latlng_to_cell(lon, lat, res)

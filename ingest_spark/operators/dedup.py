@@ -506,9 +506,12 @@ def _simhash_value_pairs(
        (block, sub-block); exact.
     3. still-hot sub-groups (> cap distinct values equal on
        width + sub_w bits — a near-clique): contracted to STAR pairs
-       against the group's min value. Exactness degrades to
-       connectivity-preserving there; below that threshold the output
-       is the exact pair set. Contract data never reaches tier 3.
+       against the group's min value, emitted with their TRUE hamming
+       and exempt from the ≤ max_hamming cut (a member farther than d
+       from the min value must still stay connected to the group).
+       Exactness degrades to connectivity-preserving there; below that
+       threshold the output is the exact pair set. Contract data never
+       reaches tier 3.
     """
     nblocks = max_hamming + 1
     width = 64 // nblocks
@@ -588,15 +591,23 @@ def _simhash_value_pairs(
                 F.greatest("_rep", "simhash").alias("sh_b"))
     )
 
-    cand = (
-        cand_cold.unionByName(cand_sub).unionByName(cand_star)
-        .dropDuplicates(["sh_a", "sh_b"])
-    )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.withColumn("hamming", hamming)
+    exact = (
+        cand_cold.unionByName(cand_sub)
+        .dropDuplicates(["sh_a", "sh_b"])
+        .withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
     )
+    # tier-3 star pairs are EXEMPT from the hamming cut: they exist to
+    # keep near-clique members connected to the group rep, and a member
+    # further than d from the MIN value would otherwise lose all its
+    # pairs (round-4 review finding). Their true hamming is emitted and
+    # may exceed max_hamming — documented tier-3 semantics.
+    star = (
+        cand_star.dropDuplicates(["sh_a", "sh_b"])
+        .withColumn("hamming", hamming)
+    )
+    return exact.unionByName(star).dropDuplicates(["sh_a", "sh_b"])
 
 
 def simhash_pairs(

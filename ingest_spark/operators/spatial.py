@@ -534,10 +534,23 @@ def bbox_query_indexed(
 
     Falls back to the plain predicate when the covering set is too big
     for a useful IN-list (large boxes scan most of the table anyway).
+
+    The covering set matches the id space of the ``cell_col`` the
+    table was written with: REAL H3 ids by default
+    (cells.h3_cover_bbox — guaranteed-hit sampled cover), the planar
+    grid under SPARK_GRAFT_PLANAR_HEX=1 — mixing the two would
+    silently filter everything out (round-4 review finding).
     """
-    if cell_fn.hex_cover_size(x0, y0, x1, y1, cfg.hex_res) > 50_000:
-        return bbox_query(features, x0, y0, x1, y1)
-    cover = cell_fn.hex_cover_bbox(x0, y0, x1, y1, cfg.hex_res)
+    if cell_fn.use_real_h3():
+        # probe count ≈ 4x the cell count; keep the effective cell
+        # budget aligned with the planar path's 50k
+        if cell_fn.h3_cover_size(x0, y0, x1, y1, cfg.hex_res) > 200_000:
+            return bbox_query(features, x0, y0, x1, y1)
+        cover = cell_fn.h3_cover_bbox(x0, y0, x1, y1, cfg.hex_res)
+    else:
+        if cell_fn.hex_cover_size(x0, y0, x1, y1, cfg.hex_res) > 50_000:
+            return bbox_query(features, x0, y0, x1, y1)
+        cover = cell_fn.hex_cover_bbox(x0, y0, x1, y1, cfg.hex_res)
     return bbox_query(
         features.where(F.col(cell_col).isin(cover)), x0, y0, x1, y1
     )

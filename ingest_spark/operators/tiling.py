@@ -792,6 +792,14 @@ def salt_hot_cells(
     the declarative analog of the reference's quadtree overflow
     splitting (src/divide.rs:12,54)."""
     n = bucket_max or cfg.bucket_max_records
+    id_type = df.schema[id_col].dataType.typeName()
+    if id_type not in ("byte", "short", "integer", "long"):
+        raise TypeError(
+            f"salt_hot_cells needs an integral id column; {id_col!r} is "
+            f"{id_type} — a string id silently casts to NULL and would "
+            "collapse every hot-cell row onto one salt; pre-hash it to "
+            "a long (e.g. xxhash64) first"
+        )
     counts = cell_counts(df, cell_col)
     hot = counts.where(F.col("n") > n).select(
         cell_col, F.ceil(F.col("n") / n).cast("int").alias("n_salts")

@@ -54,10 +54,19 @@ class TestIndexedBbox:
             F.col("lon").alias("maxx"), F.col("lat").alias("maxy"),
         )
         feats = spatial.with_cells(pts).cache()
-        for bbox in [(-10, -10, 10, 10), (100, 40, 101, 41), (-180, -90, 180, 90)]:
+        # anchor one indexed-path bbox on an ACTUAL data point so the
+        # equality check has teeth (round-4 review: a box with zero
+        # contained points passes vacuously even when the indexed
+        # prefilter drops everything)
+        p0 = feats.limit(1).collect()[0]
+        tight = (p0.minx - 0.3, p0.miny - 0.3, p0.minx + 0.3, p0.miny + 0.3)
+        for bbox in [(-10, -10, 10, 10), (100, 40, 101, 41),
+                     (-180, -90, 180, 90), tight]:
             a = {r.id for r in spatial.bbox_query(feats, *bbox).select("id").collect()}
             b = {r.id for r in spatial.bbox_query_indexed(feats, *bbox).select("id").collect()}
             assert a == b, bbox
+        a = {r.id for r in spatial.bbox_query(feats, *tight).select("id").collect()}
+        assert p0.id in a  # the anchored box really contains data
 
 
 class TestStatefulStreaming:

@@ -251,11 +251,19 @@ class TestDedup:
         candidates instead of going quadratic."""
         base = 0x0123456789ABCDEF & ((1 << 40) - 1)  # bits 40+ zero
         vals_py = [base] + [base | (1 << b) for b in range(40, 63)]
+        # members FAR from the rep (hamming 5 > max_hamming) but close
+        # to each other — the star pair must survive the hamming cut
+        # (emitted with its true hamming) or they lose all their pairs
+        far_a = base | (0b11111 << 40)
+        far_b = base | (0b11110 << 40) | (1 << 45)
+        vals_py += [far_a, far_b]
         vals = spark.createDataFrame([(v,) for v in vals_py], "simhash long")
         pairs = dedup._simhash_value_pairs(vals, 3, hot_block_cap=8).collect()
         seen = {r.sh_a for r in pairs} | {r.sh_b for r in pairs}
-        # every member pairs with the rep (hamming(base, base|bit) = 1)
+        # every member pairs with the rep — including the far ones
         assert seen == set(vals_py)
+        star_h = {r.hamming for r in pairs if far_a in (r.sh_a, r.sh_b)}
+        assert any(hh > 3 for hh in star_h)  # true hamming, not capped
         # star tier emits O(group) pairs, not O(group^2)
         assert len(pairs) <= 3 * len(vals_py)
 
