@@ -369,7 +369,7 @@ def h3_cover_bbox(x0: float, y0: float, x1: float, y1: float, res: int = 8) -> l
     (The lon step is NOT widened by 1/cos(lat): H3 cells get WIDER in
     lon-degrees toward the poles, so the unscaled grid is strictly
     denser than required — conservative, never lossy.)"""
-    edge = 0.0041444 * _SQRT7 ** (8 - res)
+    edge = _h3core.h3_edge_deg(res)
     pad = 2.5 * edge
     step = 0.8 * edge
     lats = np.arange(max(y0 - pad, -90.0), min(y1 + pad, 90.0) + step, step)
@@ -383,7 +383,7 @@ def h3_cover_size(x0: float, y0: float, x1: float, y1: float, res: int = 8) -> i
     """Upper-bound PROBE count of h3_cover_bbox without running it —
     callers fall back to a plain scan for huge boxes (same contract as
     hex_cover_size)."""
-    edge = 0.0041444 * _SQRT7 ** (8 - res)
+    edge = _h3core.h3_edge_deg(res)
     step = 0.8 * edge
     rows = int(math.ceil((min(y1, 90.0) - max(y0, -90.0) + 5 * edge) / step)) + 2
     cols = int(math.ceil((x1 - x0 + 5 * edge) / step)) + 2

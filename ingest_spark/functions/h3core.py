@@ -53,6 +53,17 @@ import numpy as np
 
 M_SQRT7 = 2.6457513110645905905016157536392604257102
 M_SIN60 = math.sqrt(3.0) / 2.0
+
+# H3 mean hex edge at res 8 in degrees (461.354 m); single calibration
+# point for every degree-space heuristic (cover sampling steps, probe
+# radii) — edge(res) = H3_EDGE8_DEG * sqrt7^(8-res)
+H3_EDGE8_DEG = 0.0041444
+
+
+def h3_edge_deg(res: int) -> float:
+    """Mean hex edge length in degrees at ``res`` (heuristic scale for
+    sampling steps/probe radii, NOT exact per-cell geometry)."""
+    return H3_EDGE8_DEG * M_SQRT7 ** (8 - res)
 M_AP7_ROT_RADS = 0.333473172251832115336090755351601070065900704
 RES0_U_GNOMONIC = 0.38196601125010500003
 
@@ -588,8 +599,8 @@ def cell_to_children(cid: int, child_res: int) -> np.ndarray:
     at their center path, mirroring h3's cellToChildren)."""
     cid = int(cid)
     res = (cid >> 52) & 0xF
-    if child_res < res:
-        raise ValueError("child_res must be >= cell res")
+    if not res <= child_res <= 15:
+        raise ValueError(f"child_res must be in [{res}, 15], got {child_res}")
     bc = (cid >> 45) & 0x7F
     cells = [cid]
     for r in range(res + 1, child_res + 1):
@@ -694,7 +705,7 @@ def cell_to_latlng(cid) -> "tuple[np.ndarray, np.ndarray]":
     # probes' centroid
     back = latlng_to_cell(lon, lat, res)
     bad = np.nonzero(back != cid)[0]
-    edge_deg = 0.0041444 * (M_SQRT7 ** (8 - res))
+    edge_deg = h3_edge_deg(res)
     bearings = np.arange(12) * (2 * np.pi / 12)
     for radius in (0.6, 1.0, 1.6, 2.4, 3.5, 5.0):
         if len(bad) == 0:

@@ -622,6 +622,17 @@ def simhash_pairs(
     one block identical ⇒ candidate join per block, exact hamming
     re-check after.
 
+    OUTPUT CONTRACT: on non-degenerate corpora every emitted pair has
+    ``hamming ≤ max_hamming`` and the set is exact. When a near-clique
+    exceeds the hot-block cap twice over (tier 3 — >cap distinct
+    sketches agreeing on 28 bits), its members are connected to the
+    group's min value by STAR pairs whose ``hamming`` column carries
+    the TRUE distance and MAY exceed ``max_hamming``: downstream
+    clustering keeps the (boilerplate-dominated) group together
+    instead of silently dropping members. Callers needing the strict
+    bound can filter ``hamming <= d`` — accepting that tier-3 groups
+    then fragment.
+
     Skew-safe by construction: the candidate join runs over DISTINCT
     simhash VALUES (a million byte-identical or empty docs collapse to
     ONE value row — zero candidates), and hot value-blocks are capped

@@ -793,9 +793,11 @@ def salt_hot_cells(
     splitting (src/divide.rs:12,54)."""
     n = bucket_max or cfg.bucket_max_records
     id_type = df.schema[id_col].dataType.typeName()
-    if id_type not in ("byte", "short", "integer", "long"):
+    if id_type not in (
+        "byte", "short", "integer", "long", "float", "double", "decimal",
+    ):
         raise TypeError(
-            f"salt_hot_cells needs an integral id column; {id_col!r} is "
+            f"salt_hot_cells needs a numeric id column; {id_col!r} is "
             f"{id_type} — a string id silently casts to NULL and would "
             "collapse every hot-cell row onto one salt; pre-hash it to "
             "a long (e.g. xxhash64) first"

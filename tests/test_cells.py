@@ -105,6 +105,29 @@ class TestRealH3Gate:
         want = h3.str_to_int(h3.latlng_to_cell(48.86, 2.35, 8))
         assert int(got[0]) == want
 
+    def test_h3core_matches_wheel_globally(self):
+        """THE arbitration test: whenever a real `h3` wheel is present,
+        the in-repo pure-numpy kernel must agree with it on a global
+        random sample at several resolutions (including pentagon base
+        cells). Skipped honestly when no wheel exists — every other
+        h3core guarantee (public vectors, pentagon ids, global counts,
+        seam consistency) is enforced unconditionally in test_h3.py."""
+        h3 = pytest.importorskip("h3")
+        from ingest_spark.functions import h3core
+
+        rng = np.random.default_rng(9)
+        n = 20_000
+        lng = rng.uniform(-180, 180, n)
+        lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+        for res in (0, 1, 5, 8):
+            ours = h3core.latlng_to_cell(lng, lat, res)
+            theirs = np.array(
+                [h3.str_to_int(h3.latlng_to_cell(la, lo, res))
+                 for lo, la in zip(lng, lat)], dtype=np.int64,
+            )
+            agree = float((ours == theirs).mean())
+            assert agree == 1.0, (res, agree)
+
     def test_real_h3_is_default(self):
         # since round 4 the public encoder answers REAL H3 ids from the
         # in-repo pure-numpy kernel (reproducible across processes)
