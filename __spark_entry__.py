@@ -1292,6 +1292,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return duplicate_components(d, pairs)
     q["dup_components"] = dup_components
 
+    def dup_components_distributed(spark, sf):
+        # SAME semantics, DISTRIBUTED execution tier forced
+        # (driver_threshold=0): the pointer-doubling min-label loop is
+        # the 100 TB path, and this row pins it to the identical
+        # recursive-CTE oracle the driver-tier row uses — both tiers
+        # are cross-engine-verified every round, not just parity-
+        # tested against each other in pytest.
+        from ingest_spark.operators.dedup import duplicate_components, simhash_pairs
+        d = _t(spark, sf, "documents")
+        pairs = simhash_pairs(d, max_hamming=3)
+        return duplicate_components(d, pairs, driver_threshold=0)
+    q["dup_components_distributed"] = dup_components_distributed
+
     def embedding_cosine(spark, sf):
         from ingest_spark.operators.dedup import embedding_cosine_pairs
         emb = _t(spark, sf, "embeddings")
@@ -1882,6 +1895,21 @@ def oracle_sql() -> dict[str, str]:
             k=5, n_planes=4, n_probe=5, n_tables=8
         ),
         "dup_components": f"""
+            WITH RECURSIVE sp AS ({_simhash_oracle_sql(max_hamming=3)}),
+            edges AS (
+              SELECT doc_a AS s, doc_b AS d FROM sp
+              UNION SELECT doc_b, doc_a FROM sp
+            ),
+            reach(node, lab) AS (
+              SELECT s, s FROM edges
+              UNION
+              SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node
+            ),
+            comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY 1)
+            SELECT doc.doc_id, COALESCE(c.component, doc.doc_id) AS component
+            FROM documents doc LEFT JOIN comp c ON c.node = doc.doc_id
+        """,
+        "dup_components_distributed": f"""
             WITH RECURSIVE sp AS ({_simhash_oracle_sql(max_hamming=3)}),
             edges AS (
               SELECT doc_a AS s, doc_b AS d FROM sp

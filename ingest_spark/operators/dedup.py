@@ -371,13 +371,17 @@ def duplicate_components(
     id_col: str = "doc_id",
     pair_a: str = "doc_a",
     pair_b: str = "doc_b",
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """(doc_id, component) over ALL docs: near-dup pairs (any family —
     minhash/simhash/ngram) collapse into exact transitive clusters via
     connected_components; unpaired docs are their own singleton
     component. The exact replacement for the one-hop dedup rule:
-    keep doc_id == component."""
-    comp = connected_components(pairs, src=pair_a, dst=pair_b)
+    keep doc_id == component. ``driver_threshold`` passes through to
+    connected_components (0 forces the distributed tier)."""
+    comp = connected_components(
+        pairs, src=pair_a, dst=pair_b, driver_threshold=driver_threshold
+    )
     return (
         docs.select(F.col(id_col))
         .join(comp.withColumnRenamed("node", id_col), id_col, "left")
