@@ -24,6 +24,7 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import pandas as pd
@@ -842,7 +843,9 @@ def entry(spark: SparkSession) -> DataFrame:
     from ingest_spark.operators import spatial
 
     _ensure_shipped(spark)
-    sf_dir = "/root/testdata/sf0.001"
+    # driver-contract default; overridable so the smoke check can run
+    # against any generated scale without editing the module
+    sf_dir = os.environ.get("SPARK_GRAFT_ENTRY_SF_DIR", "/root/testdata/sf0.001")
     pts = spatial.with_cells(_points(spark, sf_dir), lon_col="lon", lat_col="lat")
     polys = spatial.make_polygons_df(spark, _POLYGONS)
     joined = spatial.point_in_polygon_join(pts, polys)
