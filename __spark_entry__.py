@@ -1646,7 +1646,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _georender_header_projection(feats2)
     q["georender_changeset"] = georender_changeset
 
-    return q
+    # The driver's per-round correctness harness oracles the FIRST 50
+    # entries of this dict.  Rotate 13 rows that are long driver-green
+    # (every one has rows+schema+hash green in CORRECTNESS_r01..r04) to
+    # the tail so the 13 entries that have never had a driver row —
+    # including the two flagship reference-fidelity queries
+    # georender_features / georender_changeset — sit inside the window.
+    tail = [
+        "s5_projected_scan", "a7_distinct", "o5_sorted_topk",
+        "sample_det", "sample_per_group", "sample_stratified",
+        "token_counts", "text_quality", "lang_id",
+        "fingerprint_md5", "fingerprint_rolling",
+        "dedup_exact", "cells_hex_s2",
+    ]
+    assert all(t in q for t in tail)
+    ordered = {k: v for k, v in q.items() if k not in tail}
+    ordered.update({k: q[k] for k in tail})
+    return ordered
 
 
 # --------------------------------------------------------------- oracles
