@@ -256,7 +256,8 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
             ON x.block_idx = y.block_idx AND x.block_val = y.block_val
            AND x.doc_id < y.doc_id
         )
-        SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+        SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming,
+               FALSE AS is_star
         FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
     """
 

@@ -11,7 +11,7 @@ bits + trailing 1). Implemented from the published algorithm — no S2
 library is available in this environment.
 
 **Hex cells**: the public encoder (``hex_cell``/``h3_cell``) emits
-REAL H3 ids by default — the full icosahedral algorithm implemented
+H3-spec-derived ids (parity-gated against the published H3 spec; see h3core.py scope note) by default — the full icosahedral algorithm implemented
 from the published spec in pure numpy (functions/h3core.py; no `h3`
 wheel needed; gated library arbitration kept via SPARK_GRAFT_USE_H3).
 A deterministic PLANAR axial grid (``hex_cell_id``; aperture-7 edge
@@ -290,7 +290,7 @@ except ImportError:
 
 def use_real_h3() -> bool:
     """True unless the planar fallback flag is set: the interop cell
-    surface (``hex_cell`` / with_cells) emits REAL H3 ids by default
+    surface (``hex_cell`` / with_cells) emits H3-spec-derived ids (parity-gated against the published H3 spec; see h3core.py scope note) by default
     since round 4 (functions/h3core.py, pure numpy — no library
     needed). Callers with a JVM-expression twin of the PLANAR grid must
     use the Python kernel whenever this is True."""
@@ -314,7 +314,7 @@ def h3_cell(lon, lat, res: int = 8) -> np.ndarray:
 
 
 def hex_cell(lon, lat, res: int = 8) -> np.ndarray:
-    """Public hex encoder — REAL H3 res-`res` ids by default; the
+    """Public hex encoder — H3-spec-derived res-`res` ids by default (parity-gated; h3core.py scope note); the
     planar builtin grid only with SPARK_GRAFT_PLANAR_HEX=1 (the grid
     itself stays first-class for ring math: kNN k_ring expansion and
     bbox covers key on it explicitly via hex_cell_id)."""
@@ -361,17 +361,24 @@ def hex_cover_bbox(x0: float, y0: float, x1: float, y1: float, res: int = 8) -> 
 def h3_cover_bbox(x0: float, y0: float, x1: float, y1: float, res: int = 8) -> list[int]:
     """All REAL-H3 cells whose center could own a point inside the bbox
     — the covering IN-list for an indexed bbox read over a table keyed
-    by `hex_cell` (real H3 ids). Derived by GUARANTEED-HIT sampling:
+    by `hex_cell` (H3 ids). Derived by GUARANTEED-HIT sampling:
     a cell owning a bbox point has its center within one cell diameter
     of the box, so with the box padded by 2.5 edge-lengths the whole
-    hex (inradius ≈ 0.87·edge) lies inside the padded region, and a
-    sample grid with step ≤ 0.8·edge lands at least one probe in it.
-    (The lon step is NOT widened by 1/cos(lat): H3 cells get WIDER in
-    lon-degrees toward the poles, so the unscaled grid is strictly
-    denser than required — conservative, never lossy.)"""
+    hex lies inside the padded region, and a sample grid with step
+    ≤ 0.55·edge lands at least one probe in it: the farthest grid
+    point from any location is step·√2/2 ≈ 0.39·edge_mean, under the
+    smallest real cells' inradius even with the ~2x area variation and
+    icosa-vertex distortion of the real grid (0.87·edge_min with
+    edge_min ≥ 0.5·edge_mean — round-5 ADVICE: the previous 0.8·edge
+    step was calibrated on the MEAN edge only and could in principle
+    miss a worst-case minimum cell). The h3_cover_size budget guard
+    bounds the probe count, so the denser grid costs only a constant
+    factor. (The lon step is NOT widened by 1/cos(lat): H3 cells get
+    WIDER in lon-degrees toward the poles, so the unscaled grid is
+    strictly denser than required — conservative, never lossy.)"""
     edge = _h3core.h3_edge_deg(res)
     pad = 2.5 * edge
-    step = 0.8 * edge
+    step = 0.55 * edge
     lats = np.arange(max(y0 - pad, -90.0), min(y1 + pad, 90.0) + step, step)
     lons = np.arange(x0 - pad, x1 + pad + step, step)
     glon, glat = np.meshgrid(lons, lats)

@@ -540,6 +540,7 @@ def _simhash_value_pairs(
         return (
             cand.withColumn("hamming", hamming)
             .where(F.col("hamming") <= max_hamming)
+            .withColumn("is_star", F.lit(False))
         )
     ex = ex.join(F.broadcast(hot), ["block_idx", "block_val"], "left")
     cold = ex.where(F.col("_hot").isNull()).drop("_hot")
@@ -601,15 +602,20 @@ def _simhash_value_pairs(
         .dropDuplicates(["sh_a", "sh_b"])
         .withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
+        .withColumn("is_star", F.lit(False))
     )
     # tier-3 star pairs are EXEMPT from the hamming cut: they exist to
     # keep near-clique members connected to the group rep, and a member
     # further than d from the MIN value would otherwise lose all its
     # pairs (round-4 review finding). Their true hamming is emitted and
-    # may exceed max_hamming — documented tier-3 semantics.
+    # may exceed max_hamming; the explicit ``is_star`` marker lets
+    # downstream code distinguish connectivity-only star pairs from
+    # exact ≤ d pairs without inferring it from hamming (round-5
+    # ADVICE item).
     star = (
         cand_star.dropDuplicates(["sh_a", "sh_b"])
         .withColumn("hamming", hamming)
+        .withColumn("is_star", F.lit(True))
     )
     return exact.unionByName(star).dropDuplicates(["sh_a", "sh_b"])
 
@@ -635,7 +641,9 @@ def simhash_pairs(
     clustering keeps the (boilerplate-dominated) group together
     instead of silently dropping members. Callers needing the strict
     bound can filter ``hamming <= d`` — accepting that tier-3 groups
-    then fragment.
+    then fragment. Star pairs are explicitly marked by the boolean
+    ``is_star`` output column (False on every exact-tier pair), so
+    consumers never have to infer the tier from the hamming value.
 
     Skew-safe by construction: the candidate join runs over DISTINCT
     simhash VALUES (a million byte-identical or empty docs collapse to
@@ -656,13 +664,15 @@ def simhash_pairs(
     inter = (
         vp.join(a, "sh_a").join(b, "sh_b")
         .select(F.least("_da", "_db").alias("doc_a"),
-                F.greatest("_da", "_db").alias("doc_b"), "hamming")
+                F.greatest("_da", "_db").alias("doc_b"), "hamming",
+                "is_star")
     )
     intra = (
         a.join(b.withColumnRenamed("sh_b", "sh_a"), "sh_a")
         .where(F.col("_da") < F.col("_db"))
         .select(F.col("_da").alias("doc_a"), F.col("_db").alias("doc_b"),
-                F.lit(0).cast("integer").alias("hamming"))
+                F.lit(0).cast("integer").alias("hamming"),
+                F.lit(False).alias("is_star"))
     )
     return inter.unionByName(intra)
 

@@ -84,7 +84,7 @@ def hex_cell_col(lon, lat, res: int):
 
 
 def _hex_col(lon, lat, res: int):
-    """Interop hex cell column: REAL H3 ids by default since round 4
+    """Interop hex cell column: H3-spec-derived ids (parity-gated against the published H3 spec; see h3core.py scope note) by default since round 4
     (Arrow-batched pandas UDF over functions/h3core.py); the planar
     Catalyst expression only under SPARK_GRAFT_PLANAR_HEX=1. Ring-math
     consumers (kNN, covers) do NOT use this — they pin hex_cell_col
@@ -536,7 +536,7 @@ def bbox_query_indexed(
     for a useful IN-list (large boxes scan most of the table anyway).
 
     The covering set matches the id space of the ``cell_col`` the
-    table was written with: REAL H3 ids by default
+    table was written with: H3-spec-derived ids (parity-gated against the published H3 spec; see h3core.py scope note) by default
     (cells.h3_cover_bbox — guaranteed-hit sampled cover), the planar
     grid under SPARK_GRAFT_PLANAR_HEX=1 — mixing the two would
     silently filter everything out (round-4 review finding).
