@@ -176,15 +176,19 @@ def _az_dist_point(lat: float, lng: float, az: float, dist: float):
     return lat2, lng2
 
 
-def _hex2d_to_geo(face: int, x: float, y: float, res: int = 0):
+def _hex2d_to_geo(face: int, x: float, y: float, res: int = 0,
+                  substrate: bool = False):
     """Inverse projection: hex2d coords on ``face`` at ``res`` → geo
-    (faceijk.c `_hex2dToGeo`)."""
+    (faceijk.c `_hex2dToGeo`). ``substrate`` divides the radius by 3
+    (the aperture 3·3r vertex grid used by cell boundaries)."""
     r = math.hypot(x, y)
     if r < 1e-16:
         return float(FACE_CENTER_GEO[face, 0]), float(FACE_CENTER_GEO[face, 1])
     theta = math.atan2(y, x)
     for _ in range(res):
         r /= M_SQRT7
+    if substrate:
+        r /= 3.0
     if res % 2 == 1:  # Class III: un-rotate the aperture-7 axes
         theta = theta + M_AP7_ROT_RADS
     r *= RES0_U_GNOMONIC
@@ -818,10 +822,26 @@ def _pent_face_ijk(c, res, bc, digits):
     precise lattice position `latlng_to_cell` up-travels for interior
     points of the cell. ≤ 5 faces × 2 digit variants, pentagon base
     cells only (12 of 122)."""
+    best = None
+    for _r2, f, pos in _pent_face_positions(c, res, bc, digits):
+        if best is None or _r2 < best[0]:
+            best = (_r2, f, pos)
+    if best is None:
+        raise AssertionError(
+            f"pentagon inverse found no consistent face for cell {c:x}"
+        )
+    return best[1], best[2], res
+
+
+def _pent_face_positions(c, res, bc, digits):
+    """All (hex2d_radius², face, ijk) frames in which a pentagon
+    descendant's position round-trips — one per member face whose
+    sector the cell touches (see `_pent_face_ijk` for the inversion
+    scheme). Boundary construction consumes every valid frame."""
     members = [
         (f, ijk) for (f, ijk), (cid, _r) in _FIJK_TO_CELL.items() if cid == bc
     ]
-    best = None
+    out = []
     for f, ijk_f in sorted(members):
         m = int(_BC_ROT[f, ijk_f[0], ijk_f[1], ijk_f[2]])
         base = list(digits)
@@ -838,6 +858,7 @@ def _pent_face_ijk(c, res, bc, digits):
         pre = [int(table[d]) for d in base]
         if next((d for d in pre if d != 0), 0) == _K:
             cands.append(pre)
+        best_f = None
         for cand in cands:
             pos = _descend_digits(ijk_f, cand)
             x, y = _ijk_to_hex2d(*pos)
@@ -848,13 +869,11 @@ def _pent_face_ijk(c, res, bc, digits):
             )
             if int(back[0]) == c:
                 r2 = x * x + y * y
-                if best is None or r2 < best[0]:
-                    best = (r2, f, pos)
-    if best is None:
-        raise AssertionError(
-            f"pentagon inverse found no consistent face for cell {c:x}"
-        )
-    return best[1], best[2], res
+                if best_f is None or r2 < best_f[0]:
+                    best_f = (r2, f, pos)
+        if best_f is not None:
+            out.append(best_f)
+    return out
 
 
 def _h3_to_face_ijk(c: int):
@@ -917,3 +936,316 @@ def cell_to_latlng(cid) -> "tuple[np.ndarray, np.ndarray]":
         out_lat[n] = math.degrees(lat)
         out_lon[n] = math.degrees(lng)
     return out_lon.reshape(cid.shape), out_lat.reshape(cid.shape)
+
+
+# ------------------------------------------------- cell boundary
+# (faceijk.c `_faceIjkToCellBoundary`): vertices live on a "substrate"
+# grid — the cell grid scaled by aperture 3·3r (net: coords ×3, no
+# rotation), plus one cw aperture 7 for Class III resolutions. The
+# vertex offset tables are DERIVED from one geometrically-pinned seed
+# each ((2,1,0): radius √3 at 30° = the circumvertex of a unit cell in
+# ×3 substrate units; (5,4,0): the same vertex in the 7r-rotated
+# Class III substrate) by successive 60° ccw lattice rotations.
+
+_M_SQRT3_2 = math.sqrt(3.0) / 2.0
+
+
+def _derive_vert_tables():
+    tabs = {}
+    for class3, seed in ((False, (2, 1, 0)), (True, (5, 4, 0))):
+        verts = [seed]
+        for _ in range(5):
+            verts.append(_norm_ijk(_rot60ccw_ijk(verts[-1])))
+        tabs[class3] = verts
+    return tabs
+
+
+_VERT_TABLES = _derive_vert_tables()
+
+
+def _substrate_center(ijk, res):
+    """Cell-grid coords → substrate-grid coords (+ adjusted res)."""
+    center = (3 * ijk[0], 3 * ijk[1], 3 * ijk[2])
+    adj_res = res
+    if res % 2 == 1:  # Class III: one cw aperture 7 to Class II
+        ia, ja, ka = _down_ap7_vec(
+            np.array([center[0]]), np.array([center[1]]),
+            np.array([center[2]]), rotrev=True,
+        )
+        center = (int(ia[0]), int(ja[0]), int(ka[0]))
+        adj_res += 1
+    return center, adj_res
+
+
+def _seg_intersect(p0, p1, q0, q1):
+    """Line-line intersection (faceijk.c `_v2dIntersect` semantics:
+    treats both segments as infinite lines)."""
+    s1x, s1y = p1[0] - p0[0], p1[1] - p0[1]
+    s2x, s2y = q1[0] - q0[0], q1[1] - q0[1]
+    den = -s2x * s1y + s1x * s2y
+    t = (s2x * (p0[1] - q0[1]) - s2y * (p0[0] - q0[0])) / den
+    return (p0[0] + t * s1x, p0[1] + t * s1y)
+
+
+def _face_corners_2d(max_dim):
+    """The icosa-face triangle corners in substrate hex2d units (C's
+    v0/v1/v2): radius 3·maxDim at 0°/120°/240° — the res-0 corner
+    cells (2,0,0)/(0,2,0)/(0,0,2) scaled into the substrate grid."""
+    return (
+        (3.0 * max_dim, 0.0),
+        (-1.5 * max_dim, 3.0 * _M_SQRT3_2 * max_dim),
+        (-1.5 * max_dim, -3.0 * _M_SQRT3_2 * max_dim),
+    )
+
+
+def _edge_for_quad(corners, quad):
+    if quad == _IJ_QUAD:
+        return corners[0], corners[1]
+    if quad == _JK_QUAD:
+        return corners[1], corners[2]
+    return corners[2], corners[0]  # KI
+
+
+def _cell_boundary_hex(c, face, ijk, res):
+    class3 = res % 2 == 1
+    center, adj_res = _substrate_center(ijk, res)
+    vt = _VERT_TABLES[class3]
+    fverts = [
+        _norm_ijk((center[0] + v[0], center[1] + v[1], center[2] + v[2]))
+        for v in vt
+    ]
+    out = []
+    last_face = -1
+    last_ov = _NO_OVERAGE
+    for vert in range(7):  # 6 + 1 re-check for a last-edge crossing
+        v = vert % 6
+        ov, f2, coord2 = _adjust_overage_class_ii(
+            face, fverts[v], adj_res, False, True
+        )
+        # Class III cell edges crossing an icosa edge bend at the
+        # crossing (each face is its own projection plane): insert the
+        # intersection of the RAW (center-face-frame) edge with the
+        # face edge toward the other face
+        if class3 and vert > 0 and f2 != last_face and last_ov != _FACE_EDGE:
+            lastv = (v + 5) % 6
+            p0 = _ijk_to_hex2d(*fverts[lastv])
+            p1 = _ijk_to_hex2d(*fverts[v])
+            max_dim = 2 * 7 ** (adj_res // 2)
+            corners = _face_corners_2d(max_dim)
+            face2 = f2 if last_face == face else last_face
+            quad = int(_ADJ_FACE_DIR[face, face2])
+            if quad != 0:
+                e0, e1 = _edge_for_quad(corners, quad)
+                inter = _seg_intersect(p0, p1, e0, e1)
+                at_vert = (
+                    math.hypot(inter[0] - p0[0], inter[1] - p0[1]) < 1e-9
+                    or math.hypot(inter[0] - p1[0], inter[1] - p1[1]) < 1e-9
+                )
+                if not at_vert:
+                    lat, lng = _hex2d_to_geo(
+                        face, inter[0], inter[1], adj_res, substrate=True
+                    )
+                    out.append((math.degrees(lng), math.degrees(lat)))
+        if vert < 6:
+            x, y = _ijk_to_hex2d(*coord2)
+            lat, lng = _hex2d_to_geo(f2, x, y, adj_res, substrate=True)
+            out.append((math.degrees(lng), math.degrees(lat)))
+        last_face = f2
+        last_ov = ov
+    return out
+
+
+def _change_frame(coords, from_face, to_face, unit_scale):
+    """Express lattice coords of ``from_face``'s frame in ``to_face``'s
+    frame via the derived faceNeighbors isometry (valid globally — it
+    is the change-of-basis between the two adjacent face grids)."""
+    quad = int(_ADJ_FACE_DIR[from_face, to_face])
+    if quad == 0:
+        raise AssertionError(f"faces {from_face},{to_face} not adjacent")
+    v = tuple(coords)
+    for _ in range(int(_FN_ROT[from_face, quad])):
+        v = _rot60ccw_ijk(v)
+    t = _FN_TRANS[from_face, quad]
+    return _norm_ijk(
+        (v[0] + int(t[0]) * unit_scale,
+         v[1] + int(t[1]) * unit_scale,
+         v[2] + int(t[2]) * unit_scale)
+    )
+
+
+def _cell_boundary_pent(c, res, bc, digits):
+    """Pentagon cell boundary: per member face, the cell center
+    descends in that face's frame (`_pent_face_positions`); the
+    substrate vertices that do NOT overage out of the face are exact
+    boundary vertices in that frame. Merging the ≤ 5 frames yields the
+    5 distinct vertices; Class III edges between vertices on different
+    faces additionally bend at the icosa-edge crossing, found by
+    intersecting the edge (both endpoints expressed in one face's
+    frame via the faceNeighbors change-of-basis) with that face's
+    triangle edge."""
+    class3 = res % 2 == 1
+    frames = _pent_face_positions(c, res, bc, digits)
+    vt = _VERT_TABLES[class3]
+    raw = []  # (face, substrate coords, lon, lat)
+    adj_res = None
+    for _r2, f, pos in frames:
+        center, adj_res = _substrate_center(pos, res)
+        for vtab in vt:
+            coord = _norm_ijk(
+                (center[0] + vtab[0], center[1] + vtab[1],
+                 center[2] + vtab[2])
+            )
+            ov, f2, coord2 = _adjust_overage_class_ii(
+                f, coord, adj_res, False, True
+            )
+            if f2 != f:
+                continue  # overages re-anchor: visible from another frame
+            x, y = _ijk_to_hex2d(*coord2)
+            lat, lng = _hex2d_to_geo(f, x, y, adj_res, substrate=True)
+            raw.append((f, coord2, math.degrees(lng), math.degrees(lat)))
+    # dedup physically-identical vertices seen from two frames (points
+    # on icosa edges agree exactly between the two projections)
+    clon, clat = cell_to_latlng(np.array([c]))
+    clon, clat = float(clon[0]), float(clat[0])
+    seen = {}
+    for f, coord, lon, lat in raw:
+        key = (round(lon, 7), round(lat, 7))
+        if key not in seen:
+            seen[key] = (f, coord, lon, lat)
+    verts = list(seen.values())
+    if len(verts) != 5:
+        raise AssertionError(
+            f"pentagon boundary: {len(verts)} distinct vertices for {c:x}"
+        )
+    # ccw order by azimuth around the (exact) center
+    coslat = max(0.05, math.cos(math.radians(clat)))
+
+    def _az(v):
+        dlon = (v[2] - clon + 180.0) % 360.0 - 180.0
+        return math.atan2(v[3] - clat, dlon * coslat)
+
+    verts.sort(key=_az)
+    out = []
+    n = len(verts)
+    for idx in range(n):
+        f0, c0, lon0, lat0 = verts[idx]
+        out.append((lon0, lat0))
+        f1, c1, lon1, lat1 = verts[(idx + 1) % n]
+        if class3 and f1 != f0:
+            # express both endpoints in f0's frame, intersect with the
+            # f0 triangle edge toward f1
+            unit_scale = 3 * 7 ** (adj_res // 2)
+            c1_in_f0 = _change_frame(c1, f1, f0, unit_scale)
+            p0 = _ijk_to_hex2d(*c0)
+            p1 = _ijk_to_hex2d(*c1_in_f0)
+            max_dim = 2 * 7 ** (adj_res // 2)
+            quad = int(_ADJ_FACE_DIR[f0, f1])
+            if quad != 0:
+                e0, e1 = _edge_for_quad(_face_corners_2d(max_dim), quad)
+                inter = _seg_intersect(p0, p1, e0, e1)
+                at_vert = (
+                    math.hypot(inter[0] - p0[0], inter[1] - p0[1]) < 1e-9
+                    or math.hypot(inter[0] - p1[0], inter[1] - p1[1]) < 1e-9
+                )
+                if not at_vert:
+                    lat2, lng2 = _hex2d_to_geo(
+                        f0, inter[0], inter[1], adj_res, substrate=True
+                    )
+                    out.append((math.degrees(lng2), math.degrees(lat2)))
+    return out
+
+
+def cell_to_boundary(c: int) -> np.ndarray:
+    """Cell → boundary vertices as an (n, 2) array of (lon°, lat°) in
+    ccw order. Hexagon cells: 6 vertices plus one icosa-edge-crossing
+    vertex per Class III edge that changes projection face (the
+    published distortion-vertex rule). Pentagon cells: 5 vertices plus
+    Class III crossings. Vertices are EXACT (substrate-grid lattice
+    points of the published construction, overage re-anchored)."""
+    c = int(c)
+    res = (c >> 52) & 0xF
+    bc = (c >> 45) & 0x7F
+    digits = [(c >> (3 * (15 - r))) & 7 for r in range(1, res + 1)]
+    if _IS_PENT[bc] and all(d == 0 for d in digits):
+        # an actual pentagon CELL (the all-zero digit path under a
+        # pentagon base cell); other descendants are ordinary hexagons
+        return np.array(_cell_boundary_pent(c, res, bc, digits))
+    face, ijk, _ = _h3_to_face_ijk(c)
+    return np.array(_cell_boundary_hex(c, face, ijk, res))
+
+
+# --------------------------------------------------- neighbors / disk
+
+def _neighbors(c: int) -> list:
+    """The cells sharing an edge with ``c`` (6 for hexagons, 5 for
+    pentagons): probe just beyond each boundary-edge midpoint and
+    classify with `latlng_to_cell`. The probe sits ~13% of an edge
+    inside the neighbor (midpoint pushed 15% of the center→midpoint
+    distance outward) — orders of magnitude above FP noise and far
+    below any real distortion, and the result is validated against
+    sampling adjacency + mutual-adjacency invariants in tests."""
+    b = cell_to_boundary(c)
+    res = (int(c) >> 52) & 0xF
+    clon, clat = cell_to_latlng(np.array([c]))
+    clon, clat = float(clon[0]), float(clat[0])
+    n = len(b)
+    lons, lats = [], []
+    coslat = max(0.05, math.cos(math.radians(clat)))
+    for i in range(n):
+        lon0, lat0 = b[i]
+        lon1, lat1 = b[(i + 1) % n]
+        # midpoint in a local tangent frame (lon wrapped to the center)
+        d0 = (lon0 - clon + 180.0) % 360.0 - 180.0
+        d1 = (lon1 - clon + 180.0) % 360.0 - 180.0
+        mx = (d0 + d1) / 2.0
+        my = (lat0 + lat1) / 2.0 - clat
+        lons.append(clon + mx * 1.15)
+        lats.append(clat + my * 1.15)
+    cells = latlng_to_cell(
+        np.array(lons), np.clip(np.array(lats), -90.0, 90.0), res
+    )
+    out = []
+    for x in cells.tolist():
+        if x != c and x not in out:
+            out.append(x)
+    return out
+
+
+def grid_disk(c: int, k: int) -> "dict[int, int]":
+    """All cells within grid distance ``k`` of ``c`` → {cell: ring}.
+    BFS over exact edge-neighbors (`_neighbors`), the safe published
+    semantics (`gridDiskDistances`): pentagon-aware (a pentagon in the
+    disk simply contributes 5 neighbors), no unsafe digit arithmetic."""
+    c = int(c)
+    dist = {c: 0}
+    frontier = [c]
+    for ring in range(1, k + 1):
+        nxt = []
+        for cur in frontier:
+            for nb in _neighbors(cur):
+                if nb not in dist:
+                    dist[nb] = ring
+                    nxt.append(nb)
+        frontier = nxt
+    return dist
+
+
+def grid_disk_batch(cids, k: int):
+    """Vector-friendly disk: for an int64 array of cells, return
+    (origin_idx, cell, ring) arrays — the Spark-side kernel for
+    ring-expansion joins on H3-spec ids. Neighbor probes are batched
+    per BFS ring: ONE `latlng_to_cell` call per ring over all frontier
+    edge-midpoint probes (the boundary walk stays per-cell Python;
+    cost is bounded by the disk size, not the batch size)."""
+    cids = np.asarray(cids, dtype=np.int64)
+    oidx, cell, ring = [], [], []
+    for i, c in enumerate(cids.tolist()):
+        for cc, rr in grid_disk(int(c), k).items():
+            oidx.append(i)
+            cell.append(cc)
+            ring.append(rr)
+    return (
+        np.array(oidx, dtype=np.int64),
+        np.array(cell, dtype=np.int64),
+        np.array(ring, dtype=np.int64),
+    )

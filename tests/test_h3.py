@@ -256,3 +256,124 @@ class TestHierarchyAndInverse:
                 assert int(h._ADJ_FACE_DIR[f, f2]) == q
                 # symmetric: f is one of f2's neighbors
                 assert f in {int(h._FN_FACE[f2, p]) for p in (1, 2, 3)}
+
+
+class TestBoundaryAndDisk:
+    """Round-5: cell_to_boundary + grid_disk (exact substrate-grid
+    construction; see h3core.py)."""
+
+    def test_boundary_inside_lerp_maps_back(self):
+        """Points 20% inside each boundary vertex belong to the cell —
+        hexagons at Class II + III res, incl. crossing vertices."""
+        rng = np.random.default_rng(11)
+        for res in (4, 5, 8, 9):
+            lng = rng.uniform(-180, 180, 20000)
+            lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 20000)))
+            u = np.unique(h.latlng_to_cell(lng, lat, res))
+            cells = u[rng.choice(len(u), 120, replace=False)]
+            for c in cells.tolist():
+                b = h.cell_to_boundary(int(c))
+                clon, clat = h.cell_to_latlng(np.array([c]))
+                clon, clat = float(clon[0]), float(clat[0])
+                dlon = (b[:, 0] - clon + 180) % 360 - 180
+                back = h.latlng_to_cell(
+                    clon + dlon * 0.8,
+                    np.clip(clat + (b[:, 1] - clat) * 0.8, -90, 90), res)
+                assert (back == c).all(), hex(c)
+
+    def test_pentagon_boundary_counts(self):
+        """All 12 pentagons: 5 vertices at Class II res, 10 at Class
+        III (5 + 5 icosa-edge crossing vertices), every vertex's
+        inside-lerp maps back."""
+        for res in (0, 1, 2, 3, 4):
+            for bc in range(122):
+                if not h._IS_PENT[bc]:
+                    continue
+                c = (1 << 59) | (res << 52) | (bc << 45) | (
+                    (1 << (3 * (15 - res))) - 1)
+                b = h.cell_to_boundary(c)
+                assert len(b) == (5 if res % 2 == 0 else 10), (res, bc)
+                clon, clat = h.cell_to_latlng(np.array([c]))
+                clon, clat = float(clon[0]), float(clat[0])
+                dlon = (b[:, 0] - clon + 180) % 360 - 180
+                back = h.latlng_to_cell(
+                    clon + dlon * 0.8,
+                    np.clip(clat + (b[:, 1] - clat) * 0.8, -90, 90), res)
+                assert (back == c).all(), (res, bc)
+
+    def test_boundaries_tile_the_sphere(self):
+        """Sum of spherical areas of ALL 842 res-1 boundaries == 4π to
+        1e-12 relative — boundaries leave no gaps and no overlaps,
+        globally, including every pentagon and face seam."""
+        import math as m
+
+        def xyz(lon, lat):
+            la, lo = m.radians(lat), m.radians(lon)
+            return np.array([m.cos(la) * m.cos(lo),
+                             m.cos(la) * m.sin(lo), m.sin(la)])
+
+        def tri(a, b, c):
+            def ang(u, v):
+                return m.atan2(np.linalg.norm(np.cross(u, v)),
+                               float(np.dot(u, v)))
+            A, B, C = ang(b, c), ang(a, c), ang(a, b)
+            s = (A + B + C) / 2
+            t = (m.tan(s / 2) * m.tan((s - A) / 2) * m.tan((s - B) / 2)
+                 * m.tan((s - C) / 2))
+            return 4 * m.atan(m.sqrt(max(t, 0.0)))
+
+        rng = np.random.default_rng(5)
+        lng = rng.uniform(-180, 180, 200000)
+        lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 200000)))
+        u = np.unique(h.latlng_to_cell(lng, lat, 1))
+        assert len(u) == 842
+        tot = 0.0
+        for c in u.tolist():
+            b = h.cell_to_boundary(int(c))
+            clon, clat = h.cell_to_latlng(np.array([c]))
+            ctr = xyz(float(clon[0]), float(clat[0]))
+            vs = [xyz(lo, la) for lo, la in b]
+            tot += sum(tri(ctr, vs[i], vs[(i + 1) % len(vs)])
+                       for i in range(len(vs)))
+        assert abs(tot / (4 * m.pi) - 1.0) < 1e-12
+
+    def test_neighbors_and_disk_rings(self):
+        """Hexagons have 6 mutual neighbors; pentagons 5; disk ring
+        sizes match the published semantics (6r / pentagon 5,10)."""
+        from collections import Counter
+        rng = np.random.default_rng(12)
+        for res in (3, 8):
+            lng = rng.uniform(-180, 180, 20000)
+            lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 20000)))
+            u = np.unique(h.latlng_to_cell(lng, lat, res))
+            for c in u[rng.choice(len(u), 40, replace=False)].tolist():
+                nbs = h._neighbors(int(c))
+                assert len(nbs) == 6
+                for nb in nbs:
+                    assert int(c) in h._neighbors(int(nb))
+        c = int(h.latlng_to_cell(np.array([-122.41]), np.array([37.77]), 7)[0])
+        assert sorted(Counter(h.grid_disk(c, 3).values()).items()) == [
+            (0, 1), (1, 6), (2, 12), (3, 18)]
+        p = (1 << 59) | (4 << 52) | (38 << 45) | ((1 << 33) - 1)
+        assert sorted(Counter(h.grid_disk(p, 2).values()).items()) == [
+            (0, 1), (1, 5), (2, 10)]
+
+    def test_disk_matches_sampling_adjacency(self):
+        """Independent adjacency oracle: two cells hit by points < 0.7
+        edge apart are equal or edge/vertex-adjacent — every sampled
+        adjacent pair must appear in grid_disk(c, 1) of one another
+        (vertex-only neighbors are in ring 2, so check disk k=2)."""
+        rng = np.random.default_rng(13)
+        for res in (4, 7):
+            e = h.h3_edge_deg(res)
+            lng = rng.uniform(-180, 180, 4000)
+            lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 4000)))
+            lng2 = lng + rng.uniform(-0.5, 0.5, 4000) * e
+            lat2 = np.clip(lat + rng.uniform(-0.5, 0.5, 4000) * e, -90, 90)
+            c1 = h.latlng_to_cell(lng, lat, res)
+            c2 = h.latlng_to_cell(lng2, lat2, res)
+            diff = c1 != c2
+            pairs = {(int(a), int(b))
+                     for a, b in zip(c1[diff][:150], c2[diff][:150])}
+            for a, b in pairs:
+                assert b in h.grid_disk(a, 2), (res, hex(a), hex(b))
