@@ -554,3 +554,141 @@ def bbox_query_indexed(
     return bbox_query(
         features.where(F.col(cell_col).isin(cover)), x0, y0, x1, y1
     )
+
+
+def knn_join_h3(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    res: int = 4,
+    point_id: str = "id",
+    query_id: str = "qid",
+    seed_ring: int = 1,
+    max_cover: int = 20_000,
+) -> DataFrame:
+    """Exact kNN with the table keyed by H3-SPEC cell ids — the same
+    storage contract a reference-indexed table carries (the spatial
+    key IS the contract, src/lib.rs:24-27), so a user who indexed with
+    `hex_cell` (real-H3 path) can kNN directly on those ids without
+    re-keying onto the planar ring grid. Same output contract as
+    knn_join: (qid, id, dist, rank), degree-Euclidean metric,
+    (dist, id) tiebreak.
+
+    Exactness scheme (the real grid has no clean planar ring-distance
+    guarantee — cells vary ~2x in size): pass 1 gathers candidates
+    from `h3core.grid_disk(qcell, seed_ring)` — an equi-join on cell
+    id, each query touching ≤ 1+3R(R+1) cells. Its per-query kth
+    distance r upper-bounds the true kth (subset top-k ≥ global
+    top-k); pass 2 re-gathers from the GUARANTEED-HIT cover
+    (`h3_cover_bbox`) of the degree bbox [q ± r], which contains every
+    cell owning a point within distance r, so the pass-2 top-k is
+    provably exact. Queries with < k pass-1 candidates, or whose cover
+    would exceed ``max_cover`` cells, fall back to an exact broadcast
+    brute-force pass over just those queries.
+
+    Scale shape: the point table shuffles on cell id once per pass;
+    disk/cover kernels run per DISTINCT query cell (memoized per Arrow
+    batch); no driver loop — the two passes plus one tiny routing
+    aggregate are the whole job graph.
+    """
+    from ..functions import h3core
+
+    pts = points.select(
+        F.col(point_id).alias("_pid"),
+        F.col("lon").cast("double").alias("_px"),
+        F.col("lat").cast("double").alias("_py"),
+    ).withColumn("_pcell", _hex_udf(res)(F.col("_px"), F.col("_py"))).persist()
+
+    qs = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.col("lon").cast("double").alias("_qx"),
+        F.col("lat").cast("double").alias("_qy"),
+    ).withColumn("_qcell", _hex_udf(res)(F.col("_qx"), F.col("_qy")))
+
+    def _topk(cand: DataFrame) -> DataFrame:
+        d2 = (F.col("_px") - F.col("_qx")) ** 2 + (F.col("_py") - F.col("_qy")) ** 2
+        w = Window.partitionBy("_qid").orderBy(
+            F.sqrt(d2).asc(), F.col("_pid").asc()
+        )
+        return (
+            cand.withColumn("dist", F.sqrt(d2))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _disk(cell: pd.Series) -> pd.Series:
+        memo: dict = {}
+        out = []
+        for c in cell:
+            c = int(c)
+            if c not in memo:
+                memo[c] = list(h3core.grid_disk(c, seed_ring).keys())
+            out.append(memo[c])
+        return pd.Series(out)
+
+    exp1 = qs.withColumn("_cells", _disk("_qcell")).select(
+        "_qid", "_qx", "_qy", F.explode("_cells").alias("_pcell")
+    )
+    topk1 = _topk(exp1.join(pts, "_pcell", "inner")).localCheckpoint(eager=True)
+    stat1 = topk1.groupBy("_qid").agg(
+        F.count("*").alias("_n1"), F.max("dist").alias("_kth1")
+    )
+    st = qs.join(stat1, "_qid", "left").withColumn(
+        "_n1", F.coalesce("_n1", F.lit(0))
+    )
+
+    # cover budget precheck is a pure function of (qy, r, res) — cheap
+    # Catalyst-side estimate mirroring h3_cover_size's grid dimensions
+    edge = h3core.h3_edge_deg(res)
+    grid_w = (F.lit(2.0) * F.col("_kth1") + F.lit(5.0 * edge)) / F.lit(0.55 * edge)
+    cover_est = grid_w * grid_w
+    is_pass2 = (F.col("_n1") == k) & (cover_est <= F.lit(float(max_cover)))
+    is_brute = ~is_pass2
+
+    tri = st.agg(
+        F.sum(F.when(is_pass2, 1).otherwise(0)).alias("np2"),
+        F.sum(F.when(is_brute, 1).otherwise(0)).alias("nbr"),
+    ).first()
+    n_p2, n_br = (tri[c] or 0 for c in ("np2", "nbr"))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _cover(qx: pd.Series, qy: pd.Series, r: pd.Series) -> pd.Series:
+        out = []
+        for x, y, rr in zip(qx, qy, r):
+            out.append(
+                cell_fn.h3_cover_bbox(
+                    float(x) - float(rr), float(y) - float(rr),
+                    float(x) + float(rr), float(y) + float(rr), res
+                )
+            )
+        return pd.Series(out)
+
+    parts: list[DataFrame] = []
+    if n_p2 > 0:
+        p2 = st.where(is_pass2).withColumn(
+            "_cells", _cover("_qx", "_qy", "_kth1")
+        ).select("_qid", "_qx", "_qy", F.explode("_cells").alias("_pcell"))
+        parts.append(
+            _topk(p2.join(pts, "_pcell", "inner")).select(
+                "_qid", "_pid", "dist", "rank"
+            )
+        )
+    if n_br > 0:
+        brute_q = st.where(is_brute).select("_qid", "_qx", "_qy")
+        parts.append(
+            _topk(brute_q.crossJoin(pts.drop("_pcell"))).select(
+                "_qid", "_pid", "dist", "rank"
+            )
+        )
+    result = parts[0] if parts else topk1.select("_qid", "_pid", "dist", "rank")
+    for p in parts[1:]:
+        result = result.unionByName(p)
+    out = result.select(
+        F.col("_qid").alias(query_id),
+        F.col("_pid").alias(point_id),
+        "dist",
+        "rank",
+    ).localCheckpoint(eager=True)
+    pts.unpersist()
+    return out

