@@ -1475,6 +1475,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decode_audio_stats(synthetic_media(spark, n=500))
     q["multimodal_audio_decode"] = multimodal_audio_decode
 
+    def multimodal_video_decode(spark, sf):
+        # FRAME-EXACT video decode (round 5): synthetic_media emits
+        # valid uncompressed AVI bytes (RIFF chunk tree, bottom-up BGR
+        # 'DIB ' frames, closed-form per-frame pixels);
+        # decode_video_stats walks the real container and sums raw RGB
+        # values per frame; the oracle recomputes the pattern sum in
+        # pure SQL — any chunk-walk or row-layout error breaks the hash
+        _ensure_shipped(spark)
+        from ingest_spark.operators.multimodal import (
+            decode_video_stats, synthetic_media,
+        )
+        return decode_video_stats(synthetic_media(spark, n=500))
+    q["multimodal_video_decode"] = multimodal_video_decode
+
     def retile_incremental_q(spark, sf):
         # incremental vector-tile maintenance end-to-end: a deterministic
         # changeset (delete id%97, move id%31 east 7.3°, create a twin at
@@ -1725,9 +1739,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts", "text_quality", "lang_id",
         "fingerprint_md5", "fingerprint_rolling",
         "dedup_exact", "cells_hex_s2",
-        # round-5 additions (knn_h3_rings, h3_boundary_check) push two
-        # more long-green rows out of the 50-entry driver window
-        "f1_tag_classify", "j2_hash_join",
+        # round-5 additions (knn_h3_rings, h3_boundary_check,
+        # multimodal_video_decode) push three more long-green rows out
+        # of the 50-entry driver window
+        "f1_tag_classify", "j2_hash_join", "j6_two_hop",
     ]
     assert all(t in q for t in tail)
     ordered = {k: v for k, v in q.items() if k not in tail}
@@ -2127,6 +2142,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT qid, vec_id, ROUND(cos_raw, 4) AS cosine, rank
             FROM ranked WHERE rank <= 5
+        """,
+        # closed-form per-frame pixel sums — the SQL twin of
+        # synthetic_video_pixels over every (frame, x, y) of every AVI
+        "multimodal_video_decode": """
+            WITH m AS (
+              SELECT i AS media_id,
+                     16 + i % 16 AS w, 16 + (i * 7) % 16 AS h,
+                     GREATEST((1000 + i % 9000) // 1000, 1) AS nf
+              FROM (SELECT UNNEST(range(0, 500)) AS i) WHERE i % 3 = 2
+            ),
+            px AS (
+              SELECT media_id, h, w, t,
+                     (x * 7 + y * 13 + media_id + 97 * t) % 256
+                   + (x * 3 + y * 5 + 2 * media_id + 59 * t) % 256
+                   + (x * 11 + y + 3 * media_id + 31 * t) % 256 AS v
+              FROM m, UNNEST(range(0, nf)) AS ut(t),
+                   UNNEST(range(0, w)) AS ux(x), UNNEST(range(0, h)) AS uy(y)
+            )
+            SELECT media_id, t::INT AS frame_idx, h::INT AS height,
+                   w::INT AS width, SUM(v)::BIGINT AS checksum
+            FROM px GROUP BY media_id, t, h, w
         """,
         "multimodal_frames": """
             WITH m AS (
