@@ -51,7 +51,12 @@ def assemble_ways(ways: DataFrame, nodes: DataFrame) -> DataFrame:
         joined.groupBy("way_id")
         .agg(
             _pts_agg().alias("pts"),
-            F.countDistinct("node_id").alias("n_nodes"),
+            # distinct count WITHOUT countDistinct: a distinct
+            # aggregate alongside collect_list plans as an Expand
+            # (row-doubling) + two aggregate phases; counting distinct
+            # ids from the already-collected list is one normal
+            # hash-agg pass (round-5 stage profile)
+            F.size(F.array_distinct(F.collect_list("node_id"))).alias("n_nodes"),
             # ring closure from the RESOLVED sequence: if the closing
             # node id failed to resolve (dropped by the inner join), the
             # way is no longer closed and the encode strip must not
@@ -137,7 +142,7 @@ def assemble_relations(relations: DataFrame, ways: DataFrame, nodes: DataFrame) 
                     == F.max(F.struct("ref_pos", "node_id")).getField("node_id")
                 )
             ).alias("ring_closed"),
-            F.countDistinct("node_id").alias("ring_nodes"),
+            F.size(F.array_distinct(F.collect_list("node_id"))).alias("ring_nodes"),
             F.min("x").alias("minx"),
             F.min("y").alias("miny"),
             F.max("x").alias("maxx"),

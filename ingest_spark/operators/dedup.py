@@ -37,6 +37,7 @@ from pyspark.sql.types import ArrayType, LongType
 
 from ..config import DEFAULT, EngineConfig
 from ..functions import sketches as sk
+from .partitioning import spread_for_kernel
 
 
 # ------------------------------------------------------------- exact
@@ -93,6 +94,8 @@ def with_minhash(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
+    # CPU-bound sketch: spread byte-sized scans to all cores first
+    docs = spread_for_kernel(docs)
     return docs.select(
         F.col(id_col),
         _minhash_udf(cfg.minhash_perms, cfg.shingle_size)(F.col(text_col)).alias("minhash"),
@@ -450,6 +453,7 @@ def with_simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     runs the numpy hash/vote kernels. Note: Python str.split() also
     splits on UNICODE whitespace — the engines agree on ASCII corpora
     (tested), and the JVM path is the contract-oracled one."""
+    docs = spread_for_kernel(docs)  # CPU-bound sketch stage
     toks = F.filter(
         F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
         lambda c: c != F.lit(""),
@@ -727,7 +731,7 @@ def ngram_jaccard_pairs(
     # are interpreted per element, not codegen'd). Semantics identical
     # to the SQL twin: lowercase, [^a-z0-9]+ -> space, distinct
     # space-joined word n-grams.
-    docs_g = docs.select(
+    docs_g = spread_for_kernel(docs).select(
         F.col(id_col).alias("doc"), _gram_udf(n)(F.col(text_col)).alias("grams")
     ).where(F.size("grams") > 0)
     # the gram table feeds four consumers (df counts, ranking, and both

@@ -335,11 +335,15 @@ def _kv_cols(df: DataFrame) -> DataFrame:
     the Arrow boundary carries 3 small strings instead of the tags map
     (map→dict materialization measured as the dominant UDF cost)."""
     key = _first_priority_key(F.col("tags"))
-    return (
-        df.withColumn("_k", key)
-        .withColumn("_v", F.element_at("tags", F.coalesce(F.col("_k"), F.lit("\u0000"))))
-        .withColumn("_nm", F.element_at("tags", F.lit("name")))
-    )
+    # ONE projection (withColumns), not a withColumn chain: every
+    # chained withColumn re-analyzes the whole plan, and at small SF
+    # the pipeline is driver-planning-bound (round-5 profile: ~2 s of
+    # the 4 s wall was inter-job Catalyst time)
+    return df.withColumns({
+        "_k": key,
+        "_v": F.element_at("tags", F.coalesce(key, F.lit("\u0000"))),
+        "_nm": F.element_at("tags", F.lit("name")),
+    })
 
 
 def node_features(nodes: DataFrame, spark: SparkSession) -> DataFrame:

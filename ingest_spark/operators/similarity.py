@@ -24,6 +24,7 @@ from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
 
 from ..functions import sketches as sk
+from .partitioning import spread_for_kernel
 
 
 def _cosine(a, b):
@@ -43,7 +44,9 @@ def cosine_topk(
     query_vec: str = "embedding",
 ) -> DataFrame:
     """Exact top-k by cosine: (qid, vec_id, cosine, rank)."""
-    v = vectors.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    v = spread_for_kernel(vectors).select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")
+    )
     q = queries.select(F.col(query_id).alias("_qid"), F.col(query_vec).alias("_q"))
     cos = _cosine("_q", "_v")
     w = Window.partitionBy("_qid").orderBy(F.desc("cosine"), F.asc("_vid"))
@@ -96,7 +99,7 @@ def ann_topk(
     (up to ``n_probe``). The big vector table shuffles once on
     (table, code); no cross join anywhere. Recall-vs-exact bounds in
     test_webtext.py. Probe-code fan-out is a JVM-side XOR expression."""
-    v = vectors.select(
+    v = spread_for_kernel(vectors).select(
         F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"),
         F.posexplode(_codes_udf(n_planes, n_tables)(F.col(vec_col))).alias("_tbl", "_code"),
     )

@@ -118,9 +118,14 @@ def with_cells(
     else:
         lon = ((F.col("minx") + F.col("maxx")) / 2).cast("double")
         lat = ((F.col("miny") + F.col("maxy")) / 2).cast("double")
-    return features.withColumn("_lon", lon).withColumn("_lat", lat).withColumn(
-        "hex_cell", _hex_col(F.col("_lon"), F.col("_lat"), cfg.hex_res)
-    ).withColumn("s2_cell", _s2_udf(cfg.s2_level)("_lon", "_lat")).drop("_lon", "_lat")
+    # single projection: inline the anchor expressions into both cell
+    # kernels instead of a 4-deep withColumn chain (each link costs a
+    # full Catalyst re-analysis — measurable at small SF where the
+    # pipeline is planning-bound)
+    return features.withColumns({
+        "hex_cell": _hex_col(lon, lat, cfg.hex_res),
+        "s2_cell": _s2_udf(cfg.s2_level)(lon, lat),
+    })
 
 
 # ----------------------------------------------------------- S11 query
