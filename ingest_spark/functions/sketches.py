@@ -115,6 +115,58 @@ def minhash_signature(shingle_hashes: np.ndarray, k: int = 64) -> np.ndarray:
     return vals.min(axis=1)
 
 
+def _fast_mod_mersenne(v: np.ndarray) -> np.ndarray:
+    """v mod (2^61−1) without integer division: 2^61 ≡ 1 (mod M), so
+    v = hi·2^61 + lo ≡ hi + lo; one conditional subtract finishes
+    (hi ≤ 7 ⇒ hi + lo < 2M). Bit-identical to ``v % _MERSENNE`` on the
+    same wrapped-u64 inputs — a true mod either way — but shift/add
+    instead of a 64-bit divide per element (~4× on the sketch kernel).
+    """
+    with np.errstate(over="ignore"):
+        r = (v >> np.uint64(61)) + (v & _MERSENNE)
+    return np.where(r >= _MERSENNE, r - _MERSENNE, r)
+
+
+def minhash_signatures_batch(
+    shingle_arrays: "list[np.ndarray]", k: int = 64,
+    max_chunk_hashes: int = 16_000,
+) -> np.ndarray:
+    """Batched MinHash over many documents at once, BIT-IDENTICAL to
+    per-doc `minhash_signature` (same x%M → wrapping a·x+b → %M → min
+    pipeline; asserted in tests). One (k, chunk) matrix op + a
+    `minimum.reduceat` per ~``max_chunk_hashes`` shingles replaces a
+    per-document outer-product call. At web-corpus document sizes
+    (~300 shingles/doc) throughput matches the per-doc path — the
+    kernel is at its u64-arithmetic floor — and on SHORT-document
+    corpora (call overhead per doc dominant) the ~60× fewer numpy
+    dispatches win. Chunks are sized to keep the (k, chunk) matrix
+    cache-resident (the 100k-hash variant measured 4× slower —
+    memory-bandwidth bound)."""
+    n_docs = len(shingle_arrays)
+    a, b = _rand_params(k)
+    out = np.full((n_docs, k), np.iinfo(np.uint64).max, dtype=np.uint64)
+    lens = np.array([len(s) for s in shingle_arrays], dtype=np.int64)
+    nonempty = np.nonzero(lens > 0)[0]
+    if len(nonempty) == 0:
+        return out
+    # chunk document GROUPS so each matrix stays cache/memory-bounded
+    start = 0
+    while start < len(nonempty):
+        end = start
+        tot = 0
+        while end < len(nonempty) and (tot == 0 or tot + lens[nonempty[end]] <= max_chunk_hashes):
+            tot += lens[nonempty[end]]
+            end += 1
+        idx = nonempty[start:end]
+        x = np.concatenate([shingle_arrays[i] for i in idx]).astype(np.uint64)
+        x = _fast_mod_mersenne(x)
+        offsets = np.concatenate(([0], np.cumsum(lens[idx])))[:-1]
+        vals = _fast_mod_mersenne(a[:, None] * x[None, :] + b[:, None])
+        out[idx] = np.minimum.reduceat(vals, offsets, axis=1).T
+        start = end
+    return out
+
+
 def minhash_bands(signature: np.ndarray, bands: int = 16) -> np.ndarray:
     """Fold the signature into ``bands`` bucket hashes (LSH keys)."""
     k = len(signature)

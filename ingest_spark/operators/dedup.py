@@ -69,11 +69,9 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def _minhash_udf(k: int, shingle: int):
     @F.pandas_udf(ArrayType(LongType()))
     def _u(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text:
-            sig = sk.minhash_signature(sk.char_shingles(t or "", shingle), k)
-            out.append(sig.view(np.int64).tolist())
-        return pd.Series(out)
+        sh = [sk.char_shingles(t or "", shingle) for t in text]
+        sigs = sk.minhash_signatures_batch(sh, k).view(np.int64)
+        return pd.Series(list(sigs))
     return _u
 
 

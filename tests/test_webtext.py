@@ -98,6 +98,20 @@ class TestSketchKernels:
         )
         assert abs(est - true_j) < 0.15
 
+    def test_minhash_batch_bit_identical(self):
+        """minhash_signatures_batch (the UDF's kernel since round 5)
+        must be BIT-identical to per-doc minhash_signature across doc
+        sizes, chunk boundaries, and the empty-doc case."""
+        rng = np.random.default_rng(7)
+        docs = ["".join(chr(97 + c) for c in rng.integers(0, 26, n))
+                for n in (0, 3, 7, 40, 500, 2000, 1, 999)] * 9
+        sh = [sk.char_shingles(t, 5) for t in docs]
+        per_doc = np.stack([sk.minhash_signature(s, 128) for s in sh])
+        for chunk in (64, 1000, 16000):
+            batch = sk.minhash_signatures_batch(sh, 128,
+                                                max_chunk_hashes=chunk)
+            assert (batch == per_doc).all(), chunk
+
     def test_simhash_close_for_similar(self):
         t1 = "spark makes large scale data processing simple and fast".split()
         t2 = "spark makes large scale data processing simple and quick".split()
