@@ -68,6 +68,35 @@ class TestIndexedBbox:
         a = {r.id for r in spatial.bbox_query(feats, *tight).select("id").collect()}
         assert p0.id in a  # the anchored box really contains data
 
+    def test_sampled_cover_validated_by_exact_cover(self):
+        """Round-5: the BFS/boundary-intersection cover is
+        provably complete (edge-connected region, no sampling step);
+        cross-validating random boxes proves the sampled cover's
+        0.55-edge step never misses a cell (exact ⊆ sampled) and both
+        contain every cell that actually owns a bbox point."""
+        import numpy as np
+
+        from ingest_spark.functions import cells as cf
+        from ingest_spark.functions import h3core as h
+
+        rng = np.random.default_rng(21)
+        for _ in range(10):
+            res = int(rng.integers(3, 7))
+            e = h.h3_edge_deg(res)
+            cx = float(rng.uniform(-160, 160))
+            cy = float(rng.uniform(-75, 75))
+            w = float(rng.uniform(0.5, 5)) * e
+            hh = float(rng.uniform(0.5, 5)) * e
+            box = (cx - w, cy - hh, cx + w, cy + hh)
+            exact = set(cf.h3_cover_bbox_exact(*box, res))
+            sampled = set(cf.h3_cover_bbox(*box, res))
+            plon = rng.uniform(box[0], box[2], 2000)
+            plat = np.clip(rng.uniform(box[1], box[3], 2000), -90, 90)
+            owning = set(h.latlng_to_cell(plon, plat, res).tolist())
+            assert owning <= exact, (box, res)
+            assert owning <= sampled, (box, res)
+            assert exact <= sampled, (box, res, len(exact - sampled))
+
 
 class TestStatefulStreaming:
     def test_hot_cell_monitor_emits_on_threshold(self, spark, tmp_path):
