@@ -1249,3 +1249,74 @@ def grid_disk_batch(cids, k: int):
         np.array(cell, dtype=np.int64),
         np.array(ring, dtype=np.int64),
     )
+
+
+# --------------------------------------------------- small public API
+
+def string_to_cell(s) -> np.ndarray:
+    """Canonical lowercase-hex H3 string(s) → int64 index (inverse of
+    `cell_to_string`)."""
+    arr = np.asarray(s)
+    flat = [int(x, 16) for x in arr.ravel()]
+    return np.array(
+        [v - (1 << 64) if v >= (1 << 63) else v for v in flat],
+        dtype=np.int64,
+    ).reshape(arr.shape)
+
+
+def get_resolution(cid) -> np.ndarray:
+    """Resolution field (0-15) of int64 H3 ids."""
+    cid = np.asarray(cid, dtype=np.int64)
+    return ((cid >> np.int64(52)) & np.int64(0xF)).astype(np.int64)
+
+
+def is_pentagon(cid) -> np.ndarray:
+    """True for the 12 pentagon cells per res (pentagon base cell AND
+    all-zero digit path)."""
+    cid = np.asarray(cid, dtype=np.int64)
+    res = (cid >> np.int64(52)) & np.int64(0xF)
+    bc = (cid >> np.int64(45)) & np.int64(0x7F)
+    out = _IS_PENT[bc].copy()
+    for r in range(1, 16):
+        digit = (cid >> np.int64(3 * (15 - r))) & np.int64(7)
+        out &= (r > res) | (digit == 0)
+    return out
+
+
+_EARTH_RADIUS_KM = 6371.007180918475  # h3's authalic Earth radius
+
+
+def cell_area_km2(cid) -> np.ndarray:
+    """Spherical area of each cell in km² (boundary triangulation from
+    the exact center; L'Huilier excess × R²). The per-res SUM over a
+    full enumeration equals the sphere's area (tested to 1e-12)."""
+    cid = np.asarray(cid, dtype=np.int64)
+    out = np.zeros(len(cid.ravel()), dtype=np.float64)
+
+    def _xyz(lon, lat):
+        la, lo = math.radians(lat), math.radians(lon)
+        return np.array(
+            [math.cos(la) * math.cos(lo), math.cos(la) * math.sin(lo),
+             math.sin(la)]
+        )
+
+    def _tri(a, b, c):
+        def ang(u, v):
+            return math.atan2(
+                float(np.linalg.norm(np.cross(u, v))), float(np.dot(u, v))
+            )
+        A, B, C = ang(b, c), ang(a, c), ang(a, b)
+        sp = (A + B + C) / 2
+        t = (math.tan(sp / 2) * math.tan((sp - A) / 2)
+             * math.tan((sp - B) / 2) * math.tan((sp - C) / 2))
+        return 4 * math.atan(math.sqrt(max(t, 0.0)))
+
+    lons, lats = cell_to_latlng(cid.ravel())
+    for i, c in enumerate(cid.ravel()):
+        b = cell_to_boundary(int(c))
+        ctr = _xyz(float(lons[i]), float(lats[i]))
+        vs = [_xyz(lo, la) for lo, la in b]
+        out[i] = sum(
+            _tri(ctr, vs[j], vs[(j + 1) % len(vs)]) for j in range(len(vs))
+        ) * _EARTH_RADIUS_KM ** 2
+    return out.reshape(cid.shape)

@@ -377,3 +377,31 @@ class TestBoundaryAndDisk:
                      for a, b in zip(c1[diff][:150], c2[diff][:150])}
             for a, b in pairs:
                 assert b in h.grid_disk(a, 2), (res, hex(a), hex(b))
+
+
+class TestSmallApi:
+    def test_string_resolution_pentagon_roundtrips(self):
+        c = h.latlng_to_cell(np.array([-122.41]), np.array([37.77]), 9)
+        assert (h.string_to_cell(h.cell_to_string(c)) == c).all()
+        assert h.get_resolution(c)[0] == 9
+        assert not h.is_pentagon(c)[0]
+        pents = np.array([(1 << 59) | (3 << 52) | (bc << 45) | ((1 << 36) - 1)
+                          for bc in range(122) if h._IS_PENT[bc]])
+        assert h.is_pentagon(pents).all()
+        # non-center descendant of a pentagon base cell is NOT a pentagon
+        desc = int(pents[0]) & ~(7 << (3 * 14)) | (2 << (3 * 14))
+        assert not h.is_pentagon(np.array([desc]))[0]
+
+    def test_cell_areas_sum_to_sphere(self):
+        import math as m
+        rng = np.random.default_rng(1)
+        lng = rng.uniform(-180, 180, 100_000)
+        lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 100_000)))
+        u = np.unique(h.latlng_to_cell(lng, lat, 1))
+        assert len(u) == 842
+        areas = h.cell_area_km2(u)
+        sphere = 4 * m.pi * h._EARTH_RADIUS_KM ** 2
+        assert abs(areas.sum() / sphere - 1) < 1e-9
+        # pentagons are the smallest cells (~5/6 of a hexagon)
+        pent = h.is_pentagon(u)
+        assert areas[pent].max() < areas[~pent].min()
