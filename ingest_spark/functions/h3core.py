@@ -1178,29 +1178,46 @@ def cell_to_boundary(c: int) -> np.ndarray:
 
 def _neighbors(c: int) -> list:
     """The cells sharing an edge with ``c`` (6 for hexagons, 5 for
-    pentagons): probe just beyond each boundary-edge midpoint and
-    classify with `latlng_to_cell`. The probe sits ~13% of an edge
-    inside the neighbor (midpoint pushed 15% of the center→midpoint
-    distance outward) — orders of magnitude above FP noise and far
-    below any real distortion, and the result is validated against
-    sampling adjacency + mutual-adjacency invariants in tests."""
+    pentagons). FAST PATH: the digit-space walk (`_neighbor_fast`,
+    ~100× cheaper) whenever no pentagon base cell is involved — the
+    overwhelming majority at scale (110/122 base cells). Fallback (and
+    the validation oracle the fast path is tested against): probe just
+    beyond each boundary-edge midpoint and classify with
+    `latlng_to_cell`. The probe sits ~13% of an edge inside the
+    neighbor — orders of magnitude above FP noise and far below any
+    real distortion — and is validated against sampling adjacency +
+    mutual-adjacency invariants in tests."""
+    c = int(c)
+    fast = [_neighbor_fast(c, d) for d in range(1, 7)]
+    if all(f is not None for f in fast):
+        out = []
+        for x in fast:
+            if x not in out:
+                out.append(x)
+        return out
     b = cell_to_boundary(c)
     res = (int(c) >> 52) & 0xF
     clon, clat = cell_to_latlng(np.array([c]))
     clon, clat = float(clon[0]), float(clat[0])
     n = len(b)
+    # 3D spherical probes: chord midpoint of each edge pushed 15% of
+    # the center→midpoint offset outward, all on the unit sphere —
+    # robust at the poles and the antimeridian (a planar lon/lat
+    # tangent frame is NOT: a polar cell's edge midpoint computed in
+    # dlon-space can land back inside the cell — round-5 bug found by
+    # the digit-space walk disagreeing near the north pole)
+    ctr = np.array(_geo_to_xyz(math.radians(clat), math.radians(clon)))
+    verts = np.array([
+        _geo_to_xyz(math.radians(la), math.radians(lo)) for lo, la in b
+    ])
     lons, lats = [], []
-    coslat = max(0.05, math.cos(math.radians(clat)))
     for i in range(n):
-        lon0, lat0 = b[i]
-        lon1, lat1 = b[(i + 1) % n]
-        # midpoint in a local tangent frame (lon wrapped to the center)
-        d0 = (lon0 - clon + 180.0) % 360.0 - 180.0
-        d1 = (lon1 - clon + 180.0) % 360.0 - 180.0
-        mx = (d0 + d1) / 2.0
-        my = (lat0 + lat1) / 2.0 - clat
-        lons.append(clon + mx * 1.15)
-        lats.append(clat + my * 1.15)
+        mid = verts[i] + verts[(i + 1) % n]
+        mid /= np.linalg.norm(mid)
+        p = mid + 0.15 * (mid - ctr)
+        p /= np.linalg.norm(p)
+        lats.append(math.degrees(math.asin(max(-1.0, min(1.0, p[2])))))
+        lons.append(math.degrees(math.atan2(p[1], p[0])))
     cells = latlng_to_cell(
         np.array(lons), np.clip(np.array(lats), -90.0, 90.0), res
     )
@@ -1320,3 +1337,132 @@ def cell_area_km2(cid) -> np.ndarray:
             _tri(ctr, vs[j], vs[(j + 1) % len(vs)]) for j in range(len(vs))
         ) * _EARTH_RADIUS_KM ** 2
     return out.reshape(cid.shape)
+
+
+# ------------------------------------------- digit-space neighbor walk
+# The bulk-scale path for `_neighbors`/`grid_disk`: the published
+# h3NeighborRotations digit arithmetic (algos.c), with every table
+# DERIVED rather than recalled:
+# - digit-transition tables (`NEW_DIGIT`/`NEW_ADJUSTMENT` per class):
+#   pure aperture-7 lattice arithmetic — child+unit(dir) → up-travel →
+#   (new digit, parent carry); no convention content at all.
+# - base-cell neighbor tables: home-face position + unit(dir), overage
+#   re-anchored with the derived faceNeighbors isometry; the digit
+#   rotation into the neighbor's canonical frame = coord-rotation count
+#   + the anchor table's ccwRot60. Hexagon rows only; anything touching
+#   a PENTAGON base cell (source or target — the deleted-subsequence
+#   digit fixes are convention-sensitive) routes to the probe-based
+#   boundary path, which is exact by construction.
+# Validated: full res-1 enumeration + random samples at res 2-8 agree
+# with the probe path cell-for-cell (tests), and the hexagon base-cell
+# neighbor sets equal the geometric nearest-center sets exactly.
+
+def _derive_digit_transition_tables():
+    unit = {1: (0, 0, 1), 2: (0, 1, 0), 3: (0, 1, 1),
+            4: (1, 0, 0), 5: (1, 0, 1), 6: (1, 1, 0)}
+
+    def up7(v, rotrev):
+        i, j, k = v
+        di, dj = i - k, j - k
+        if rotrev:
+            return _norm_ijk((round((2 * di + dj) / 7),
+                              round((3 * dj - di) / 7), 0))
+        return _norm_ijk((round((3 * di - dj) / 7),
+                          round((di + 2 * dj) / 7), 0))
+
+    def down7(v, rotrev):
+        i, j, k = v
+        if rotrev:
+            return _norm_ijk((3 * i + k, i + 3 * j, j + 3 * k))
+        return _norm_ijk((3 * i + j, 3 * j + k, i + 3 * k))
+
+    def dnum(v):
+        v = _norm_ijk(v)
+        return 4 * v[0] + 2 * v[1] + v[2]
+
+    out = {}
+    for rotrev in (False, True):
+        nd = np.zeros((7, 7), dtype=np.int64)
+        na = np.zeros((7, 7), dtype=np.int64)
+        for d in range(7):
+            child = unit.get(d, (0, 0, 0))
+            for dirc in range(1, 7):
+                pos = (child[0] + unit[dirc][0], child[1] + unit[dirc][1],
+                       child[2] + unit[dirc][2])
+                parent = up7(pos, rotrev)
+                dp = down7(parent, rotrev)
+                nd[d][dirc] = dnum((pos[0] - dp[0], pos[1] - dp[1],
+                                    pos[2] - dp[2]))
+                na[d][dirc] = dnum(parent) if parent != (0, 0, 0) else 0
+            nd[d][0] = d
+        out[rotrev] = (nd, na)
+    return out
+
+
+_DIGIT_TRANS = _derive_digit_transition_tables()
+
+
+def _derive_base_cell_neighbors():
+    unit = {1: (0, 0, 1), 2: (0, 1, 0), 3: (0, 1, 1),
+            4: (1, 0, 0), 5: (1, 0, 1), 6: (1, 1, 0)}
+    bcn = np.full((122, 7), -1, dtype=np.int64)
+    bcr = np.zeros((122, 7), dtype=np.int64)
+    for bc in range(122):
+        if _IS_PENT[bc]:
+            continue  # pentagon sources use the probe path
+        f, ijk, _ = _BASE_DATA[bc]
+        bcn[bc][0] = bc
+        for d in range(1, 7):
+            p = _norm_ijk((ijk[0] + unit[d][0], ijk[1] + unit[d][1],
+                           ijk[2] + unit[d][2]))
+            n_extra = 0
+            f2, q = f, p
+            if sum(q) > 2:
+                _ov, f2, q = _adjust_overage_class_ii(f, q, 0, False, False)
+                if f2 != f:
+                    n_extra = int(_FN_ROT[f, _ADJ_FACE_DIR[f, f2]])
+            cell = int(_BC_CELL[f2, q[0], q[1], q[2]])
+            if cell < 0:
+                raise AssertionError(f"bad base-cell neighbor {bc} dir {d}")
+            bcn[bc][d] = cell
+            bcr[bc][d] = (n_extra + int(_BC_ROT[f2, q[0], q[1], q[2]])) % 6
+    return bcn, bcr
+
+
+_BCN, _BCR = _derive_base_cell_neighbors()
+
+
+def _neighbor_fast(c: int, dirc: int):
+    """One grid step from a canonical cell in direction ``dirc`` via
+    digit arithmetic. Returns the neighbor id, or None when a pentagon
+    base cell is involved (caller falls back to the probe path)."""
+    res = (c >> 52) & 0xF
+    bc = (c >> 45) & 0x7F
+    if _IS_PENT[bc]:
+        return None
+    digits = [(c >> (3 * (15 - r))) & 7 for r in range(1, res + 1)]
+    d = dirc
+    r = res
+    new_bc = bc
+    rots = 0
+    while r >= 1:
+        nd, na = _DIGIT_TRANS[r % 2 == 0]
+        old = digits[r - 1]
+        digits[r - 1] = int(nd[old][d])
+        adj = int(na[old][d])
+        if adj == 0:
+            break
+        d = adj
+        r -= 1
+    else:  # carried past the base cell: switch base cells
+        new_bc = int(_BCN[bc][d])
+        rots = int(_BCR[bc][d])
+    if _IS_PENT[new_bc]:
+        return None
+    for _ in range(rots):
+        digits = [int(_ROT_CCW[x]) for x in digits]
+    out = (1 << 59) | (res << 52) | (new_bc << 45)
+    for rr in range(res):
+        out |= digits[rr] << (3 * (15 - rr - 1))
+    out |= (1 << (3 * (15 - res))) - 1
+    return out

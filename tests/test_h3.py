@@ -405,3 +405,55 @@ class TestSmallApi:
         # pentagons are the smallest cells (~5/6 of a hexagon)
         pent = h.is_pentagon(u)
         assert areas[pent].max() < areas[~pent].min()
+
+
+class TestFastNeighborWalk:
+    def test_fast_equals_probe_everywhere_it_applies(self):
+        """The digit-space walk must agree with the probe/boundary
+        oracle cell-for-cell — full res-1 enumeration plus random
+        samples at Class II and III resolutions."""
+        rng = np.random.default_rng(3)
+        lng = rng.uniform(-180, 180, 200_000)
+        lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 200_000)))
+        checked = 0
+        for res, nsamp in ((1, None), (2, 120), (5, 120), (8, 120)):
+            u = np.unique(h.latlng_to_cell(lng, lat, res))
+            if nsamp:
+                u = u[rng.choice(len(u), nsamp, replace=False)]
+            for c in u.tolist():
+                fast = [h._neighbor_fast(int(c), d) for d in range(1, 7)]
+                if any(f is None for f in fast):
+                    continue  # pentagon-adjacent: probe path by design
+                # compare against the probe oracle directly (bypass the
+                # fast path inside _neighbors)
+                b = h.cell_to_boundary(int(c))
+                import math as m
+                clon, clat = h.cell_to_latlng(np.array([c]))
+                ctr = np.array(h._geo_to_xyz(
+                    m.radians(float(clat[0])), m.radians(float(clon[0]))))
+                verts = np.array([h._geo_to_xyz(m.radians(la), m.radians(lo))
+                                  for lo, la in b])
+                lons, lats2 = [], []
+                for i in range(len(b)):
+                    mid = verts[i] + verts[(i + 1) % len(b)]
+                    mid /= np.linalg.norm(mid)
+                    pp = mid + 0.15 * (mid - ctr)
+                    pp /= np.linalg.norm(pp)
+                    lats2.append(m.degrees(m.asin(max(-1, min(1, pp[2])))))
+                    lons.append(m.degrees(m.atan2(pp[1], pp[0])))
+                probe = set(h.latlng_to_cell(
+                    np.array(lons), np.clip(np.array(lats2), -90, 90),
+                    res).tolist()) - {int(c)}
+                assert set(fast) == probe, hex(c)
+                checked += 1
+        assert checked > 600  # the fast path really covered the bulk
+
+    def test_polar_cells_have_full_neighbor_sets(self):
+        """Regression: the planar-tangent probe missed a neighbor of
+        near-pole cells (found when the digit walk disagreed). The 3D
+        probe and the fast path agree and give 6 neighbors."""
+        for c in (0x8100fffffffffff, 0x81f2bffffffffff):
+            nbs = h._neighbors(c)
+            assert len(nbs) == 6
+            for nb in nbs:
+                assert c in h._neighbors(nb)
