@@ -785,16 +785,19 @@ def _adjust_overage_class_ii(face, ijk, res, pent_leading4, substrate):
 def _descend_digits(start_ijk, digits):
     """Aperture-7 digit descent from a res-0 position: one `_downAp7`/
     `_downAp7r` (by resolution class) + digit-neighbor step per digit.
-    Pure lattice math, frame = the face the start position lives on."""
+    Pure INT lattice math (the numpy single-element version cost ~30 µs
+    per call — round-5 bulk profile), frame = the start face."""
     i, j, k = start_ijk
     for r, d in enumerate(digits, start=1):
-        rotrev = r % 2 == 0  # Class II at even res
-        ia, ja, ka = _down_ap7_vec(
-            np.array([i]), np.array([j]), np.array([k]), rotrev=rotrev
-        )
-        di, dj, dk = (d >> 2) & 1, (d >> 1) & 1, d & 1
-        ia, ja, ka = _ijk_normalize_vec(ia + di, ja + dj, ka + dk)
-        i, j, k = int(ia[0]), int(ja[0]), int(ka[0])
+        if r % 2 == 0:  # Class II: _downAp7r
+            i, j, k = 3 * i + k, i + 3 * j, j + 3 * k
+        else:  # Class III: _downAp7
+            i, j, k = 3 * i + j, 3 * j + k, i + 3 * k
+        i += (d >> 2) & 1
+        j += (d >> 1) & 1
+        k += d & 1
+        m = min(i, j, k)
+        i, j, k = i - m, j - m, k - m
     return (i, j, k)
 
 
@@ -808,7 +811,7 @@ def _pent_rotate_cw(digits):
     return out
 
 
-def _pent_face_ijk(c, res, bc, digits):
+def _pent_face_ijk(c, res, bc, digits, frames=None):
     """Exact inverse for PENTAGON base-cell descendants under THIS
     repo's fitted digit convention (see `_PENTAGON_FIT`): rather than
     recalling uber/h3's pentLeading4 overage fix — which is pinned to
@@ -823,7 +826,9 @@ def _pent_face_ijk(c, res, bc, digits):
     points of the cell. ≤ 5 faces × 2 digit variants, pentagon base
     cells only (12 of 122)."""
     best = None
-    for _r2, f, pos in _pent_face_positions(c, res, bc, digits):
+    if frames is None:
+        frames = _pent_face_positions(c, res, bc, digits)
+    for _r2, f, pos in frames:
         if best is None or _r2 < best[0]:
             best = (_r2, f, pos)
     if best is None:
@@ -837,11 +842,16 @@ def _pent_face_positions(c, res, bc, digits):
     """All (hex2d_radius², face, ijk) frames in which a pentagon
     descendant's position round-trips — one per member face whose
     sector the cell touches (see `_pent_face_ijk` for the inversion
-    scheme). Boundary construction consumes every valid frame."""
+    scheme). Boundary construction consumes every valid frame.
+    Bulk callers use `_pent_positions_batch` (one classification call
+    for many cells) instead."""
     members = [
         (f, ijk) for (f, ijk), (cid, _r) in _FIJK_TO_CELL.items() if cid == bc
     ]
-    out = []
+    # collect every candidate first, verify with ONE batched
+    # latlng_to_cell call (the per-candidate single-point calls were
+    # ~10× the kernel's cost in bulk workloads — round-5 profile)
+    cand_rows = []  # (f, pos, r2, lon_deg, lat_deg)
     for f, ijk_f in sorted(members):
         m = int(_BC_ROT[f, ijk_f[0], ijk_f[1], ijk_f[2]])
         base = list(digits)
@@ -858,25 +868,28 @@ def _pent_face_positions(c, res, bc, digits):
         pre = [int(table[d]) for d in base]
         if next((d for d in pre if d != 0), 0) == _K:
             cands.append(pre)
-        best_f = None
         for cand in cands:
             pos = _descend_digits(ijk_f, cand)
             x, y = _ijk_to_hex2d(*pos)
             lat, lng = _hex2d_to_geo(f, x, y, res)
-            back = latlng_to_cell(
-                np.array([math.degrees(lng)]), np.array([math.degrees(lat)]),
-                res,
+            cand_rows.append(
+                (f, pos, x * x + y * y,
+                 math.degrees(lng), math.degrees(lat))
             )
-            if int(back[0]) == c:
-                r2 = x * x + y * y
-                if best_f is None or r2 < best_f[0]:
-                    best_f = (r2, f, pos)
-        if best_f is not None:
-            out.append(best_f)
-    return out
+    if not cand_rows:
+        return []
+    back = latlng_to_cell(
+        np.array([r[3] for r in cand_rows]),
+        np.array([r[4] for r in cand_rows]), res,
+    )
+    best = {}
+    for (f, pos, r2, _lo, _la), b in zip(cand_rows, back.tolist()):
+        if int(b) == c and (f not in best or r2 < best[f][0]):
+            best[f] = (r2, f, pos)
+    return list(best.values())
 
 
-def _h3_to_face_ijk(c: int):
+def _h3_to_face_ijk(c: int, _pent_frames=None):
     """h3Index.c `_h3ToFaceIjk` (scalar, exact): cell → canonical
     (face, ijk) at the cell's own resolution. Hexagon base cells use
     the published overage re-anchor with the DERIVED face-neighbor
@@ -887,7 +900,7 @@ def _h3_to_face_ijk(c: int):
     bc = (c >> 45) & 0x7F
     digits = [(c >> (3 * (15 - r))) & 7 for r in range(1, res + 1)]
     if _IS_PENT[bc]:
-        return _pent_face_ijk(c, res, bc, digits)
+        return _pent_face_ijk(c, res, bc, digits, frames=_pent_frames)
     home_face, home_ijk, _ = _BASE_DATA[bc]
     face = home_face
     i, j, k = _descend_digits(home_ijk, digits)
@@ -898,20 +911,20 @@ def _h3_to_face_ijk(c: int):
     adj_res = res
     ijk = orig
     if res % 2 == 1:  # Class III: drop into the finer Class II grid
-        ia, ja, ka = _down_ap7_vec(
-            np.array([ijk[0]]), np.array([ijk[1]]), np.array([ijk[2]]),
-            rotrev=True,
-        )
-        ijk = (int(ia[0]), int(ja[0]), int(ka[0]))
+        i2, j2, k2 = ijk
+        i2, j2, k2 = 3 * i2 + k2, i2 + 3 * j2, j2 + 3 * k2
+        m = min(i2, j2, k2)
+        ijk = (i2 - m, j2 - m, k2 - m)
         adj_res += 1
     ov, face, ijk = _adjust_overage_class_ii(face, ijk, adj_res, False, False)
     if ov != _NO_OVERAGE:
         if adj_res != res:
-            ia, ja, ka = _up_ap7_vec(
-                np.array([ijk[0]]), np.array([ijk[1]]), np.array([ijk[2]]),
-                rotrev=True,
-            )
-            ijk = (int(ia[0]), int(ja[0]), int(ka[0]))
+            i2, j2, k2 = ijk
+            di, dj = i2 - k2, j2 - k2
+            ni = round((2.0 * di + dj) / 7.0)
+            nj = round((3.0 * dj - di) / 7.0)
+            m = min(ni, nj, 0)
+            ijk = (ni - m, nj - m, -m)
     elif adj_res != res:
         ijk = orig
     return face, ijk, res
@@ -965,16 +978,14 @@ _VERT_TABLES = _derive_vert_tables()
 
 def _substrate_center(ijk, res):
     """Cell-grid coords → substrate-grid coords (+ adjusted res)."""
-    center = (3 * ijk[0], 3 * ijk[1], 3 * ijk[2])
+    i, j, k = 3 * ijk[0], 3 * ijk[1], 3 * ijk[2]
     adj_res = res
     if res % 2 == 1:  # Class III: one cw aperture 7 to Class II
-        ia, ja, ka = _down_ap7_vec(
-            np.array([center[0]]), np.array([center[1]]),
-            np.array([center[2]]), rotrev=True,
-        )
-        center = (int(ia[0]), int(ja[0]), int(ka[0]))
+        i, j, k = 3 * i + k, i + 3 * j, j + 3 * k
+        m = min(i, j, k)
+        i, j, k = i - m, j - m, k - m
         adj_res += 1
-    return center, adj_res
+    return (i, j, k), adj_res
 
 
 def _seg_intersect(p0, p1, q0, q1):
@@ -1073,7 +1084,7 @@ def _change_frame(coords, from_face, to_face, unit_scale):
     )
 
 
-def _cell_boundary_pent(c, res, bc, digits):
+def _cell_boundary_pent(c, res, bc, digits, frames=None):
     """Pentagon cell boundary: per member face, the cell center
     descends in that face's frame (`_pent_face_positions`); the
     substrate vertices that do NOT overage out of the face are exact
@@ -1084,7 +1095,8 @@ def _cell_boundary_pent(c, res, bc, digits):
     frame via the faceNeighbors change-of-basis) with that face's
     triangle edge."""
     class3 = res % 2 == 1
-    frames = _pent_face_positions(c, res, bc, digits)
+    if frames is None:
+        frames = _pent_face_positions(c, res, bc, digits)
     vt = _VERT_TABLES[class3]
     raw = []  # (face, substrate coords, lon, lat)
     adj_res = None
@@ -1104,9 +1116,12 @@ def _cell_boundary_pent(c, res, bc, digits):
             lat, lng = _hex2d_to_geo(f, x, y, adj_res, substrate=True)
             raw.append((f, coord2, math.degrees(lng), math.degrees(lat)))
     # dedup physically-identical vertices seen from two frames (points
-    # on icosa edges agree exactly between the two projections)
-    clon, clat = cell_to_latlng(np.array([c]))
-    clon, clat = float(clon[0]), float(clat[0])
+    # on icosa edges agree exactly between the two projections);
+    # center from the min-radius frame directly (no re-solve)
+    _r2b, fb, posb = min(frames)
+    xb, yb = _ijk_to_hex2d(*posb)
+    latb, lngb = _hex2d_to_geo(fb, xb, yb, res)
+    clon, clat = math.degrees(lngb), math.degrees(latb)
     seen = {}
     for f, coord, lon, lat in raw:
         key = (round(lon, 7), round(lat, 7))
@@ -1155,7 +1170,7 @@ def _cell_boundary_pent(c, res, bc, digits):
     return out
 
 
-def cell_to_boundary(c: int) -> np.ndarray:
+def cell_to_boundary(c: int, _pent_frames=None) -> np.ndarray:
     """Cell → boundary vertices as an (n, 2) array of (lon°, lat°) in
     ccw order. Hexagon cells: 6 vertices plus one icosa-edge-crossing
     vertex per Class III edge that changes projection face (the
@@ -1169,8 +1184,10 @@ def cell_to_boundary(c: int) -> np.ndarray:
     if _IS_PENT[bc] and all(d == 0 for d in digits):
         # an actual pentagon CELL (the all-zero digit path under a
         # pentagon base cell); other descendants are ordinary hexagons
-        return np.array(_cell_boundary_pent(c, res, bc, digits))
-    face, ijk, _ = _h3_to_face_ijk(c)
+        return np.array(
+            _cell_boundary_pent(c, res, bc, digits, frames=_pent_frames)
+        )
+    face, ijk, _ = _h3_to_face_ijk(c, _pent_frames=_pent_frames)
     return np.array(_cell_boundary_hex(c, face, ijk, res))
 
 
@@ -1248,23 +1265,52 @@ def grid_disk(c: int, k: int) -> "dict[int, int]":
 
 
 def grid_disk_batch(cids, k: int):
-    """Vector-friendly disk: for an int64 array of cells, return
+    """Bulk disk: for an int64 array of cells, return
     (origin_idx, cell, ring) arrays — the Spark-side kernel for
-    ring-expansion joins on H3-spec ids. Neighbor probes are batched
-    per BFS ring: ONE `latlng_to_cell` call per ring over all frontier
-    edge-midpoint probes (the boundary walk stays per-cell Python;
-    cost is bounded by the disk size, not the batch size)."""
+    ring-expansion joins on H3-spec ids. BFS is ring-synchronized
+    across the WHOLE batch over `_neighbors_bulk`: each ring is a few
+    masked numpy passes for the hexagon-base-cell bulk (plus one
+    batched probe classification for pentagon-adjacent rows), so cost
+    scales with total disk area, not with Python calls per cell."""
     cids = np.asarray(cids, dtype=np.int64)
-    oidx, cell, ring = [], [], []
-    for i, c in enumerate(cids.tolist()):
-        for cc, rr in grid_disk(int(c), k).items():
-            oidx.append(i)
-            cell.append(cc)
-            ring.append(rr)
+    n = len(cids)
+    if n == 0:
+        return (np.empty(0, np.int64),) * 3
+    # seen (origin, cell) pairs; frontier per ring
+    all_o = [np.arange(n, dtype=np.int64)]
+    all_c = [cids.copy()]
+    all_r = [np.zeros(n, dtype=np.int64)]
+    seen = set(zip(range(n), cids.tolist()))
+    front_o = np.arange(n, dtype=np.int64)
+    front_c = cids.copy()
+    for ring in range(1, k + 1):
+        # expand the unique frontier CELLS once, then map back to
+        # (origin, cell) pairs — different origins often share cells
+        uniq, inv = np.unique(front_c, return_inverse=True)
+        ui, un = _neighbors_bulk(uniq)
+        # neighbors per unique cell
+        per_cell: dict = {}
+        for a, b in zip(ui.tolist(), un.tolist()):
+            per_cell.setdefault(a, []).append(b)
+        next_o, next_c = [], []
+        for fo, ci in zip(front_o.tolist(), inv.tolist()):
+            for nb in per_cell.get(ci, ()):
+                kpair = (fo, nb)
+                if kpair not in seen:
+                    seen.add(kpair)
+                    next_o.append(fo)
+                    next_c.append(nb)
+        if not next_o:
+            break
+        front_o = np.array(next_o, dtype=np.int64)
+        front_c = np.array(next_c, dtype=np.int64)
+        all_o.append(front_o)
+        all_c.append(front_c)
+        all_r.append(np.full(len(front_o), ring, dtype=np.int64))
     return (
-        np.array(oidx, dtype=np.int64),
-        np.array(cell, dtype=np.int64),
-        np.array(ring, dtype=np.int64),
+        np.concatenate(all_o),
+        np.concatenate(all_c),
+        np.concatenate(all_r),
     )
 
 
@@ -1465,4 +1511,185 @@ def _neighbor_fast(c: int, dirc: int):
     for rr in range(res):
         out |= digits[rr] << (3 * (15 - rr - 1))
     out |= (1 << (3 * (15 - res))) - 1
+    return out
+
+
+def _neighbors_bulk(cells: np.ndarray):
+    """Vectorized `_neighbor_fast` over an int64 cell array: returns
+    (origin_index, neighbor_cell) arrays covering every neighbor of
+    every input cell. Hexagon-base-cell rows whose six steps stay
+    clear of pentagon base cells run as ~15 masked numpy passes per
+    direction regardless of batch size; the remaining rows (pentagon
+    descendants and their immediate outside neighbors — ~12/122 of the
+    id space) take the probe path with its `latlng_to_cell` probes
+    BATCHED into one call (the per-cell boundary walk remains Python,
+    ~150 µs/cell). This is the bulk kernel behind `grid_disk_batch`."""
+    cells = np.asarray(cells, dtype=np.int64)
+    n = len(cells)
+    res = (cells >> np.int64(52)) & np.int64(0xF)
+    bc = (cells >> np.int64(45)) & np.int64(0x7F)
+    slow = _IS_PENT[bc].copy()
+    digits0 = np.stack(
+        [(cells >> np.int64(3 * (15 - r))) & np.int64(7)
+         for r in range(1, 16)], axis=1
+    )
+    nd_iii, na_iii = _DIGIT_TRANS[False]
+    nd_ii, na_ii = _DIGIT_TRANS[True]
+    rot_ext = np.concatenate([_ROT_CCW, [7]])
+    idx = np.nonzero(~slow)[0]
+    fast_results = []  # (idx array, ids array, pent_tgt mask) per dir
+    for dirc in range(1, 7):
+        digits = digits0[idx].copy()
+        d = np.full(len(idx), dirc, dtype=np.int64)
+        r = res[idx].copy()
+        new_bc = bc[idx].copy()
+        rots = np.zeros(len(idx), dtype=np.int64)
+        active = r >= 1
+        while active.any():
+            rows = np.nonzero(active)[0]
+            rr = r[rows]
+            cls2 = (rr % 2) == 0
+            old = digits[rows, rr - 1]
+            nd_val = np.where(cls2, nd_ii[old, d[rows]], nd_iii[old, d[rows]])
+            adj = np.where(cls2, na_ii[old, d[rows]], na_iii[old, d[rows]])
+            digits[rows, rr - 1] = nd_val
+            done = adj == 0
+            active[rows[done]] = False
+            cont = rows[~done]
+            d[cont] = adj[~done]
+            r[cont] -= 1
+            exited = cont[r[cont] < 1]
+            if len(exited):
+                new_bc[exited] = _BCN[bc[idx][exited], d[exited]]
+                rots[exited] = _BCR[bc[idx][exited], d[exited]]
+                active[exited] = False
+        for t in range(1, 6):
+            m = rots >= t
+            if m.any():
+                digits[m] = rot_ext[digits[m]]
+        ids = (
+            np.int64(1 << 59) | (res[idx] << np.int64(52))
+            | (new_bc << np.int64(45))
+        )
+        for rr2 in range(15):
+            ids = ids | (digits[:, rr2] << np.int64(3 * (15 - rr2 - 1)))
+        pent_tgt = _IS_PENT[new_bc]
+        slow[idx[pent_tgt]] = True  # route those ORIGINS to probes
+        fast_results.append((idx, ids))
+    out_idx = []
+    out_nbr = []
+    keep = ~slow[idx]  # rows that stayed pentagon-free in ALL dirs
+    for idx_d, ids_d in fast_results:
+        out_idx.append(idx_d[keep])
+        out_nbr.append(ids_d[keep])
+    # probe path for the slow rows, latlng probes batched across cells
+    slow_rows = np.nonzero(slow)[0]
+    if len(slow_rows):
+        pent_cells = [int(cells[i]) for i in slow_rows.tolist()
+                      if _IS_PENT[(int(cells[i]) >> 45) & 0x7F]]
+        frames_by_cell = _pent_positions_batch(pent_cells)
+        probe_lon, probe_lat, probe_origin = [], [], []
+        for i in slow_rows.tolist():
+            c = int(cells[i])
+            frames = frames_by_cell.get(c)
+            face, ijk, rr = _h3_to_face_ijk(c, _pent_frames=frames)
+            b = cell_to_boundary(c, _pent_frames=frames)
+            x, y = _ijk_to_hex2d(*ijk)
+            lat0, lng0 = _hex2d_to_geo(face, x, y, rr)
+            ctr = np.array(_geo_to_xyz(lat0, lng0))
+            verts = np.array([
+                _geo_to_xyz(math.radians(la), math.radians(lo))
+                for lo, la in b
+            ])
+            for vi in range(len(b)):
+                mid = verts[vi] + verts[(vi + 1) % len(b)]
+                mid /= np.linalg.norm(mid)
+                pp = mid + 0.15 * (mid - ctr)
+                pp /= np.linalg.norm(pp)
+                probe_lat.append(
+                    math.degrees(math.asin(max(-1.0, min(1.0, pp[2]))))
+                )
+                probe_lon.append(math.degrees(math.atan2(pp[1], pp[0])))
+                probe_origin.append(i)
+        porig = np.array(probe_origin, dtype=np.int64)
+        pcell = latlng_to_cell(
+            np.array(probe_lon), np.clip(np.array(probe_lat), -90, 90),
+            int(res[slow_rows[0]]),
+        ) if (res[slow_rows] == res[slow_rows[0]]).all() else np.concatenate([
+            latlng_to_cell(
+                np.array(probe_lon)[porig == i],
+                np.clip(np.array(probe_lat)[porig == i], -90, 90),
+                int(res[i]),
+            ) for i in slow_rows.tolist()
+        ])
+        # drop self-hits and dedup (origin, cell) pairs — small arrays
+        m = pcell != cells[porig]
+        porig, pcell = porig[m], pcell[m]
+        order = np.lexsort((pcell, porig))
+        porig, pcell = porig[order], pcell[order]
+        first = np.ones(len(porig), dtype=bool)
+        first[1:] = (porig[1:] != porig[:-1]) | (pcell[1:] != pcell[:-1])
+        out_idx.append(porig[first])
+        out_nbr.append(pcell[first])
+    oi = np.concatenate(out_idx) if out_idx else np.empty(0, np.int64)
+    on = np.concatenate(out_nbr) if out_nbr else np.empty(0, np.int64)
+    return oi, on
+
+
+def _pent_positions_batch(cell_list):
+    """`_pent_face_positions` for MANY pentagon-base-cell ids at once:
+    all candidate descents are generated lattice-side, verified with a
+    single `latlng_to_cell` call (per-cell single-point calls carry
+    ~100 µs of vectorized-kernel overhead each — the round-5 bulk
+    profile), and grouped back per cell."""
+    rows = []  # (cell, f, pos, r2, lon, lat)
+    metas = []
+    for c in cell_list:
+        c = int(c)
+        res = (c >> 52) & 0xF
+        bc = (c >> 45) & 0x7F
+        digits = [(c >> (3 * (15 - r))) & 7 for r in range(1, res + 1)]
+        members = [
+            (f, ijk) for (f, ijk), (cid, _r) in _FIJK_TO_CELL.items()
+            if cid == bc
+        ]
+        for f, ijk_f in sorted(members):
+            m = int(_BC_ROT[f, ijk_f[0], ijk_f[1], ijk_f[2]])
+            base = list(digits)
+            for _ in range(m):
+                base = _pent_rotate_cw(base)
+            cands = []
+            if next((d for d in base if d != 0), 0) != _K:
+                cands.append(base)
+            is_cw = f in _CW_OFFSET[bc]
+            table = _ROT_CCW if is_cw else _ROT_CW
+            pre = [int(table[d]) for d in base]
+            if next((d for d in pre if d != 0), 0) == _K:
+                cands.append(pre)
+            for cand in cands:
+                pos = _descend_digits(ijk_f, cand)
+                x, y = _ijk_to_hex2d(*pos)
+                lat, lng = _hex2d_to_geo(f, x, y, res)
+                rows.append((c, f, pos, x * x + y * y,
+                             math.degrees(lng), math.degrees(lat)))
+                metas.append(res)
+    out: dict = {int(c): [] for c in cell_list}
+    if not rows:
+        return out
+    # group the one batched verification by res (mixed-res safe)
+    lons = np.array([r[4] for r in rows])
+    lats = np.array([r[5] for r in rows])
+    ress = np.array(metas)
+    back = np.empty(len(rows), dtype=np.int64)
+    for rv in np.unique(ress):
+        m = ress == rv
+        back[m] = latlng_to_cell(lons[m], lats[m], int(rv))
+    for (c, f, pos, r2, _lo, _la), b in zip(rows, back.tolist()):
+        if int(b) == c:
+            cur = out[c]
+            repl = next((i for i, e in enumerate(cur) if e[1] == f), None)
+            if repl is None:
+                cur.append((r2, f, pos))
+            elif r2 < cur[repl][0]:
+                cur[repl] = (r2, f, pos)
     return out

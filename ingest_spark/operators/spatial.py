@@ -623,14 +623,15 @@ def knn_join_h3(
 
     @F.pandas_udf(ArrayType(LongType()))
     def _disk(cell: pd.Series) -> pd.Series:
-        memo: dict = {}
-        out = []
-        for c in cell:
-            c = int(c)
-            if c not in memo:
-                memo[c] = list(h3core.grid_disk(c, seed_ring).keys())
-            out.append(memo[c])
-        return pd.Series(out)
+        # bulk ring-synchronized BFS over the whole Arrow batch's
+        # DISTINCT cells (h3core.grid_disk_batch): numpy digit-walk
+        # passes per ring, not per-cell Python
+        uniq = np.unique(cell.to_numpy().astype(np.int64))
+        oi, oc, _orr = h3core.grid_disk_batch(uniq, seed_ring)
+        per: dict = {int(uniq[i]): [] for i in range(len(uniq))}
+        for i, c2 in zip(oi.tolist(), oc.tolist()):
+            per[int(uniq[i])].append(c2)
+        return pd.Series([per[int(c)] for c in cell])
 
     exp1 = qs.withColumn("_cells", _disk("_qcell")).select(
         "_qid", "_qx", "_qy", F.explode("_cells").alias("_pcell")
