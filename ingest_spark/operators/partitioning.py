@@ -21,6 +21,10 @@ def spread_for_kernel(df: DataFrame, target: int | None = None) -> DataFrame:
     """Round-robin repartition up to the session's default parallelism
     when the input has FEWER partitions; never shrinks, never touches
     inputs that are already parallel (no extra shuffle at scale)."""
+    if df.isStreaming:
+        # streaming plans have no static partition count (and .rdd
+        # would throw); micro-batches inherit source parallelism
+        return df
     if target is None:
         target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

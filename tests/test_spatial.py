@@ -326,6 +326,25 @@ class TestKnnH3:
         assert h3r == bf
         assert pl == bf
 
+    def test_h3_edge_cases(self, spark):
+        """k > |points| (brute fallback, fewer than k rows) and an
+        empty query set (schema-stable empty frame)."""
+        from ingest_spark.operators.spatial import knn_brute_force, knn_join_h3
+        pts = spark.createDataFrame(
+            [(1, 0.0, 0.0), (2, 1.0, 1.0), (3, 5.0, 5.0)],
+            "id long, lon double, lat double",
+        )
+        qs = spark.createDataFrame(
+            [(10, 0.5, 0.5)], "qid long, lon double, lat double"
+        )
+        got = self._key(knn_join_h3(pts, qs, k=5, res=3).collect())
+        want = self._key(knn_brute_force(pts, qs, k=5).collect())
+        assert sorted(got) == sorted(want) and len(got) == 3
+        qe = spark.createDataFrame([], "qid long, lon double, lat double")
+        oe = knn_join_h3(pts, qe, k=2, res=3)
+        assert oe.count() == 0
+        assert set(oe.columns) == {"qid", "id", "dist", "rank"}
+
     def test_clustered_parity_and_fallbacks(self, spark):
         """Clustered layout exercises the pass-2 cover path (dense
         cluster ⇒ small kth radius) AND the brute fallback (sparse
