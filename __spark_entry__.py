@@ -1192,18 +1192,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     dlon = (b[:, 0] - lon0 + 180.0) % 360.0 - 180.0
                     clon = (lon0 + float(np.mean(dlon)) + 180.0) % 360.0 - 180.0
                     clat = float(np.mean(b[:, 1]))
+                    # resolution read off the cell id itself, so the
+                    # round-trip can never drift from the parent bit
+                    # math below (round-5 ADVICE low)
                     back = h3core.latlng_to_cell(
-                        np.array([clon]), np.array([clat]), 5
+                        np.array([clon]), np.array([clat]),
+                        h3core.get_resolution(c)
                     )
                     memo[c] = bool(int(back[0]) == c) and len(b) >= 5
                 out.append(memo[c])
             return pd.Series(out)
 
+        res = 5  # single source for the parent rollup resolution
         cells = with_cells(_points(spark, sf), lon_col="lon", lat_col="lat")
         parent = (
             F.col("hex_cell").bitwiseAND(F.lit(~(0xF << 52)))
-            .bitwiseOR(F.lit(5 << 52))
-            .bitwiseOR(F.lit((1 << (3 * (15 - 5))) - 1))
+            .bitwiseOR(F.lit(res << 52))
+            .bitwiseOR(F.lit((1 << (3 * (15 - res))) - 1))
         )
         return (
             cells.groupBy(parent.alias("h3_res5"))

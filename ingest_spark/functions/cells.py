@@ -400,9 +400,23 @@ def h3_cover_size(x0: float, y0: float, x1: float, y1: float, res: int = 8) -> i
 def _poly_intersects_bbox(verts, x0, y0, x1, y1) -> bool:
     """Convex-ish polygon (lon, lat vertex list) vs axis-aligned bbox
     intersection: any vertex in the box, any box corner in the polygon
-    (even-odd ray cast), or any edge pair crossing."""
-    xs = verts[:, 0]
+    (even-odd ray cast), or any edge pair crossing.
+
+    Boundary lons are unwrapped relative to the bbox center first: a
+    cell straddling the antimeridian yields raw lons jumping ~360°,
+    which planar tests read as a garbage polygon (round-5 ADVICE). A
+    pole-containing cell (lon span ≥ 180° even after unwrap — its
+    boundary winds around the pole) is handled by the latitude test
+    alone: such a cell covers every longitude poleward of its boundary
+    ring, so it intersects iff the bbox reaches its latitude band."""
     ys = verts[:, 1]
+    cx = (x0 + x1) / 2.0
+    xs = (verts[:, 0] - cx + 180.0) % 360.0 + cx - 180.0
+    if xs.max() - xs.min() >= 180.0:
+        # winds around a pole: covers all lons poleward of the ring
+        if ys.mean() > 0:
+            return y1 >= ys.min()
+        return y0 <= ys.max()
     if ((xs >= x0) & (xs <= x1) & (ys >= y0) & (ys <= y1)).any():
         return True
     # box corner inside polygon (even-odd rule)

@@ -619,7 +619,20 @@ def _simhash_value_pairs(
         .withColumn("hamming", hamming)
         .withColumn("is_star", F.lit(True))
     )
-    return exact.unionByName(star).dropDuplicates(["sh_a", "sh_b"])
+    # A pair can surface in BOTH tiers: hamming ≤ d guarantees ≥ 1
+    # identical block, which may be a cold one (exact-tier row) even
+    # when another block's near-clique routed the same pair through
+    # tier 3 (star row). dropDuplicates would keep an arbitrary one of
+    # the two, making is_star nondeterministic for such pairs (round-5
+    # ADVICE medium). Resolve deterministically: min(is_star) prefers
+    # the exact tier (False < True), and hamming is a pure function of
+    # (sh_a, sh_b) so min() is just a tie-keep.
+    return (
+        exact.unionByName(star)
+        .groupBy("sh_a", "sh_b")
+        .agg(F.min("hamming").alias("hamming"),
+             F.min("is_star").alias("is_star"))
+    )
 
 
 def simhash_pairs(
