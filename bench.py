@@ -68,14 +68,16 @@ def main() -> None:
     extra: dict = {}
     n_discarded = 0
 
-    def timed(name, fn):
+    def timed(name, fn, runs_override=None):
         nonlocal n_discarded
         box = {}
 
         def run():
             box["v"] = fn()
 
-        med, log = timed_median(run, runs=runs, steal_gate=steal_gate)
+        med, log = timed_median(
+            run, runs=runs_override or runs, steal_gate=steal_gate
+        )
         n_discarded += sum(1 for r in log if r.get("discarded"))
         timings[name] = round(med, 3)
         return box["v"]
@@ -112,7 +114,10 @@ def main() -> None:
         feats.write.mode("overwrite").parquet(f"{tmp}_features")
         return spark.read.parquet(f"{tmp}_features")
 
-    features = timed("geo_ingest", _ingest)
+    # extra runs: the first execution pays whole-pipeline codegen +
+    # Python-worker warmup (~2× the steady state), which a 3-run
+    # median cannot fully absorb
+    features = timed("geo_ingest", _ingest, runs_override=runs + 2)
     n_features = features.count()
     extra["features_per_sec"] = round(n_features / timings["geo_ingest"], 1)
 
@@ -127,14 +132,36 @@ def main() -> None:
     extra["n_features"] = n_features
     extra["n_buckets"] = n_buckets
 
-    # ---- operator suite from the driver contract
+    # ---- operator suite from the driver contract. Queries that have
+    # shown BIMODAL medians across driver epochs (minhash_lsh was the
+    # round-4/5 watch item) get extra runs so one hot sample cannot own
+    # the median.
+    bimodal = {"minhash_lsh", "ngram_jaccard", "knn_ring_expansion"}
     q = entry_mod.queries()
     for name in [
         "pip_polygon_join", "knn_ring_expansion", "tile_xyz",
         "minhash_lsh", "ngram_jaccard", "ann_topk", "ann_lsh_topk",
         "dup_components", "tpch_q1", "tpch_q5ish", "event_windows",
     ]:
-        timed(name, lambda n=name: q[n](spark, sf_dir).count())
+        timed(name, lambda n=name: q[n](spark, sf_dir).count(),
+              runs_override=(runs + 2) if name in bimodal else None)
+
+    # ---- sub-stage isolation: the MinHash SKETCH stage alone (the
+    # target of the spread_for_kernel fix — a one-file small-SF scan
+    # otherwise serializes the Arrow kernel on one core). Recorded as
+    # an extra, not part of the suite total, so the fix stays visible
+    # even when a hot host epoch inflates the end-to-end query.
+    from ingest_spark.operators.dedup import with_minhash
+
+    docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def _sketch_only():
+        with_minhash(docs_df).write.format("noop").mode("overwrite").save()
+
+    timed("minhash_sketch_stage", _sketch_only, runs_override=runs + 2)
+    extra["minhash_sketch_stage_sec"] = timings.pop("minhash_sketch_stage")
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -45,13 +45,16 @@ def type_table(spark: SparkSession) -> DataFrame:
 
 
 def _first_priority_key(tags_col: Column) -> Column:
-    return F.coalesce(
-        *[
-            F.when(tags_col.getItem(k).isNotNull(), F.lit(k))
-            for k in tg.PRIORITY_KEYS
-        ],
-        F.lit(None).cast("string"),
+    # built as ONE SQL string, not 27 chained when()/getItem() Column
+    # objects: each Column op is a py4j round-trip, and this expression
+    # is constructed for every etype — the Column version alone cost
+    # ~0.45 s of driver time per pipeline build (round-6 profile)
+    name = tags_col._jc.toString()
+    cases = " ".join(
+        f"WHEN {name}['{k}'] IS NOT NULL THEN '{k}'"
+        for k in tg.PRIORITY_KEYS
     )
+    return F.expr(f"CASE {cases} END")
 
 
 def with_feature_type(df: DataFrame, spark: SparkSession) -> DataFrame:
@@ -351,7 +354,12 @@ def node_features(nodes: DataFrame, spark: SparkSession) -> DataFrame:
     drop place.other + errors → Scalar geometry (minx==maxx)."""
     x = F.col("lon").cast("float")
     y = F.col("lat").cast("float")
-    df = _kv_cols(nodes).withColumn(
+    # the node branch feeds the encode kernel straight off the store
+    # scan — at small SF that is < cores partitions (bytes-based
+    # splits), which both under-parallelizes and skews the Python
+    # stage; no-op at scale (round-6: stage ran 25 tasks on 32 cores)
+    from .partitioning import spread_for_kernel
+    df = _kv_cols(spread_for_kernel(nodes)).withColumn(
         "_fe", _encode_point_udf("id", "lon", "lat", "_k", "_v", "_nm")
     )
     return (
@@ -437,16 +445,31 @@ def build_features(
 ) -> DataFrame:
     """Union of the three producer pipelines (the single-sink analog,
     reference src/lib.rs:92-119); F8 skip switches mirror
-    --no-ingest-node/way/relation (src/lib.rs:38-40)."""
-    parts = []
+    --no-ingest-node/way/relation (src/lib.rs:38-40).
+
+    The three branches are PLANNED on concurrent threads: PySpark
+    analyzes eagerly per transformation, so each branch pays a chain
+    of JVM analysis round-trips — independent branches overlap them
+    (SparkSession plan construction is thread-safe; round-6 profile:
+    branch planning was ~1 s of driver wall per pipeline build, the
+    dominant cost of small-SF ingest after round 5's withColumns
+    consolidation)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    builders = []
     if ingest_nodes:
-        parts.append(node_features(nodes, spark))
+        builders.append(lambda: node_features(nodes, spark))
     if ingest_ways:
-        parts.append(way_features(ways, nodes, spark))
+        builders.append(lambda: way_features(ways, nodes, spark))
     if ingest_relations:
-        parts.append(relation_features(relations, ways, nodes, spark))
-    if not parts:
+        builders.append(lambda: relation_features(relations, ways, nodes, spark))
+    if not builders:
         raise ValueError("all element kinds disabled")
+    if len(builders) == 1:
+        parts = [builders[0]()]
+    else:
+        with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+            parts = list(pool.map(lambda b: b(), builders))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
