@@ -11,6 +11,16 @@ pairs) and reproduces the published cell counts.
 
 Usage: python3 jobs/h3_pentagon_fit.py   (~20-40 min, pure numpy)
 Prints one line per pentagon; compare against h3core._PENTAGON_FIT.
+
+Canonical-interop status of the fitted frames: the unique-winner fit
+pins each pentagon frame RELATIVE to its member faces; the round-6
+structural argument (jobs/h3_ambiguity_audit.py) shows the frames are
+pinned ABSOLUTELY as well — the deleted K axis is observable structure
+(no rotate60 power fixes K), so a frame rotated against canonical
+uber/h3 would emit ids canonical H3 rejects, not relabeled ones. The
+per-base-cell relabeling ambiguity therefore remains only on the 109
+hexagon base cells without embedded public vectors; see the audit for
+the exact enumeration.
 """
 import json
 import math

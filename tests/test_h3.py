@@ -533,3 +533,34 @@ class TestBulkWalkRound6:
         ui, un = h._neighbors_bulk(mix)
         for i, c in enumerate(mix.tolist()):
             assert set(un[ui == i].tolist()) == set(h._neighbors(int(c)))
+
+
+class TestCanonicalPinning:
+    """Round-6: the structural half of jobs/h3_ambiguity_audit.py —
+    pentagon frames are pinned to canonical H3 by the deleted-K
+    structure (fast subset; the job runs the full res-3 enumeration)."""
+
+    def test_rotate60_never_fixes_k(self):
+        rot = h._ROT_CCW
+        d = 1
+        cycle = []
+        for _ in range(6):
+            cycle.append(d)
+            d = int(rot[d])
+        assert sorted(cycle) == [1, 2, 3, 4, 5, 6] and d == 1
+
+    def test_no_leading_k_pentagon_ids(self):
+        for res in (1, 2):
+            lon = np.linspace(-180.0, 179.75, 800)
+            lat = np.linspace(-89.8, 89.8, 400)
+            glon, glat = np.meshgrid(lon, lat)
+            cells = np.unique(h.latlng_to_cell(glon.ravel(), glat.ravel(), res))
+            bc = (cells >> np.int64(45)) & np.int64(0x7F)
+            pc = cells[h._IS_PENT[bc]]
+            digits = np.stack(
+                [(pc >> np.int64(3 * (15 - r))) & np.int64(7)
+                 for r in range(1, res + 1)], axis=1
+            )
+            nz = digits != 0
+            lead = digits[np.arange(len(pc)), np.argmax(nz, axis=1)]
+            assert int(((lead == 1) & nz.any(axis=1)).sum()) == 0
