@@ -502,3 +502,64 @@ class TestAsofJoin:
         )
         want = {(r.lid, r.rid) for r in naive.collect()}
         assert got == want
+
+
+class TestKnnFallbackVisibility:
+    """Round-6: the brute-fallback rate is surfaced (stats_out + named
+    observe) so a skewed dataset cannot silently degrade the H3 path
+    to broadcast brute force at scale."""
+
+    def test_uniform_data_fallback_rate_zero(self, spark):
+        # density matched to the resolution: a res-3 seed disk (7
+        # cells, ~10 deg²) holds ~30 of these points, so pass 1 always
+        # finds k candidates and nothing routes to brute
+        from ingest_spark.operators.spatial import knn_join_h3
+        rng = np.random.default_rng(17)
+        lon = rng.uniform(-15, 15, 3000)
+        lat = rng.uniform(-15, 15, 3000)
+        pts = spark.createDataFrame(
+            [(int(i), float(a), float(b)) for i, (a, b) in
+             enumerate(zip(lon, lat))],
+            "id long, lon double, lat double",
+        ).coalesce(8)
+        qs = pts.where(F.col("id") % 100 == 0).select(
+            F.col("id").alias("qid"), "lon", "lat"
+        )
+        stats: dict = {}
+        out = knn_join_h3(pts, qs, k=5, res=3, stats_out=stats)
+        assert out.count() == qs.count() * 5
+        assert stats["n_queries"] == qs.count()
+        assert stats["n_brute"] == 0, stats
+        assert stats["n_pass2"] == stats["n_queries"]
+
+    def test_underfilled_queries_counted_as_brute(self, spark):
+        from ingest_spark.operators.spatial import knn_join_h3
+        pts = spark.createDataFrame(
+            [(1, 0.0, 0.0), (2, 1.0, 1.0), (3, 2.0, 0.5)],
+            "id long, lon double, lat double",
+        )
+        qs = spark.createDataFrame(
+            [(10, 0.5, 0.5)], "qid long, lon double, lat double"
+        )
+        stats: dict = {}
+        out = knn_join_h3(pts, qs, k=5, res=3, stats_out=stats)
+        assert out.count() == 3  # fewer than k points exist
+        assert stats["n_brute"] == 1 and stats["n_pass2"] == 0
+
+    def test_planar_stats_out(self, spark):
+        from ingest_spark.operators.spatial import knn_join
+        rng = np.random.default_rng(3)
+        lon = rng.uniform(-10, 10, 1000)
+        lat = rng.uniform(-10, 10, 1000)
+        pts = spark.createDataFrame(
+            [(int(i), float(a), float(b)) for i, (a, b) in
+             enumerate(zip(lon, lat))],
+            "id long, lon double, lat double",
+        )
+        qs = pts.where(F.col("id") % 200 == 0).select(
+            F.col("id").alias("qid"), "lon", "lat"
+        )
+        stats: dict = {}
+        knn_join(pts, qs, k=3, res=3, stats_out=stats).count()
+        assert stats["n_queries"] == qs.count()
+        assert stats["n_brute"] == 0
