@@ -1738,16 +1738,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the tail so the 13 entries that have never had a driver row —
     # including the two flagship reference-fidelity queries
     # georender_features / georender_changeset — sit inside the window.
+    # round-6 ROTATION: the 16 rows tailed in round 5 come back inside
+    # the 50-entry window (fresh driver rows this round) and 16
+    # r5-driver-green stable rows rotate out; the union of consecutive
+    # rounds covers all 66 (tests/test_counts.py asserts the tails are
+    # disjoint round-over-round, and that the georender flagships and
+    # the current round's touched queries stay inside).
     tail = [
-        "s5_projected_scan", "a7_distinct", "o5_sorted_topk",
-        "sample_det", "sample_per_group", "sample_stratified",
-        "token_counts", "text_quality", "lang_id",
-        "fingerprint_md5", "fingerprint_rolling",
-        "dedup_exact", "cells_hex_s2",
-        # round-5 additions (knn_h3_rings, h3_boundary_check,
-        # multimodal_video_decode) push three more long-green rows out
-        # of the 50-entry driver window
-        "f1_tag_classify", "j2_hash_join", "j6_two_hop",
+        "s1_scan_stats", "f2_filter_drop", "j4_order_preserving",
+        "j_anti_join", "a1_bbox_agg", "a6_rolling_rate",
+        "o3_grid_assign", "salt_hot_cells", "interval_join",
+        "tpch_q1", "tpch_q3_topk", "window_running_sum",
+        "set_ops", "rollup_agg", "having_filter", "pivot_case",
     ]
     assert all(t in q for t in tail)
     ordered = {k: v for k, v in q.items() if k not in tail}

@@ -62,3 +62,31 @@ def test_driver_window_covers_flagship_queries():
     first50 = list(q)[:50]
     for name in ("georender_features", "georender_changeset"):
         assert name in first50, f"{name} fell outside the driver window"
+
+
+# the tail (rows outside the driver window) of the PREVIOUS round —
+# update this constant when rotating; the disjointness assertion below
+# then guarantees every query gets a driver row at least once per two
+# consecutive rounds (round-5 VERDICT item 6)
+PREVIOUS_ROUND_TAIL = {
+    "s5_projected_scan", "a7_distinct", "o5_sorted_topk",
+    "sample_det", "sample_per_group", "sample_stratified",
+    "token_counts", "text_quality", "lang_id",
+    "fingerprint_md5", "fingerprint_rolling",
+    "dedup_exact", "cells_hex_s2",
+    "f1_tag_classify", "j2_hash_join", "j6_two_hop",
+}
+
+
+def test_window_rotation_covers_every_query_each_two_rounds():
+    q, _ = _queries()
+    names = list(q)
+    current_tail = set(names[50:])
+    assert current_tail.isdisjoint(PREVIOUS_ROUND_TAIL), (
+        "a query sat outside the driver window two rounds running: "
+        f"{sorted(current_tail & PREVIOUS_ROUND_TAIL)}"
+    )
+    # the union of the two consecutive windows is the full contract
+    prev_window = set(names) - PREVIOUS_ROUND_TAIL
+    curr_window = set(names) - current_tail
+    assert prev_window | curr_window == set(names)
