@@ -160,7 +160,7 @@ def main() -> None:
     def _sketch_only():
         with_minhash(docs_df).write.format("noop").mode("overwrite").save()
 
-    timed("minhash_sketch_stage", _sketch_only, runs_override=runs + 2)
+    timed("minhash_sketch_stage", _sketch_only, runs_override=runs + 4)
     extra["minhash_sketch_stage_sec"] = timings.pop("minhash_sketch_stage")
 
     total = round(sum(timings.values()), 3)
