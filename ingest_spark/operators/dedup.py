@@ -135,11 +135,20 @@ def minhash_lsh_pairs(
     )
     a = banded.select(F.col("doc").alias("doc_a"), "band_idx", "band_hash")
     b = banded.select(F.col("doc").alias("doc_b"), "band_idx", "band_hash")
+    # the signature-equality verify downstream is CPU-bound PER PAIR
+    # (128-element zip/fold per row) while the candidate frame is two
+    # ids per row — AQE sizes post-shuffle partitions by BYTES and
+    # coalesces a 100k-pair frame to 1-2 partitions, serializing the
+    # verify on one core (round-6 profile: 0.56 s single-task stage at
+    # sf0.1). Explicit repartition to core count is the right sizing
+    # for a compute-bound stage at any scale.
+    par = docs.sparkSession.sparkContext.defaultParallelism
     pairs = (
         a.join(b, ["band_idx", "band_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+        .repartition(par, "doc_a", "doc_b")
         .join(sigs.select(F.col(id_col).alias("doc_a"), F.col("minhash").alias("sig_a")), "doc_a")
         .join(sigs.select(F.col(id_col).alias("doc_b"), F.col("minhash").alias("sig_b")), "doc_b")
     )
@@ -777,6 +786,15 @@ def ngram_jaccard_pairs(
         )
         .select("doc_a", "doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+        # the exact verify below is CPU-bound per pair (array_intersect
+        # over ~hundreds of grams) while this frame is two ids per row;
+        # AQE coalesces it by BYTES to ~1 partition and serializes the
+        # verify — size the stage by cores instead (same round-6 fix as
+        # minhash_lsh_pairs)
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism,
+            "doc_a", "doc_b",
+        )
     )
 
     # exact verification on candidates only
