@@ -19,9 +19,15 @@ struct. The codec layer:
   video rows are valid 1-fps AVIs with closed-form per-frame pixels
   (`multimodal_video_decode` contract query). The round-≤4 opaque
   video blob stub is gone.
-- **Compressed formats (PNG/JPEG/MP4/H.264)**: gated behind an
+- **PNG (8-bit truecolor, round 6)**: a REAL compressed codec with no
+  imaging library — DEFLATE via stdlib ``zlib``, CRC-verified chunk
+  walk, and all five published scanline filters inverted
+  (`png_encode`/`png_decode`). `synthetic_media` ships half its image
+  rows as valid PNGs rotating through the filter types, so the
+  pixel-exact contract oracles pin this decoder cross-engine too.
+- **Remaining compressed formats (JPEG/MP4/H.264)**: gated behind an
   import-try on PIL (absent in this container) with the deterministic
-  fake decoder as the tested fallback — compressed-codec support is
+  fake decoder as the tested fallback — entropy-coded codec support is
   the honest environmental gap, not a semantic stub.
 
 ``resize`` / ``frame_sample`` / ``feature_extract`` operate on the
@@ -209,6 +215,142 @@ def avi_decode(data: bytes) -> "tuple[int, np.ndarray]":
     return fps, out
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (published PNG spec §9, filter type 4),
+    vectorized: a=left, b=up, c=upper-left (int arrays)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out
+
+
+def png_encode(rgb: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB → VALID 8-bit truecolor PNG, built from the
+    published spec with stdlib zlib only (DEFLATE IDAT, CRC32 chunks,
+    one filter byte per scanline). ``filter_type`` 0-4 selects the
+    per-scanline filter so every decoder unfilter path is testable
+    from in-repo bytes; real-world encoders pick adaptively, which the
+    decoder handles per scanline regardless."""
+    import zlib
+
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError("PNG filter type must be 0-4")
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w, _ = rgb.shape
+    zero = np.zeros((1, 3), np.int16)
+    lines = []
+    for y in range(h):
+        cur = rgb[y].astype(np.int16)
+        up = rgb[y - 1].astype(np.int16) if y else np.zeros((w, 3), np.int16)
+        left = np.vstack([zero, cur[:-1]])
+        ul = np.vstack([zero, up[:-1]])
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - up
+        elif filter_type == 3:
+            filt = cur - (left + up) // 2
+        else:
+            filt = cur - _png_paeth(left, up, ul)
+        lines.append(bytes([filter_type]) + (filt & 0xFF).astype(np.uint8).tobytes())
+    idat = zlib.compress(b"".join(lines), 6)
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """VALID PNG → (h, w, 3) uint8 RGB, pure stdlib-zlib + numpy: walks
+    the chunk stream (CRC-verified), inflates IDAT, and inverts all
+    five published scanline filters (None/Sub/Up/Average/Paeth).
+    Supports non-interlaced 8-bit truecolor (color type 2) and
+    truecolor+alpha (6 — alpha dropped), the layouts that dominate web
+    PNGs; other bit depths / palettes raise rather than guess. Sub
+    rows invert via a per-channel cumulative sum; Average/Paeth rows
+    carry a genuine pixel-serial dependence and run a per-pixel loop
+    on just those scanlines."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    w = h = color_type = None
+    while pos + 12 <= len(data):
+        ln = int.from_bytes(data[pos:pos + 4], "big")
+        typ = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        crc = int.from_bytes(data[pos + 8 + ln:pos + 12 + ln], "big")
+        if zlib.crc32(typ + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8 or color_type not in (2, 6) or interlace:
+                raise NotImplementedError(
+                    "png_decode supports non-interlaced 8-bit RGB/RGBA"
+                )
+        elif typ == b"IDAT":
+            idat += payload
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    ch = 3 if color_type == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch + 1
+    if len(raw) != h * stride:
+        raise ValueError("PNG IDAT size mismatch")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride)
+    ftypes = arr[:, 0]
+    filt = arr[:, 1:].reshape(h, w, ch).astype(np.int64)
+    recon = np.zeros((h, w, ch), dtype=np.int64)
+    for y in range(h):
+        f = int(ftypes[y])
+        cur = filt[y]
+        up = recon[y - 1] if y else np.zeros((w, ch), dtype=np.int64)
+        if f == 0:
+            recon[y] = cur
+        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-1]
+            recon[y] = np.cumsum(cur, axis=0) & 0xFF
+        elif f == 2:  # Up
+            recon[y] = (cur + up) & 0xFF
+        elif f == 3:  # Average — serial in x
+            row = recon[y]
+            prev = np.zeros(ch, dtype=np.int64)
+            for x in range(w):
+                prev = (cur[x] + (prev + up[x]) // 2) & 0xFF
+                row[x] = prev
+        elif f == 4:  # Paeth — serial in x
+            row = recon[y]
+            prev = np.zeros(ch, dtype=np.int64)
+            prev_ul = np.zeros(ch, dtype=np.int64)
+            for x in range(w):
+                pred = _png_paeth(prev, up[x], prev_ul)
+                prev = (cur[x] + pred) & 0xFF
+                prev_ul = up[x]
+                row[x] = prev
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+    return recon[:, :, :3].astype(np.uint8)
+
+
 def ppm_encode(rgb: np.ndarray) -> bytes:
     """(h, w, 3) uint8 RGB → binary PPM (P6)."""
     h, w, _ = rgb.shape
@@ -327,7 +469,17 @@ def synthetic_media(spark: SparkSession, n: int = 100, seed: int = 42) -> DataFr
         for m, k, ww, hh, dd in zip(mid, knd, w, h, dur):
             m = int(m)
             if k == "image":
-                out.append(bmp_encode(synthetic_pixels(m, int(ww), int(hh))))
+                px = synthetic_pixels(m, int(ww), int(hh))
+                # alternate containers: odd image ordinals ship as REAL
+                # PNGs (stdlib-zlib DEFLATE, filter rotating over all
+                # five spec types) so the compressed path is exercised
+                # by every pixel-exact contract row, even ordinals stay
+                # BMP — the closed-form pixel sums are container-
+                # agnostic, so the oracles pin BOTH decoders
+                if (m // 3) % 2 == 1:
+                    out.append(png_encode(px, filter_type=(m // 3) % 5))
+                else:
+                    out.append(bmp_encode(px))
             elif k == "audio":
                 n_samp = int(dd) * AUDIO_SAMPLE_RATE // 1000
                 out.append(wav_encode(synthetic_samples(m, n_samp),
@@ -346,7 +498,10 @@ def synthetic_media(spark: SparkSession, n: int = 100, seed: int = 42) -> DataFr
         "media_id",
         kind.alias("kind"),
         payload.alias("content"),
-        F.when(kind == "image", "image/bmp")
+        F.when(
+            (kind == "image") & (F.floor(i / 3) % 2 == 1), "image/png"
+        )
+        .when(kind == "image", "image/bmp")
         .when(kind == "audio", "audio/wav")
         .otherwise("video/x-msvideo").alias("mime"),
         width.alias("width"),
@@ -389,6 +544,8 @@ def _decode_rgb(content: bytes, fake: bool, w: int, h: int) -> np.ndarray:
         return bmp_decode(content).astype(np.float32) / 255.0
     if content[:2] == b"P6":
         return ppm_decode(content).astype(np.float32) / 255.0
+    if content[:8] == _PNG_SIG:
+        return png_decode(content).astype(np.float32) / 255.0
     if HAVE_PIL:  # pragma: no cover — PIL absent in this container
         import io
         return np.asarray(
@@ -457,7 +614,12 @@ def decode_image_stats(media: DataFrame) -> DataFrame:
                 pdf["media_id"].to_numpy(), pdf["content"].to_numpy()
             ):
                 raw = bytes(content)
-                rgb = bmp_decode(raw) if raw[:2] == b"BM" else ppm_decode(raw)
+                if raw[:2] == b"BM":
+                    rgb = bmp_decode(raw)
+                elif raw[:8] == _PNG_SIG:
+                    rgb = png_decode(raw)
+                else:
+                    rgb = ppm_decode(raw)
                 rows["media_id"].append(int(mid))
                 rows["height"].append(rgb.shape[0])
                 rows["width"].append(rgb.shape[1])

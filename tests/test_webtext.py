@@ -404,13 +404,14 @@ class TestSimilarity:
 
 class TestMultimodal:
     def test_compressed_decode_requires_lib_or_fake(self, spark):
-        """BMP/PPM decode natively; unknown (compressed) magic without
-        PIL must raise rather than silently produce wrong pixels."""
+        """BMP/PPM/PNG decode natively; remaining compressed magic
+        (JPEG) without PIL must raise rather than silently produce
+        wrong pixels."""
         if multimodal.HAVE_PIL:
             pytest.skip("PIL present: compressed formats decode for real")
-        fake_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+        fake_jpg = b"\xff\xd8\xff\xe0" + b"\x00" * 64
         media = spark.createDataFrame(
-            [(1, "image", fake_png, "image/png", 16, 16, None, len(fake_png))],
+            [(1, "image", fake_jpg, "image/jpeg", 16, 16, None, len(fake_jpg))],
             multimodal.MEDIA_SCHEMA,
         )
         with pytest.raises(Exception, match="PIL"):
@@ -418,6 +419,75 @@ class TestMultimodal:
         # fake=True pseudo-decodes it instead
         rows = multimodal.decode_image(media, fake=True).collect()
         assert len(rows) == 1 and len(rows[0].pixels) == 16 * 16 * 3
+
+    def test_png_codec_roundtrip_all_filters(self):
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        for ft in range(5):
+            for (h, w) in ((1, 1), (3, 5), (31, 17), (48, 64)):
+                rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                data = multimodal.png_encode(rgb, filter_type=ft)
+                assert data[:8] == multimodal._PNG_SIG
+                assert np.array_equal(multimodal.png_decode(data), rgb)
+
+    def test_png_crc_tamper_detected(self):
+        import numpy as np
+
+        rgb = multimodal.synthetic_pixels(7, 20, 18)
+        data = bytearray(multimodal.png_encode(rgb, filter_type=2))
+        data[40] ^= 1
+        with pytest.raises(ValueError, match="CRC"):
+            multimodal.png_decode(bytes(data))
+
+    def test_png_rgba_alpha_dropped(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        rng = np.random.default_rng(1)
+        h, w = 4, 6
+        rgba = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        lines = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+
+        def chunk(t, p):
+            return (
+                struct.pack(">I", len(p)) + t + p
+                + struct.pack(">I", zlib.crc32(t + p) & 0xFFFFFFFF)
+            )
+
+        data = (
+            multimodal._PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(lines))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(multimodal.png_decode(data), rgba[:, :, :3])
+
+    def test_synthetic_media_mixes_bmp_and_png(self, spark):
+        """Half the image rows ship as REAL PNGs (rotating through all
+        five filter types) — the pixel-exact contract oracles therefore
+        pin both the BMP and the PNG decoder."""
+        import numpy as np
+
+        rows = multimodal.synthetic_media(spark, n=60).where(
+            F.col("kind") == "image"
+        ).select("media_id", "mime", "content").collect()
+        mimes = {r.mime for r in rows}
+        assert mimes == {"image/bmp", "image/png"}
+        for r in rows:
+            raw = bytes(r.content)
+            want = multimodal.synthetic_pixels(
+                r.media_id, 16 + r.media_id % 16, 16 + (r.media_id * 7) % 16
+            )
+            if r.mime == "image/png":
+                assert raw[:8] == multimodal._PNG_SIG
+                got = multimodal.png_decode(raw)
+            else:
+                assert raw[:2] == b"BM"
+                got = multimodal.bmp_decode(raw)
+            assert np.array_equal(got, want), r.media_id
 
     def test_bmp_codec_roundtrip_and_golden(self):
         import numpy as np
