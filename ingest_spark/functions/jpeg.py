@@ -1,0 +1,601 @@
+"""Baseline JPEG (JFIF) codec — pure numpy + stdlib, no imaging library.
+
+Implements the baseline sequential DCT process of the public ITU-T T.81
+spec: the encoder emits SOI/APP0/DQT/SOF0/DHT/SOS streams with the
+Annex-K example quantization + Huffman tables (quality-scaled per the
+public IJG formula), and the decoder inverts any *baseline* stream —
+marker walk, canonical Huffman entropy decode with byte-destuffing and
+RSTn restart handling, dequantize + dezigzag, batched orthonormal IDCT,
+generic h×v chroma upsampling (4:4:4 / 4:2:2 / 4:2:0), YCbCr→RGB.
+
+Reference analog: the reference pipeline treats media payloads as
+opaque bytes (SURVEY.md §2.6); this codec is part of the
+training-data-pipeline layer the graft adds on top. JPEG is the
+dominant image format in Common-Crawl-style corpora, so the decode
+path must be native rather than PIL-gated.
+
+Scale note: decode is per-image Python (Huffman is inherently
+bit-serial) but runs inside ``mapInPandas`` batches — throughput
+scales with partitions, and the IDCT (the arithmetic bulk) is one
+batched einsum over all blocks of a component, not a per-block loop.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# -- public tables (ITU-T T.81 Annex K) ---------------------------------
+
+# zigzag scan: ZIGZAG[i] = natural (row-major) index of the i-th
+# zigzag-ordered coefficient
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+_UNZIG = np.argsort(ZIGZAG)  # natural index -> zigzag position
+
+Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# standard Huffman table specs: (BITS[1..16] counts, HUFFVAL list)
+DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+DC_CHROMA_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUMA_SPEC = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+AC_CHROMA_SPEC = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def quality_tables(quality: int) -> "tuple[np.ndarray, np.ndarray]":
+    """Annex-K tables scaled by the public IJG quality formula."""
+    quality = max(1, min(100, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for base in (Q_LUMA, Q_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+def _dct_matrix() -> np.ndarray:
+    # orthonormal DCT-II basis: coef = M @ block @ M.T, block = M.T @ coef @ M
+    n = np.arange(8)
+    k = n.reshape(8, 1)
+    m = np.cos((2 * n + 1) * k * np.pi / 16) * 0.5
+    m[0, :] = 1.0 / np.sqrt(8.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def _huff_codes(spec) -> "dict[int, tuple[int, int]]":
+    """(BITS, HUFFVAL) -> {symbol: (code, length)} (canonical order)."""
+    bits, vals = spec
+    codes = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return codes
+
+
+def _huff_decode_table(spec) -> "dict[tuple[int, int], int]":
+    """(BITS, HUFFVAL) -> {(length, code): symbol}."""
+    return {(ln, c): sym for sym, (c, ln) in _huff_codes(spec).items()}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+class _BitReader:
+    """Reads MSB-first bits from destuffed entropy data."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                # past the end: pad with 1s (spec: fill bits are 1s)
+                self.acc = (self.acc << 8) | 0xFF
+            else:
+                self.acc = (self.acc << 8) | self.data[self.pos]
+                self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        out = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return out
+
+    def read_symbol(self, table) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+    def align(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+
+
+def _extend(raw: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if raw < (1 << (size - 1)):
+        return raw - (1 << size) + 1
+    return raw
+
+
+def _magnitude(v: int) -> "tuple[int, int]":
+    size = int(abs(v)).bit_length()
+    raw = v if v >= 0 else v + (1 << size) - 1
+    return raw, size
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0]
+    cb = ycc[..., 1] - 128.0
+    cr = ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255)
+
+
+def _blockify(plane: np.ndarray) -> np.ndarray:
+    """(H, W) with H,W % 8 == 0 -> (nblocks, 8, 8), row-major block order."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+def _unblockify(blocks: np.ndarray, h: int, w: int) -> np.ndarray:
+    return (
+        blocks.reshape(h // 8, w // 8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(h, w)
+    )
+
+
+def _pad_to(plane: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Edge-replicate pad up to (h, w)."""
+    ph, pw = plane.shape
+    return np.pad(plane, ((0, h - ph), (0, w - pw)), mode="edge")
+
+
+def encode(rgb: np.ndarray, quality: int = 85, subsample: bool = False,
+           restart_interval: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline JFIF bytes.
+
+    ``subsample=True`` emits 4:2:0 (Y at 2×2 sampling, half-res
+    chroma); a (h, v) tuple sets the Y sampling factors directly
+    (e.g. ``(2, 1)`` → 4:2:2); default is 4:4:4. ``restart_interval``
+    > 0 emits DRI and RSTn markers every that many MCUs.
+    """
+    h, w = rgb.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qy, qc = quality_tables(quality)
+    ycc = rgb_to_ycbcr(np.asarray(rgb, dtype=np.uint8))
+
+    if subsample is True:
+        hv = (2, 2)
+    elif subsample:
+        hv = (int(subsample[0]), int(subsample[1]))
+    else:
+        hv = (1, 1)
+    hmax, vmax = hv
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = -(-w // mcu_w)
+    mcus_y = -(-h // mcu_h)
+
+    # component planes, padded to full-MCU coverage at their own res
+    planes = []
+    samp = [hv, (1, 1), (1, 1)]
+    qtabs = [qy, qc, qc]
+    for ci in range(3):
+        hi, vi = samp[ci]
+        plane = ycc[..., ci]
+        if (hi, vi) != (hmax, vmax):
+            # box-filter downsample by (vmax//vi, hmax//hi)
+            fy, fx = vmax // vi, hmax // hi
+            ph = -(-h // fy) * fy
+            pw = -(-w // fx) * fx
+            p = _pad_to(plane, ph, pw)
+            plane = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        ph = mcus_y * vi * 8
+        pw = mcus_x * hi * 8
+        planes.append(_pad_to(plane, ph, pw) - 128.0)
+
+    # quantized coefficient blocks per component (natural block order)
+    comp_coefs = []
+    for ci in range(3):
+        blocks = _blockify(planes[ci])
+        coefs = np.einsum("ij,njk,lk->nil", _DCT_M, blocks, _DCT_M)
+        q = np.round(coefs / qtabs[ci]).astype(np.int64)
+        comp_coefs.append(q)
+
+    dc_tabs = [_huff_codes(DC_LUMA_SPEC), _huff_codes(DC_CHROMA_SPEC)]
+    ac_tabs = [_huff_codes(AC_LUMA_SPEC), _huff_codes(AC_CHROMA_SPEC)]
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"  # APP0
+    for tid, q in ((0, qy), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(q.reshape(-1)[ZIGZAG[i]]) for i in range(64))
+    # SOF0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * 3, 8, h, w, 3)
+    for ci, (hi, vi) in enumerate(samp):
+        out += struct.pack(">BBB", ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1)
+    # DHT ×4
+    for tc, tid, spec in (
+        (0, 0, DC_LUMA_SPEC), (0, 1, DC_CHROMA_SPEC),
+        (1, 0, AC_LUMA_SPEC), (1, 1, AC_CHROMA_SPEC),
+    ):
+        bits, vals = spec
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), (tc << 4) | tid)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * 3, 3)
+    for ci in range(3):
+        td = 0 if ci == 0 else 1
+        out += struct.pack(">BB", ci + 1, (td << 4) | td)
+    out += b"\x00\x3f\x00"
+
+    writer = _BitWriter()
+    pred = [0, 0, 0]
+    rst = 0
+    mcu_index = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                writer.flush()
+                writer.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0, 0, 0]
+            mcu_index += 1
+            for ci in range(3):
+                hi, vi = samp[ci]
+                bw = mcus_x * hi  # blocks per row at this component
+                tsel = 0 if ci == 0 else 1
+                dct, act = dc_tabs[tsel], ac_tabs[tsel]
+                for by in range(vi):
+                    for bx in range(hi):
+                        bi = (my * vi + by) * bw + (mx * hi + bx)
+                        zz = comp_coefs[ci][bi].reshape(-1)[ZIGZAG]
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        raw, size = _magnitude(diff)
+                        code, ln = dct[size]
+                        writer.write(code, ln)
+                        if size:
+                            writer.write(raw, size)
+                        run = 0
+                        nz = np.nonzero(zz[1:])[0]
+                        last = nz[-1] + 1 if len(nz) else 0
+                        for k in range(1, last + 1):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = act[0xF0]  # ZRL
+                                writer.write(code, ln)
+                                run -= 16
+                            raw, size = _magnitude(v)
+                            code, ln = act[(run << 4) | size]
+                            writer.write(code, ln)
+                            writer.write(raw, size)
+                            run = 0
+                        if last < 63:
+                            code, ln = act[0x00]  # EOB
+                            writer.write(code, ln)
+    writer.flush()
+    out += writer.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _parse_segments(data: bytes):
+    """Yield (marker, payload, entropy_tail_offset) walking the stream."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (no SOI)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            return
+        ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        payload = data[pos + 4:pos + 2 + ln]
+        yield marker, payload, pos + 2 + ln
+        if marker == 0xDA:
+            return
+        pos += 2 + ln
+
+
+def _destuff(data: bytes):
+    """Entropy bytes → (destuffed bytes, restart-split list).
+
+    Splits at RSTn markers so each interval decodes from a
+    byte-aligned reader with reset DC predictors.
+    """
+    segs = []
+    cur = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = data[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or next marker — done
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+def decode(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes → (h, w, 3) uint8 RGB (grayscale replicated)."""
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    scan = None
+    entropy_start = None
+    for marker, payload, tail in _parse_segments(data):
+        if marker == 0xDB:  # DQT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                zz = np.frombuffer(payload[p + 1:p + 65], np.uint8)
+                nat = np.zeros(64, np.int64)
+                nat[ZIGZAG] = zz
+                qtables[tq] = nat.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0xF
+                bits = list(payload[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(payload[p + 17:p + 17 + nv])
+                htables[(tc, th)] = _huff_decode_table((bits, vals))
+                p += 17 + nv
+        elif marker in (0xC0, 0xC1):  # SOF0/1 (baseline / ext. sequential)
+            prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = payload[6 + 3 * ci:9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+            sof = (h, w, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2) unsupported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", payload[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = payload[0]
+            scan = []
+            for si in range(ns):
+                cs, tdta = payload[1 + 2 * si:3 + 2 * si]
+                scan.append({"id": cs, "td": tdta >> 4, "ta": tdta & 0xF})
+            entropy_start = tail
+    if sof is None or scan is None:
+        raise ValueError("JPEG without SOF/SOS")
+
+    h, w, comps = sof
+    by_id = {c["id"]: c for c in comps}
+    for s in scan:
+        by_id[s["id"]].update(td=s["td"], ta=s["ta"])
+    order = [by_id[s["id"]] for s in scan]
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    for c in order:
+        c["bw"] = mcus_x * c["h"]
+        c["bh"] = mcus_y * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+
+    segs = _destuff(data[entropy_start:])
+    seg_i = 0
+    reader = _BitReader(segs[0])
+    pred = {c["id"]: 0 for c in order}
+    n_mcus = mcus_x * mcus_y
+    for mcu_index in range(n_mcus):
+        if (restart_interval and mcu_index
+                and mcu_index % restart_interval == 0):
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("missing restart segment")
+            reader = _BitReader(segs[seg_i])
+            pred = {c["id"]: 0 for c in order}
+        my, mx = divmod(mcu_index, mcus_x)
+        for c in order:
+            dct = htables[(0, c["td"])]
+            act = htables[(1, c["ta"])]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    zz = np.zeros(64, dtype=np.int64)
+                    size = reader.read_symbol(dct)
+                    diff = _extend(reader.read(size), size)
+                    pred[c["id"]] += diff
+                    zz[0] = pred[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = reader.read_symbol(act)
+                        run, size = rs >> 4, rs & 0xF
+                        if size == 0:
+                            if run == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        zz[k] = _extend(reader.read(size), size)
+                        k += 1
+                    bi = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                    c["coef"][bi] = zz
+
+    # dequantize + batched IDCT per component, then upsample to full res
+    planes = []
+    for c in order:
+        q = qtables[c["tq"]].reshape(-1)
+        nat = np.zeros_like(c["coef"])
+        nat[:, ZIGZAG] = c["coef"]
+        blocks = (nat * q).reshape(-1, 8, 8).astype(np.float64)
+        px = np.einsum("ji,njk,kl->nil", _DCT_M, blocks, _DCT_M) + 128.0
+        plane = _unblockify(px, c["bh"] * 8, c["bw"] * 8)
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1 or fx > 1:
+            plane = np.repeat(np.repeat(plane, fy, axis=0), fx, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        y = np.clip(planes[0], 0, 255)
+        return np.repeat(y[..., None], 3, axis=2).astype(np.uint8)
+    ycc = np.stack(planes[:3], axis=-1)
+    return (ycbcr_to_rgb(ycc) + 0.5).astype(np.uint8)

@@ -403,15 +403,15 @@ class TestSimilarity:
 
 
 class TestMultimodal:
-    def test_compressed_decode_requires_lib_or_fake(self, spark):
-        """BMP/PPM/PNG decode natively; remaining compressed magic
-        (JPEG) without PIL must raise rather than silently produce
-        wrong pixels."""
+    def test_unknown_format_requires_lib_or_fake(self, spark):
+        """BMP/PPM/PNG/JPEG/GIF decode natively; unrecognized magic
+        (e.g. WebP) without PIL must raise rather than silently
+        produce wrong pixels."""
         if multimodal.HAVE_PIL:
-            pytest.skip("PIL present: compressed formats decode for real")
-        fake_jpg = b"\xff\xd8\xff\xe0" + b"\x00" * 64
+            pytest.skip("PIL present: unknown formats decode for real")
+        webp = b"RIFF\x00\x01\x00\x00WEBP" + b"\x00" * 64
         media = spark.createDataFrame(
-            [(1, "image", fake_jpg, "image/jpeg", 16, 16, None, len(fake_jpg))],
+            [(1, "image", webp, "image/webp", 16, 16, None, len(webp))],
             multimodal.MEDIA_SCHEMA,
         )
         with pytest.raises(Exception, match="PIL"):
@@ -544,6 +544,31 @@ class TestMultimodal:
         fps, back = multimodal.avi_decode(data)
         assert fps == 4 and back.shape == frames.shape
         assert (back == frames).all()
+
+    def test_compressed_media_decode_stats(self, spark):
+        """The round-6 compressed layer end-to-end through Spark:
+        synthetic JPEG/GIF/PNG payloads decode via the magic-byte
+        router; GIF/PNG rows are byte-exact, JPEG rows land within
+        the documented tolerance, shapes match the closed form."""
+        media = multimodal.synthetic_compressed_media(spark, n=60)
+        rows = multimodal.decode_compressed_stats(media).collect()
+        assert len(rows) == 60
+        for r in rows:
+            assert r.fmt == ["jpeg", "gif", "png"][r.media_id % 3]
+            assert r.width == 12 + r.media_id % 13
+            assert r.height == 12 + (r.media_id * 5) % 17
+            assert r.n_px == r.width * r.height * 3
+            assert r.within_tol, (r.media_id, r.fmt)
+            if r.fmt != "jpeg":
+                assert r.lossless_exact, (r.media_id, r.fmt)
+        # the generic decode_image path routes the same payloads
+        imgs = media.withColumnRenamed("fmt", "kind").withColumn(
+            "kind", F.lit("image"))
+        d = multimodal.decode_image(imgs).collect()
+        assert len(d) == 60
+        by_id = {r.media_id: r for r in d}
+        for r in rows:
+            assert len(by_id[r.media_id].pixels) == r.n_px
 
     def test_video_stats_match_pattern(self, spark):
         """decode_video_stats parses the real AVI payloads frame-exact:
