@@ -1494,6 +1494,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decode_video_stats(synthetic_media(spark, n=500))
     q["multimodal_video_decode"] = multimodal_video_decode
 
+    def multimodal_compressed_decode(spark, sf):
+        # REAL entropy-coded codecs (round 6): synthetic_compressed_media
+        # emits valid baseline JPEG (T.81 Huffman + DCT, 4:4:4/4:2:0,
+        # restart markers), GIF89a (variable-width LZW), and PNG
+        # (DEFLATE) payloads from closed-form pixel patterns;
+        # decode_compressed_stats decodes each through the magic-byte
+        # router and compares to the source: GIF/PNG must be byte-exact
+        # (lossless codecs), JPEG within the measured quantization
+        # tolerance. The oracle re-derives every shape fact and the
+        # lossless/tolerance verdicts in SQL — any Huffman, LZW,
+        # DEFLATE-filter, IDCT, upsampling, or color-transform bug
+        # flips a boolean and breaks the hash.
+        _ensure_shipped(spark)
+        from ingest_spark.operators.multimodal import (
+            decode_compressed_stats, synthetic_compressed_media,
+        )
+        return decode_compressed_stats(synthetic_compressed_media(spark, n=120))
+    q["multimodal_compressed_decode"] = multimodal_compressed_decode
+
     def retile_incremental_q(spark, sf):
         # incremental vector-tile maintenance end-to-end: a deterministic
         # changeset (delete id%97, move id%31 east 7.3°, create a twin at
@@ -1745,6 +1764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # disjoint round-over-round, and that the georender flagships and
     # the current round's touched queries stay inside).
     tail = [
+        "a5_counts",  # r5-green; tailed to keep the window at 50 when
+                      # multimodal_compressed_decode (round 6) joined it
         "s1_scan_stats", "f2_filter_drop", "j4_order_preserving",
         "j_anti_join", "a1_bbox_agg", "a6_rolling_rate",
         "o3_grid_assign", "salt_hot_cells", "interval_join",
@@ -2170,6 +2191,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, t::INT AS frame_idx, h::INT AS height,
                    w::INT AS width, SUM(v)::BIGINT AS checksum
             FROM px GROUP BY media_id, t, h, w
+        """,
+        # closed-form twin of synthetic_compressed_media: dims from the
+        # generator grid; lossless_exact is format-determined (GIF/PNG
+        # lossless, JPEG rows all measurably lossy — min per-image max
+        # err over the grid is 3); within_tol TRUE everywhere (measured
+        # worst 22 vs JPEG_TOL=32, pinned by tests/test_codecs.py)
+        "multimodal_compressed_decode": """
+            SELECT i AS media_id,
+                   CASE i % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'gif'
+                        ELSE 'png' END AS fmt,
+                   (12 + (i * 5) % 17)::INT AS height,
+                   (12 + i % 13)::INT AS width,
+                   ((12 + (i * 5) % 17) * (12 + i % 13) * 3)::INT AS n_px,
+                   (i % 3 <> 0) AS lossless_exact,
+                   TRUE AS within_tol
+            FROM (SELECT UNNEST(range(0, 120)) AS i)
         """,
         "multimodal_frames": """
             WITH m AS (
