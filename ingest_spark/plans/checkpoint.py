@@ -9,10 +9,14 @@ intact and whose inputs' snapshots are unchanged.
 
 On a cluster this maps 1:1 onto Iceberg: stage output = table commit,
 snapshot id = Iceberg snapshot id, manifest = a tiny control table.
-No Iceberg runtime ships in this sandbox, so the same contract is
-implemented as parquet dirs + a JSON manifest with content-derived
-snapshot ids — the resume semantics (skip-complete, invalidate on
-upstream change) are identical.
+No Iceberg JVM runtime ships in this sandbox; the contract is
+implemented by three interchangeable SnapshotBackends — parquet dirs
++ JSON manifest (here), immutable snapshot dirs + pointer swap
+(here), and the real Iceberg v2 metadata layout written in pure
+Python (``plans/iceberg.py``: field-id schemas, Avro manifests,
+optimistic version commits) — with identical resume semantics
+(skip-complete, invalidate on upstream change) proven across all
+three by TestSnapshotBackendSeam.
 """
 
 from __future__ import annotations

@@ -1,0 +1,255 @@
+"""Iceberg-spec metadata backend + minimal Avro OCF codec tests.
+
+Pins: Avro wire-format round trips, the v2 metadata layout (schemas
+with field ids, manifest list / manifest file Avro records, snapshot
+log), the HadoopCatalog optimistic version-commit protocol, snapshot
+isolation + time travel, MERGE as copy-on-write, and expiry GC. The
+generic SnapshotBackend seam contract is additionally exercised for
+this backend via the parametrized TestSnapshotBackendSeam in
+test_pipeline.py.
+"""
+
+import json
+import os
+
+import pytest
+
+from ingest_spark.functions import avro
+from ingest_spark.plans.iceberg import (
+    CommitConflict, IcebergMetadataBackend, spark_schema_to_iceberg,
+)
+
+
+class TestAvro:
+    def test_zigzag_longs(self):
+        for n in (0, 1, -1, 63, 64, -64, -65, 2**31, -2**31, 2**62,
+                  -2**62, (1 << 63) - 1, -(1 << 63)):
+            buf = avro._zigzag_encode(n)
+            got, pos = avro._zigzag_decode(buf, 0)
+            assert got == n and pos == len(buf), n
+
+    def test_ocf_roundtrip_all_types(self, tmp_path):
+        schema = {"type": "record", "name": "t", "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "b", "type": "bytes"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "bo", "type": "boolean"},
+            {"name": "u", "type": ["null", "long"], "default": None},
+            {"name": "arr", "type": {"type": "array", "items": "string"}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+            {"name": "fx", "type": {"type": "fixed", "name": "x",
+                                    "size": 4}},
+        ]}
+        recs = [
+            {"s": "héllo", "b": b"\x00\xff", "i": -7, "l": 2**40,
+             "f": 1.5, "d": -2.25, "bo": True, "u": None,
+             "arr": ["a", ""], "m": {"k": 1, "z": -9}, "fx": b"abcd"},
+            {"s": "", "b": b"", "i": 0, "l": 0, "f": 0.0, "d": 0.0,
+             "bo": False, "u": 123, "arr": [], "m": {}, "fx": b"\0\0\0\0"},
+        ]
+        p = str(tmp_path / "t.avro")
+        avro.write_ocf(p, schema, recs)
+        s2, r2 = avro.read_ocf(p)
+        assert s2 == schema and r2 == recs
+
+    def test_ocf_rejects_non_avro(self, tmp_path):
+        p = str(tmp_path / "bad")
+        with open(p, "wb") as f:
+            f.write(b"PAR1junk")
+        with pytest.raises(ValueError):
+            avro.read_ocf(p)
+
+    def test_negative_block_count_read(self, tmp_path):
+        # spec: writers MAY emit negative item counts with a byte-size;
+        # our reader must accept them
+        schema = {"type": "record", "name": "t", "fields": [
+            {"name": "a", "type": {"type": "array", "items": "int"}}]}
+        body = bytearray()
+        body += avro._zigzag_encode(-2)   # two items, size-prefixed
+        inner = bytearray()
+        avro.encode(1, "int", inner)
+        avro.encode(2, "int", inner)
+        body += avro._zigzag_encode(len(inner))
+        body += inner
+        body += avro._zigzag_encode(0)
+        got, _ = avro.decode(bytes(body), 0,
+                             {"type": "array", "items": "int"})
+        assert got == [1, 2]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string")
+
+
+class TestIcebergBackend:
+    def test_metadata_layout_is_spec_shaped(self, spark, tmp_path):
+        b = IcebergMetadataBackend()
+        path = str(tmp_path / "tbl")
+        b.commit(_df(spark, [(1, "a"), (2, "b")]), path)
+        md = b.current_metadata(path)
+        # required v2 fields
+        for k in ("format-version", "table-uuid", "location",
+                  "last-sequence-number", "last-column-id", "schemas",
+                  "current-schema-id", "partition-specs",
+                  "default-spec-id", "snapshots", "snapshot-log",
+                  "current-snapshot-id"):
+            assert k in md, k
+        assert md["format-version"] == 2
+        # schema carries field ids
+        ids = [f["id"] for f in md["schemas"][0]["fields"]]
+        assert ids == [1, 2]
+        # version hint + metadata file naming
+        meta = os.path.join(path, "metadata")
+        assert open(os.path.join(meta, "version-hint.text")).read() == "1"
+        assert os.path.exists(os.path.join(meta, "v1.metadata.json"))
+        # manifest list is a REAL avro file with spec field-ids
+        snap = md["snapshots"][-1]
+        schema, manifests = avro.read_ocf(snap["manifest-list"])
+        by_name = {f["name"]: f["field-id"] for f in schema["fields"]}
+        assert by_name["manifest_path"] == 500
+        assert by_name["added_rows_count"] == 512
+        assert manifests[0]["added_rows_count"] == 2
+        # manifest entries carry per-file row counts
+        _, entries = avro.read_ocf(manifests[0]["manifest_path"])
+        assert sum(e["data_file"]["record_count"] for e in entries) == 2
+        assert all(e["data_file"]["file_format"] == "PARQUET"
+                   for e in entries)
+        assert all(os.path.exists(e["data_file"]["file_path"])
+                   for e in entries)
+
+    def test_snapshot_isolation_and_time_travel(self, spark, tmp_path):
+        b = IcebergMetadataBackend()
+        path = str(tmp_path / "tbl")
+        b.commit(_df(spark, [(1, "a")]), path)
+        md1 = b.current_metadata(path)
+        first_id = md1["current-snapshot-id"]
+        b.commit(_df(spark, [(2, "b"), (3, "c")]), path)
+        md2 = b.current_metadata(path)
+        assert md2["_version"] == 2
+        assert len(md2["snapshots"]) == 2
+        assert md2["snapshots"][-1]["parent-snapshot-id"] == first_id
+        assert md2["snapshots"][-1]["summary"]["operation"] == "overwrite"
+        # current read sees snapshot 2; snapshot 1 still readable
+        assert {r.id for r in b.read(spark, path).collect()} == {2, 3}
+        assert {r.id for r in b.read_snapshot(spark, path, first_id)
+                .collect()} == {1}
+        # ordinal convenience
+        assert {r.id for r in b.read_snapshot(spark, path, 0)
+                .collect()} == {1}
+
+    def test_optimistic_commit_conflict_retries(self, spark, tmp_path):
+        b = IcebergMetadataBackend()
+        path = str(tmp_path / "tbl")
+        b.commit(_df(spark, [(1, "a")]), path)
+        # a racer publishes v2 out from under us
+        meta = os.path.join(path, "metadata")
+        racer = json.load(open(os.path.join(meta, "v1.metadata.json")))
+        with open(os.path.join(meta, "v2.metadata.json"), "w") as f:
+            json.dump(racer, f)
+        b.commit(_df(spark, [(9, "z")]), path)  # must retry, not clobber
+        md = b.current_metadata(path)
+        assert md["_version"] == 3
+        assert {r.id for r in b.read(spark, path).collect()} == {9}
+        # exhausting retries raises CommitConflict
+        class Stuck(IcebergMetadataBackend):
+            def _publish(self, path, md):
+                raise CommitConflict("always")
+        with pytest.raises(CommitConflict):
+            Stuck(max_retries=2).commit(_df(spark, [(0, "x")]), path)
+
+    def test_partitioned_commit_and_read(self, spark, tmp_path):
+        b = IcebergMetadataBackend()
+        path = str(tmp_path / "ptbl")
+        rows = [(i, f"v{i % 3}") for i in range(12)]
+        b.commit(_df(spark, rows), path, partition_by=["v"])
+        md = b.current_metadata(path)
+        spec = md["partition-specs"][0]["fields"]
+        assert spec and spec[0]["transform"] == "identity"
+        assert spec[0]["name"] == "v" and spec[0]["field-id"] == 1000
+        # manifest partition records carry the value
+        snap = md["snapshots"][-1]
+        _, manifests = avro.read_ocf(snap["manifest-list"])
+        _, entries = avro.read_ocf(manifests[0]["manifest_path"])
+        assert {e["data_file"]["partition"]["v"] for e in entries} == {
+            "v0", "v1", "v2"}
+        got = {(r.id, r.v) for r in b.read(spark, path).collect()}
+        assert got == set(rows)
+
+    def test_merge_overwrite_copy_on_write(self, spark, tmp_path):
+        b = IcebergMetadataBackend()
+        path = str(tmp_path / "tbl")
+        b.commit(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), path)
+        pre = b.current_metadata(path)["current-snapshot-id"]
+        out = b.merge_overwrite(
+            spark, path,
+            spark.createDataFrame([(2,), (3,)], "id long"),
+            _df(spark, [(3, "c2"), (4, "d")]),
+        )
+        assert {(r.id, r.v) for r in out.collect()} == {
+            (1, "a"), (3, "c2"), (4, "d")}
+        # the pre-merge snapshot still reads intact (copy-on-write)
+        assert {(r.id, r.v)
+                for r in b.read_snapshot(spark, path, pre).collect()} == {
+            (1, "a"), (2, "b"), (3, "c")}
+
+    def test_expire_snapshots_gc(self, spark, tmp_path):
+        b = IcebergMetadataBackend()
+        path = str(tmp_path / "tbl")
+        b.commit(_df(spark, [(1, "a")]), path)
+        old_files = set(b._live_files(b.current_metadata(path)))
+        b.commit(_df(spark, [(2, "b")]), path)
+        removed = b.expire_snapshots(path, keep=1)
+        assert removed == 1
+        md = b.current_metadata(path)
+        assert len(md["snapshots"]) == 1
+        assert {r.id for r in b.read(spark, path).collect()} == {2}
+        # expired data files are gone from disk
+        assert not any(os.path.exists(f) for f in old_files)
+        # expiring below the current snapshot refuses
+        assert b.expire_snapshots(path, keep=1) == 0
+
+    def test_empty_table_roundtrip(self, spark, tmp_path):
+        b = IcebergMetadataBackend()
+        path = str(tmp_path / "tbl")
+        b.commit(_df(spark, []).limit(0), path)
+        assert b.is_complete(path)
+        got = b.read(spark, path)
+        assert got.count() == 0
+        assert [f.name for f in got.schema.fields] == ["id", "v"]
+
+
+class TestSchemaConversion:
+    def test_nested_field_ids_are_unique_and_dense(self, spark):
+        from pyspark.sql import types as T
+        schema = T.StructType([
+            T.StructField("a", T.LongType(), False),
+            T.StructField("arr", T.ArrayType(T.StringType()), True),
+            T.StructField("m", T.MapType(T.StringType(), T.DoubleType()),
+                          True),
+            T.StructField("s", T.StructType([
+                T.StructField("x", T.IntegerType(), True),
+                T.StructField("y", T.BinaryType(), True),
+            ]), True),
+        ])
+        ice = spark_schema_to_iceberg(schema)
+        ids = []
+
+        def walk(node):
+            if isinstance(node, dict):
+                for k in ("id", "element-id", "key-id", "value-id"):
+                    if k in node:
+                        ids.append(node[k])
+                for v in node.values():
+                    walk(v)
+            elif isinstance(node, list):
+                for v in node:
+                    walk(v)
+        walk(ice)
+        assert sorted(ids) == list(range(1, len(ids) + 1))
+        assert ice["last-column-id"] == max(ids)
+        top = {f["name"]: f for f in ice["fields"]}
+        assert top["a"]["required"] is True
+        assert top["m"]["type"]["type"] == "map"

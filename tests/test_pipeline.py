@@ -297,8 +297,13 @@ def _make_backend(name):
     from ingest_spark.plans.checkpoint import (
         ParquetManifestBackend, SnapshotDirBackend,
     )
+    from ingest_spark.plans.iceberg import IcebergMetadataBackend
 
-    return ParquetManifestBackend() if name == "parquet" else SnapshotDirBackend()
+    return {
+        "parquet": ParquetManifestBackend,
+        "snapdir": SnapshotDirBackend,
+        "iceberg": IcebergMetadataBackend,
+    }[name]()
 
 
 class TestSnapshotBackendSeam:
@@ -308,7 +313,7 @@ class TestSnapshotBackendSeam:
     (in-place parquet + rename-swap vs immutable snapshot dirs +
     pointer swap); merge_overwrite is the MERGE INTO analog."""
 
-    @pytest.mark.parametrize("bname", ["parquet", "snapdir"])
+    @pytest.mark.parametrize("bname", ["parquet", "snapdir", "iceberg"])
     def test_run_stage_with_explicit_backend(self, spark, tmp_path, bname):
         from ingest_spark.plans.checkpoint import Manifest, run_stage
 
@@ -327,7 +332,7 @@ class TestSnapshotBackendSeam:
         df2 = run_stage(spark, m2, "s", build, backend=backend)
         assert df2.count() == 7 and len(calls) == 1  # skip-complete held
 
-    @pytest.mark.parametrize("bname", ["parquet", "snapdir"])
+    @pytest.mark.parametrize("bname", ["parquet", "snapdir", "iceberg"])
     def test_upstream_change_invalidates_downstream(self, spark, tmp_path, bname):
         from ingest_spark.plans.checkpoint import Manifest, run_stage
 
@@ -350,7 +355,7 @@ class TestSnapshotBackendSeam:
         )
         assert len(calls) == 2
 
-    @pytest.mark.parametrize("bname", ["parquet", "snapdir"])
+    @pytest.mark.parametrize("bname", ["parquet", "snapdir", "iceberg"])
     def test_merge_overwrite_semantics(self, spark, tmp_path, bname):
         """delete matched keys + insert new rows in one commit; the
         store stays readable afterwards (swap is crash-bounded)."""
