@@ -572,3 +572,37 @@ class IcebergMetadataBackend(SnapshotBackend):
             ):
                 shutil.rmtree(d)
         return removed
+
+    def compact_data_files(self, path: str, spark: SparkSession,
+                           target_file_size_bytes: int = 128 << 20) -> dict:
+        """`rewrite_data_files` analog — the small-file compaction a
+        100 TB table needs continuously: coalesce the current
+        snapshot's data files into ~target-sized ones and publish the
+        new layout as a ``replace`` snapshot (same live rows, fewer
+        files; prior snapshots keep time-traveling to the old layout).
+        Returns counts; no-op when the layout is already compact."""
+        md = self.current_metadata(path)
+        if md is None or md["current-snapshot-id"] == -1:
+            return {"rewritten_files": 0, "new_files": 0, "noop": True}
+        files = self._live_files(md)
+        sizes = [os.path.getsize(f) for f in files if os.path.exists(f)]
+        total = sum(sizes)
+        n_out = max(1, -(-total // max(target_file_size_bytes, 1)))
+        if len(files) <= n_out:
+            return {"rewritten_files": 0, "new_files": 0, "noop": True}
+        spec = md["partition-specs"][md["default-spec-id"]]["fields"]
+        partition_by = [f["name"] for f in spec] or None
+        df = self._read_files(spark, md, files)
+        if not partition_by:
+            df = df.repartition(int(n_out))
+        staged = self._stage_data_files(df, path, partition_by)
+        for _attempt in range(self.max_retries):
+            md = self.current_metadata(path)
+            md2 = self._write_snapshot(path, md, staged, "replace")
+            try:
+                self._publish(path, md2)
+                return {"rewritten_files": len(files),
+                        "new_files": len(staged), "noop": False}
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"compaction lost {self.max_retries} races")

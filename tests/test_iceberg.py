@@ -253,3 +253,29 @@ class TestSchemaConversion:
         top = {f["name"]: f for f in ice["fields"]}
         assert top["a"]["required"] is True
         assert top["m"]["type"]["type"] == "map"
+
+
+class TestCompaction:
+    def test_compact_small_files(self, spark, tmp_path):
+        b = IcebergMetadataBackend()
+        path = str(tmp_path / "tbl")
+        df = spark.range(0, 1000).withColumnRenamed("id", "x")
+        b.commit(df.repartition(16), path)
+        md = b.current_metadata(path)
+        pre_files = b._live_files(md)
+        assert len(pre_files) >= 8
+        pre_snap = md["current-snapshot-id"]
+        stats = b.compact_data_files(path, spark,
+                                     target_file_size_bytes=1 << 30)
+        assert not stats["noop"]
+        assert stats["rewritten_files"] == len(pre_files)
+        assert stats["new_files"] < len(pre_files)
+        md2 = b.current_metadata(path)
+        assert md2["snapshots"][-1]["summary"]["operation"] == "replace"
+        # identical rows, new layout; old snapshot still time-travels
+        assert {r.x for r in b.read(spark, path).collect()} == set(range(1000))
+        assert {r.x for r in b.read_snapshot(spark, path, pre_snap)
+                .collect()} == set(range(1000))
+        # second pass is a no-op
+        assert b.compact_data_files(path, spark,
+                                    target_file_size_bytes=1 << 30)["noop"]
