@@ -61,6 +61,7 @@ def run_ingest(
     ingest_ways: bool = True,
     ingest_relations: bool = True,
     source_fingerprint: str | None = None,
+    backend=None,
 ) -> PipelineResult:
     manifest = Manifest.load(out_root)
     metrics = MetricsCollector(out_root)
@@ -81,6 +82,7 @@ def run_ingest(
         spark, manifest, "extract",
         lambda: extract.parse_all(pages), inputs=[], metrics=metrics,
         source_fingerprint=src_fp, partition_by=["etype"],
+        backend=backend,
     )
     nodes, ways, relations = extract.element_views(elements)
 
@@ -90,6 +92,7 @@ def run_ingest(
         lambda: scan_src.element_stats(nodes, ways, relations),
         inputs=["extract"],
         metrics=metrics,
+        backend=backend,
     )
 
     # -------- stage: ingest (pass 2)
@@ -106,6 +109,7 @@ def run_ingest(
         spark, manifest, "ingest", _ingest,
         inputs=["extract", "scan"],
         metrics=metrics,
+        backend=backend,
     )
 
     optimized = None
@@ -119,7 +123,8 @@ def run_ingest(
             return with_tile_xyz(salted, cfg.tile_zoom)
 
         optimized = run_stage(
-            spark, manifest, "optimize", _optimize, inputs=["ingest"], metrics=metrics
+            spark, manifest, "optimize", _optimize, inputs=["ingest"],
+            metrics=metrics, backend=backend,
         )
 
     return PipelineResult(manifest=manifest, features=features, optimized=optimized)

@@ -28,6 +28,14 @@ def main() -> None:
     ap.add_argument("--no-ingest-node", action="store_true")
     ap.add_argument("--no-ingest-way", action="store_true")
     ap.add_argument("--no-ingest-relation", action="store_true")
+    ap.add_argument(
+        "--backend", choices=("parquet", "snapdir", "iceberg"),
+        default="parquet",
+        help="stage snapshot store: in-place parquet, immutable "
+             "snapshot dirs, or the Iceberg v2 metadata layout "
+             "(plans/iceberg.py — Avro manifests, optimistic version "
+             "commits, time travel)",
+    )
     args = ap.parse_args()
 
     from ingest_spark.plans.metrics import MetricsCollector
@@ -46,12 +54,21 @@ def main() -> None:
         gx, gy = (int(v) for v in args.grid.split(","))
         grid = (gx, gy)
 
+    backend = None
+    if args.backend == "snapdir":
+        from ingest_spark.plans.checkpoint import SnapshotDirBackend
+        backend = SnapshotDirBackend()
+    elif args.backend == "iceberg":
+        from ingest_spark.plans.iceberg import IcebergMetadataBackend
+        backend = IcebergMetadataBackend()
+
     result = run_ingest(
         spark, pages, args.out,
         optimize_grid=grid,
         ingest_nodes=not args.no_ingest_node,
         ingest_ways=not args.no_ingest_way,
         ingest_relations=not args.no_ingest_relation,
+        backend=backend,
     )
     print("stages:")
     for stage, meta in result.manifest.stages.items():
