@@ -333,9 +333,14 @@ class IcebergMetadataBackend(SnapshotBackend):
         return out
 
     def _write_snapshot(self, path: str, md: dict, files: "list[dict]",
-                        operation: str) -> dict:
+                        operation: str, carry_entries: "list | None" = None,
+                        extra_summary: "dict | None" = None) -> dict:
         """Append a snapshot (manifest file + manifest list + metadata
-        entry) describing ``files`` as the table's full live contents."""
+        entry). ``files`` become ADDED entries under the new snapshot;
+        ``carry_entries`` (prior manifest_entry records, e.g. the
+        previous snapshot's live set for an append) are re-emitted as
+        EXISTING with their original snapshot/sequence numbers, per
+        the spec's manifest-inheritance rules."""
         meta = self._meta_dir(path)
         os.makedirs(meta, exist_ok=True)
         commit_uuid = _uuid.uuid4().hex
@@ -346,6 +351,8 @@ class IcebergMetadataBackend(SnapshotBackend):
         entry_schema = _manifest_entry_schema(part_fields)
         spec_cols = [f["name"] for f in part_fields]
         entries = []
+        for prev in carry_entries or []:
+            entries.append({**prev, "status": STATUS_EXISTING})
         for fdesc in files:
             part_rec = {}
             for c in spec_cols:
@@ -375,6 +382,11 @@ class IcebergMetadataBackend(SnapshotBackend):
         avro.write_ocf(manifest_path, entry_schema, entries)
 
         n_rows = sum(f["record_count"] for f in files)
+        carried = carry_entries or []
+        carried_rows = sum(
+            e["data_file"]["record_count"] for e in carried)
+        min_seq = min(
+            [seq] + [e["sequence_number"] or seq for e in carried])
         mlist_path = os.path.join(
             meta, f"snap-{snapshot_id}-1-{commit_uuid}.avro")
         avro.write_ocf(mlist_path, MANIFEST_LIST_SCHEMA, [{
@@ -383,13 +395,13 @@ class IcebergMetadataBackend(SnapshotBackend):
             "partition_spec_id": md["default-spec-id"],
             "content": 0,  # data manifest
             "sequence_number": seq,
-            "min_sequence_number": seq,
+            "min_sequence_number": min_seq,
             "added_snapshot_id": snapshot_id,
             "added_files_count": len(files),
-            "existing_files_count": 0,
+            "existing_files_count": len(carried),
             "deleted_files_count": 0,
             "added_rows_count": n_rows,
-            "existing_rows_count": 0,
+            "existing_rows_count": carried_rows,
             "deleted_rows_count": 0,
         }])
 
@@ -405,6 +417,7 @@ class IcebergMetadataBackend(SnapshotBackend):
                 "operation": operation,
                 "added-data-files": str(len(files)),
                 "added-records": str(n_rows),
+                **(extra_summary or {}),
             },
         }
         if parent != -1:
@@ -443,6 +456,7 @@ class IcebergMetadataBackend(SnapshotBackend):
                     path, schema_json, df.schema, partition_by)
                 op = "append"
             else:
+                md = self._maybe_evolve(md, df.schema)
                 op = "overwrite" if md["current-snapshot-id"] != -1 else "append"
             md = self._write_snapshot(path, md, files, op)
             try:
@@ -453,21 +467,110 @@ class IcebergMetadataBackend(SnapshotBackend):
         raise CommitConflict(
             f"gave up after {self.max_retries} conflicting commits at {path}")
 
-    def _live_files(self, md: dict, snapshot_id: "int | None" = None):
+    def _maybe_evolve(self, md: dict, df_schema: T.StructType) -> dict:
+        """Additive schema evolution (the Iceberg-safe subset): new
+        nullable columns append a new schema entry with FRESH field
+        ids while existing columns keep theirs; type changes or drops
+        raise. Returns (possibly updated) metadata."""
+        stored = T.StructType.fromJson(
+            json.loads(md["properties"]["spark.schema"]))
+        stored_by_name = {f.name: f for f in stored.fields}
+        new_fields = []
+        for f in df_schema.fields:
+            if f.name in stored_by_name:
+                if f.dataType != stored_by_name[f.name].dataType:
+                    raise NotImplementedError(
+                        f"type change on {f.name!r} "
+                        "(only additive evolution is supported)")
+            else:
+                new_fields.append(f)
+        missing = set(stored_by_name) - {f.name for f in df_schema.fields}
+        if missing:
+            raise NotImplementedError(
+                f"dropping columns {sorted(missing)} is not supported "
+                "(only additive evolution)")
+        if not new_fields:
+            return md
+        cur = md["schemas"][md["current-schema-id"]]
+        next_id = [md["last-column-id"] + 1]
+        added = []
+        for f in new_fields:
+            fid = next_id[0]
+            next_id[0] += 1
+            added.append({
+                "id": fid, "name": f.name, "required": False,
+                "type": _iceberg_type(f.dataType, next_id),
+            })
+        new_schema = {
+            "type": "struct", "schema-id": len(md["schemas"]),
+            "fields": cur["fields"] + added,
+            "last-column-id": next_id[0] - 1,
+        }
+        evolved_spark = T.StructType(
+            stored.fields + [T.StructField(f.name, f.dataType, True)
+                             for f in new_fields])
+        md = dict(md)
+        md["schemas"] = md["schemas"] + [new_schema]
+        md["current-schema-id"] = new_schema["schema-id"]
+        md["last-column-id"] = new_schema["last-column-id"]
+        md["properties"] = {**md["properties"],
+                            "spark.schema": evolved_spark.json()}
+        return md
+
+    def append(self, df: DataFrame, path: str, partition_by=None,
+               summary: "dict | None" = None) -> int:
+        """Append ``df`` as one snapshot: previous live files carry
+        over as EXISTING manifest entries (original snapshot/sequence
+        numbers preserved), new files are ADDED. Returns the committed
+        snapshot id. ``summary`` entries land in the snapshot summary
+        (e.g. a streaming batch id for exactly-once sinks)."""
+        files = self._stage_data_files(df, path, partition_by)
+        for _attempt in range(self.max_retries):
+            md = self.current_metadata(path)
+            if md is None:
+                schema_json = spark_schema_to_iceberg(df.schema)
+                md = self._new_table_metadata(
+                    path, schema_json, df.schema, partition_by)
+                carry = []
+            else:
+                md = self._maybe_evolve(md, df.schema)
+                carry = (self._live_entries(md)
+                         if md["current-snapshot-id"] != -1 else [])
+            md = self._write_snapshot(
+                path, md, files, "append", carry_entries=carry,
+                extra_summary=summary)
+            try:
+                self._publish(path, md)
+                return md["current-snapshot-id"]
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"gave up after {self.max_retries} conflicting appends at {path}")
+
+    def snapshot_summaries(self, path: str) -> "list[dict]":
+        """All snapshot summaries on the table, oldest first (the
+        exactly-once dedup surface for streaming sinks)."""
+        md = self.current_metadata(path)
+        if md is None:
+            return []
+        return [s.get("summary", {}) for s in md["snapshots"]]
+
+    def _live_entries(self, md: dict, snapshot_id: "int | None" = None):
         sid = md["current-snapshot-id"] if snapshot_id is None else snapshot_id
         snap = next(
             (s for s in md["snapshots"] if s["snapshot-id"] == sid), None)
         if snap is None:
             raise FileNotFoundError(f"no snapshot {sid}")
         _, manifests = avro.read_ocf(snap["manifest-list"])
-        files = []
+        out = []
         for m in manifests:
             _, entries = avro.read_ocf(m["manifest_path"])
-            files.extend(
-                e["data_file"]["file_path"] for e in entries
-                if e["status"] != STATUS_DELETED
-            )
-        return files
+            out.extend(e for e in entries if e["status"] != STATUS_DELETED)
+        return out
+
+    def _live_files(self, md: dict, snapshot_id: "int | None" = None):
+        return [e["data_file"]["file_path"]
+                for e in self._live_entries(md, snapshot_id)]
 
     def _read_files(self, spark: SparkSession, md: dict, files: list):
         if not files:
@@ -475,7 +578,14 @@ class IcebergMetadataBackend(SnapshotBackend):
                 json.loads(md["properties"]["spark.schema"]))
             return spark.createDataFrame([], schema)
         spec = md["partition-specs"][md["default-spec-id"]]["fields"]
+        schema = T.StructType.fromJson(
+            json.loads(md["properties"]["spark.schema"]))
         reader = spark.read
+        evolved = len(md["schemas"]) > 1
+        if evolved:
+            # files written under older schemas lack the new columns;
+            # mergeSchema unions footers, missing values read as null
+            reader = reader.option("mergeSchema", "true")
         if spec:
             # partition columns live in the dir names: basePath makes
             # Spark re-derive them, then we normalize dtypes from the
@@ -483,13 +593,19 @@ class IcebergMetadataBackend(SnapshotBackend):
             base = os.path.commonpath(
                 [os.path.dirname(os.path.dirname(f)) for f in files]
             )
-            schema = T.StructType.fromJson(
-                json.loads(md["properties"]["spark.schema"]))
             df = reader.option("basePath", base).parquet(*files)
             return df.select(
                 *[F.col(f.name).cast(f.dataType) for f in schema.fields]
             )
-        return reader.parquet(*files)
+        df = reader.parquet(*files)
+        if evolved:
+            have = set(df.columns)
+            return df.select(*[
+                (F.col(f.name).cast(f.dataType) if f.name in have
+                 else F.lit(None).cast(f.dataType)).alias(f.name)
+                for f in schema.fields
+            ])
+        return df
 
     def read(self, spark: SparkSession, path: str) -> DataFrame:
         md = self.current_metadata(path)

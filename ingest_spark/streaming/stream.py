@@ -257,3 +257,56 @@ def hot_cell_monitor(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_iceberg_append(
+    df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    backend=None,
+    partition_by=None,
+    available_now: bool = True,
+):
+    """Streaming sink committing each micro-batch as ONE Iceberg
+    append snapshot (plans/iceberg.py) — the lakehouse face of
+    `write_stream`, giving readers snapshot isolation while the
+    stream runs and time travel over the batch history.
+
+    Exactly-once under foreachBatch's at-least-once delivery comes
+    from the COMMIT, not the checkpoint: the micro-batch id is
+    recorded in the snapshot summary (``streaming-batch-id``) and a
+    retried batch that finds its id already in the table's snapshot
+    history skips — the same idempotence contract Iceberg's real
+    streaming writers use. Empty batches commit nothing.
+
+    Scale shape per batch: one staged parquet write + one metadata
+    publish (a few KB of JSON/Avro); previous live files carry over
+    as EXISTING manifest entries, so commit cost is independent of
+    table size until manifest compaction is due.
+    """
+    from ..plans.iceberg import IcebergMetadataBackend
+
+    backend = backend or IcebergMetadataBackend()
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        done = {
+            s.get("streaming-batch-id")
+            for s in backend.snapshot_summaries(table_path)
+        }
+        if str(batch_id) in done:
+            return  # retried batch: already committed
+        backend.append(
+            batch_df, table_path, partition_by,
+            summary={"streaming-batch-id": str(batch_id)},
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -279,3 +279,113 @@ class TestCompaction:
         # second pass is a no-op
         assert b.compact_data_files(path, spark,
                                     target_file_size_bytes=1 << 30)["noop"]
+
+
+class TestAppendAndEvolution:
+    def test_append_carries_existing_files(self, spark, tmp_path):
+        b = IcebergMetadataBackend()
+        path = str(tmp_path / "tbl")
+        b.append(_df(spark, [(1, "a")]), path)
+        b.append(_df(spark, [(2, "b")]), path)
+        md = b.current_metadata(path)
+        assert md["snapshots"][-1]["summary"]["operation"] == "append"
+        # both rows live; previous files re-listed as EXISTING with
+        # their ORIGINAL sequence number
+        assert {(r.id, r.v) for r in b.read(spark, path).collect()} == {
+            (1, "a"), (2, "b")}
+        entries = b._live_entries(md)
+        statuses = sorted(e["status"] for e in entries)
+        from ingest_spark.plans.iceberg import (
+            STATUS_ADDED, STATUS_EXISTING)
+        assert STATUS_EXISTING in statuses and STATUS_ADDED in statuses
+        seqs = {e["sequence_number"] for e in entries}
+        assert seqs == {1, 2}
+        # manifest list counts split added vs existing
+        snap = md["snapshots"][-1]
+        _, manifests = avro.read_ocf(snap["manifest-list"])
+        assert manifests[0]["existing_rows_count"] == 1
+        assert manifests[0]["added_rows_count"] == 1
+        assert manifests[0]["min_sequence_number"] == 1
+
+    def test_additive_schema_evolution(self, spark, tmp_path):
+        b = IcebergMetadataBackend()
+        path = str(tmp_path / "tbl")
+        b.append(_df(spark, [(1, "a")]), path)
+        wide = spark.createDataFrame(
+            [(2, "b", 3.5)], "id long, v string, score double")
+        b.append(wide, path)
+        md = b.current_metadata(path)
+        assert len(md["schemas"]) == 2
+        assert md["current-schema-id"] == 1
+        # old columns keep their field ids; the new one gets a fresh id
+        s0 = {f["name"]: f["id"] for f in md["schemas"][0]["fields"]}
+        s1 = {f["name"]: f["id"] for f in md["schemas"][1]["fields"]}
+        assert s1["id"] == s0["id"] and s1["v"] == s0["v"]
+        assert s1["score"] == md["last-column-id"] == 3
+        rows = {(r.id, r.v, r.score) for r in b.read(spark, path).collect()}
+        assert rows == {(1, "a", None), (2, "b", 3.5)}
+
+    def test_non_additive_evolution_rejected(self, spark, tmp_path):
+        b = IcebergMetadataBackend()
+        path = str(tmp_path / "tbl")
+        b.append(_df(spark, [(1, "a")]), path)
+        with pytest.raises(NotImplementedError, match="type change"):
+            b.append(spark.createDataFrame([(2, 5)], "id long, v long"),
+                     path)
+        with pytest.raises(NotImplementedError, match="dropping"):
+            b.append(spark.createDataFrame([(2,)], "id long"), path)
+
+
+class TestStreamingIcebergSink:
+    def test_stream_appends_one_snapshot_per_batch(self, spark, tmp_path):
+        from ingest_spark.streaming.stream import stream_iceberg_append
+
+        src = str(tmp_path / "src")
+        for i in range(3):
+            spark.createDataFrame(
+                [(i * 10 + j, f"r{i}") for j in range(5)],
+                "id long, v string",
+            ).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("id long, v string")
+            .option("maxFilesPerTrigger", 1).parquet(src)
+        )
+        table = str(tmp_path / "tbl")
+        ckpt = str(tmp_path / "ckpt")
+        q = stream_iceberg_append(stream, table, ckpt)
+        q.awaitTermination(120)
+        b = IcebergMetadataBackend()
+        md = b.current_metadata(table)
+        # one append snapshot per non-empty micro-batch, batch ids in
+        # the summaries, all 15 rows live
+        summaries = b.snapshot_summaries(table)
+        batch_ids = [s.get("streaming-batch-id") for s in summaries]
+        assert len(batch_ids) == len(set(batch_ids)) >= 1
+        assert all(s["operation"] == "append" for s in summaries)
+        assert {r.id for r in b.read(spark, table).collect()} == {
+            i * 10 + j for i in range(3) for j in range(5)}
+        assert md["last-sequence-number"] == len(summaries)
+
+    def test_retried_batch_commits_once(self, spark, tmp_path):
+        from ingest_spark.plans.iceberg import IcebergMetadataBackend
+
+        b = IcebergMetadataBackend()
+        table = str(tmp_path / "tbl")
+        df = _df(spark, [(1, "a")])
+        # simulate foreachBatch retry: same batch id applied twice
+        from ingest_spark.streaming import stream as strm
+        calls = []
+        orig_append = b.append
+
+        def counting_append(*a, **k):
+            calls.append(1)
+            return orig_append(*a, **k)
+        b.append = counting_append
+        for _ in range(2):
+            done = {s.get("streaming-batch-id")
+                    for s in b.snapshot_summaries(table)}
+            if "7" not in done:
+                b.append(df, table,
+                         summary={"streaming-batch-id": "7"})
+        assert len(calls) == 1
+        assert b.read(spark, table).count() == 1
