@@ -1513,6 +1513,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decode_compressed_stats(synthetic_compressed_media(spark, n=120))
     q["multimodal_compressed_decode"] = multimodal_compressed_decode
 
+    def iceberg_snapshots_q(spark, sf):
+        # the catalog commit protocol end-to-end (round 6): three
+        # deterministic commits against a fresh Iceberg-v2-layout table
+        # (plans/iceberg.py — real Avro manifests, optimistic version
+        # files): initial append of ids 0..9, append() of 10..14
+        # (prior files carried as EXISTING), then a MERGE deleting even
+        # ids < 10 and inserting 100..101. Emits one row per snapshot:
+        # ordinal, operation, rows live AT that snapshot via time
+        # travel, and rows in the current table — every value is
+        # closed-form, so the oracle pins the whole metadata chain
+        # (append carry-over, copy-on-write isolation, snapshot log
+        # order). Results are materialized before the temp table is
+        # removed.
+        import shutil
+        import tempfile
+
+        from ingest_spark.plans.iceberg import IcebergMetadataBackend
+
+        b = IcebergMetadataBackend()
+        root = tempfile.mkdtemp(prefix="ice_contract_")
+        path = root + "/tbl"
+        try:
+            mk = lambda lo, hi: spark.range(lo, hi).withColumnRenamed("id", "k")
+            b.commit(mk(0, 10), path)
+            b.append(mk(10, 15), path)
+            b.merge_overwrite(
+                spark, path,
+                spark.range(0, 10, 2).withColumnRenamed("id", "k"),
+                mk(100, 102), key="k",
+            )
+            md = b.current_metadata(path)
+            current_n = b.read(spark, path).count()
+            rows = []
+            for i, snap in enumerate(md["snapshots"]):
+                n = b.read_snapshot(
+                    spark, path, snap["snapshot-id"]).count()
+                rows.append((i, snap["summary"]["operation"], n, current_n))
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        return spark.createDataFrame(
+            rows, "ordinal int, operation string, n_rows bigint, "
+                  "n_current bigint")
+    q["iceberg_snapshots"] = iceberg_snapshots_q
+
     def retile_incremental_q(spark, sf):
         # incremental vector-tile maintenance end-to-end: a deterministic
         # changeset (delete id%97, move id%31 east 7.3°, create a twin at
@@ -1766,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tail = [
         "a5_counts",  # r5-green; tailed to keep the window at 50 when
                       # multimodal_compressed_decode (round 6) joined it
+        "s11_bbox_query",  # r5-green; tailed for iceberg_snapshots
         "s1_scan_stats", "f2_filter_drop", "j4_order_preserving",
         "j_anti_join", "a1_bbox_agg", "a6_rolling_rate",
         "o3_grid_assign", "salt_hot_cells", "interval_join",
@@ -2263,6 +2308,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, 8000 AS sample_rate, n::BIGINT AS n_samples,
                    SUM(v)::BIGINT AS checksum
             FROM s GROUP BY media_id, n
+        """,
+        # closed-form: snap0 append 10 rows; snap1 append 15 (carry);
+        # snap2 overwrite 15 − 5 deleted evens + 2 inserted = 12
+        "iceberg_snapshots": """
+            SELECT * FROM (VALUES
+                (0, 'append',    10::BIGINT, 12::BIGINT),
+                (1, 'append',    15::BIGINT, 12::BIGINT),
+                (2, 'overwrite', 12::BIGINT, 12::BIGINT)
+            ) AS t(ordinal, operation, n_rows, n_current)
         """,
         "retile_incremental": f"""
             WITH base AS (SELECT id, lon, lat FROM {_POINTS_SQL} p),
