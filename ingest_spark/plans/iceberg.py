@@ -334,13 +334,17 @@ class IcebergMetadataBackend(SnapshotBackend):
 
     def _write_snapshot(self, path: str, md: dict, files: "list[dict]",
                         operation: str, carry_entries: "list | None" = None,
-                        extra_summary: "dict | None" = None) -> dict:
+                        extra_summary: "dict | None" = None,
+                        deleted_entries: "list | None" = None) -> dict:
         """Append a snapshot (manifest file + manifest list + metadata
         entry). ``files`` become ADDED entries under the new snapshot;
         ``carry_entries`` (prior manifest_entry records, e.g. the
         previous snapshot's live set for an append) are re-emitted as
-        EXISTING with their original snapshot/sequence numbers, per
-        the spec's manifest-inheritance rules."""
+        EXISTING with their original snapshot/sequence numbers, and
+        ``deleted_entries`` (files an overwrite/replace removes) as
+        DELETED — scans skip them, but incremental consumers
+        (``changes_between``) see exactly what each commit removed,
+        per the spec's manifest-inheritance rules."""
         meta = self._meta_dir(path)
         os.makedirs(meta, exist_ok=True)
         commit_uuid = _uuid.uuid4().hex
@@ -353,6 +357,9 @@ class IcebergMetadataBackend(SnapshotBackend):
         entries = []
         for prev in carry_entries or []:
             entries.append({**prev, "status": STATUS_EXISTING})
+        for prev in deleted_entries or []:
+            entries.append({**prev, "status": STATUS_DELETED,
+                            "snapshot_id": snapshot_id})
         for fdesc in files:
             part_rec = {}
             for c in spec_cols:
@@ -385,6 +392,8 @@ class IcebergMetadataBackend(SnapshotBackend):
         carried = carry_entries or []
         carried_rows = sum(
             e["data_file"]["record_count"] for e in carried)
+        dead = deleted_entries or []
+        dead_rows = sum(e["data_file"]["record_count"] for e in dead)
         min_seq = min(
             [seq] + [e["sequence_number"] or seq for e in carried])
         mlist_path = os.path.join(
@@ -399,10 +408,10 @@ class IcebergMetadataBackend(SnapshotBackend):
             "added_snapshot_id": snapshot_id,
             "added_files_count": len(files),
             "existing_files_count": len(carried),
-            "deleted_files_count": 0,
+            "deleted_files_count": len(dead),
             "added_rows_count": n_rows,
             "existing_rows_count": carried_rows,
-            "deleted_rows_count": 0,
+            "deleted_rows_count": dead_rows,
         }])
 
         now_ms = int(time.time() * 1000)
@@ -417,6 +426,7 @@ class IcebergMetadataBackend(SnapshotBackend):
                 "operation": operation,
                 "added-data-files": str(len(files)),
                 "added-records": str(n_rows),
+                "deleted-data-files": str(len(dead)),
                 **(extra_summary or {}),
             },
         }
@@ -458,7 +468,10 @@ class IcebergMetadataBackend(SnapshotBackend):
             else:
                 md = self._maybe_evolve(md, df.schema)
                 op = "overwrite" if md["current-snapshot-id"] != -1 else "append"
-            md = self._write_snapshot(path, md, files, op)
+            dead = (self._live_entries(md)
+                    if op == "overwrite" else None)
+            md = self._write_snapshot(path, md, files, op,
+                                      deleted_entries=dead)
             try:
                 self._publish(path, md)
                 return
@@ -714,7 +727,8 @@ class IcebergMetadataBackend(SnapshotBackend):
         staged = self._stage_data_files(df, path, partition_by)
         for _attempt in range(self.max_retries):
             md = self.current_metadata(path)
-            md2 = self._write_snapshot(path, md, staged, "replace")
+            md2 = self._write_snapshot(path, md, staged, "replace",
+                                       deleted_entries=self._live_entries(md))
             try:
                 self._publish(path, md2)
                 return {"rewritten_files": len(files),
@@ -722,3 +736,44 @@ class IcebergMetadataBackend(SnapshotBackend):
             except CommitConflict:
                 continue
         raise CommitConflict(f"compaction lost {self.max_retries} races")
+
+    def changes_between(self, spark: SparkSession, path: str,
+                        from_snapshot: "int | None", to_snapshot: int):
+        """Incremental changelog (CDC read): rows added and rows
+        removed between two snapshots, derived purely from manifest
+        entry statuses — walk the snapshots after ``from_snapshot`` up
+        to ``to_snapshot`` and read each one's ADDED files as inserts
+        and DELETED files as deletes. ``from_snapshot=None`` means
+        from table creation. Returns (added_df, removed_df).
+
+        This is the catalog-level face of the engine's changeset
+        operator (operators/changeset.py): a downstream consumer
+        tails the snapshot log instead of re-reading the table. Note
+        copy-on-write granularity is the file: a MERGE rewriting a
+        file reports its surviving rows in both frames (standard
+        overwrite-CDC semantics without positional delete files)."""
+        md = self.current_metadata(path)
+        if md is None:
+            raise FileNotFoundError(path)
+        snaps = md["snapshots"]
+        ids = [s["snapshot-id"] for s in snaps]
+        hi = ids.index(to_snapshot)
+        lo = -1 if from_snapshot is None else ids.index(from_snapshot)
+        added_files, removed_files = [], []
+        for s in snaps[lo + 1:hi + 1]:
+            _, manifests = avro.read_ocf(s["manifest-list"])
+            for m in manifests:
+                _, entries = avro.read_ocf(m["manifest_path"])
+                for e in entries:
+                    fp = e["data_file"]["file_path"]
+                    if (e["status"] == STATUS_ADDED
+                            and e["snapshot_id"] == s["snapshot-id"]):
+                        added_files.append(fp)
+                    elif (e["status"] == STATUS_DELETED
+                            and e["snapshot_id"] == s["snapshot-id"]):
+                        removed_files.append(fp)
+        # a file added then removed inside the window nets out
+        net_added = [f for f in added_files if f not in set(removed_files)]
+        net_removed = [f for f in removed_files if f not in set(added_files)]
+        return (self._read_files(spark, md, net_added),
+                self._read_files(spark, md, net_removed))

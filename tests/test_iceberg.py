@@ -389,3 +389,51 @@ class TestStreamingIcebergSink:
                          summary={"streaming-batch-id": "7"})
         assert len(calls) == 1
         assert b.read(spark, table).count() == 1
+
+
+class TestChangelog:
+    def test_overwrite_emits_deleted_entries(self, spark, tmp_path):
+        from ingest_spark.plans.iceberg import STATUS_DELETED
+        b = IcebergMetadataBackend()
+        path = str(tmp_path / "tbl")
+        b.commit(_df(spark, [(1, "a"), (2, "b")]), path)
+        b.commit(_df(spark, [(3, "c")]), path)
+        md = b.current_metadata(path)
+        snap = md["snapshots"][-1]
+        assert snap["summary"]["operation"] == "overwrite"
+        assert int(snap["summary"]["deleted-data-files"]) >= 1
+        _, manifests = avro.read_ocf(snap["manifest-list"])
+        assert manifests[0]["deleted_files_count"] >= 1
+        assert manifests[0]["deleted_rows_count"] == 2
+        _, entries = avro.read_ocf(manifests[0]["manifest_path"])
+        dead = [e for e in entries if e["status"] == STATUS_DELETED]
+        assert dead and all(
+            e["snapshot_id"] == snap["snapshot-id"] for e in dead)
+        # scans still skip DELETED entries
+        assert {r.id for r in b.read(spark, path).collect()} == {3}
+
+    def test_changes_between(self, spark, tmp_path):
+        b = IcebergMetadataBackend()
+        path = str(tmp_path / "tbl")
+        b.append(_df(spark, [(1, "a"), (2, "b")]), path)
+        s1 = b.current_metadata(path)["current-snapshot-id"]
+        b.append(_df(spark, [(3, "c")]), path)
+        s2 = b.current_metadata(path)["current-snapshot-id"]
+        b.merge_overwrite(
+            spark, path,
+            spark.createDataFrame([(1,)], "id long"),
+            _df(spark, [(4, "d")]),
+        )
+        s3 = b.current_metadata(path)["current-snapshot-id"]
+        # window s1 -> s2: one appended file, nothing removed
+        add, rem = b.changes_between(spark, path, s1, s2)
+        assert {r.id for r in add.collect()} == {3}
+        assert rem.count() == 0
+        # window s2 -> s3 (the merge): copy-on-write file granularity —
+        # the rewrite adds the merged content, removes the old files
+        add, rem = b.changes_between(spark, path, s2, s3)
+        assert {r.id for r in add.collect()} == {2, 3, 4}
+        assert {r.id for r in rem.collect()} == {1, 2, 3}
+        # full history nets to the live table
+        add, rem = b.changes_between(spark, path, None, s3)
+        assert {r.id for r in add.collect()} == {2, 3, 4}
