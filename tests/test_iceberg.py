@@ -437,3 +437,40 @@ class TestChangelog:
         # full history nets to the live table
         add, rem = b.changes_between(spark, path, None, s3)
         assert {r.id for r in add.collect()} == {2, 3, 4}
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+if HAVE_HYPOTHESIS:
+    _REC_SCHEMA = {"type": "record", "name": "p", "fields": [
+        {"name": "l", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "b", "type": "bytes"},
+        {"name": "u", "type": ["null", "long"], "default": None},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+    ]}
+
+    class TestAvroProperties:
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(st.fixed_dictionaries({
+            "l": st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+            "s": st.text(max_size=40),
+            "b": st.binary(max_size=40),
+            "u": st.one_of(st.none(), st.integers(
+                min_value=-(1 << 62), max_value=1 << 62)),
+            "arr": st.lists(st.integers(
+                min_value=-(1 << 40), max_value=1 << 40), max_size=8),
+            "m": st.dictionaries(st.text(max_size=8),
+                                 st.text(max_size=8), max_size=5),
+        }), max_size=12))
+        def test_ocf_roundtrip_property(self, tmp_path_factory, recs):
+            p = str(tmp_path_factory.mktemp("avro") / "t.avro")
+            avro.write_ocf(p, _REC_SCHEMA, recs)
+            schema, got = avro.read_ocf(p)
+            assert schema == _REC_SCHEMA and got == recs
