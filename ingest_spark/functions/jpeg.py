@@ -1,12 +1,19 @@
 """Baseline JPEG (JFIF) codec — pure numpy + stdlib, no imaging library.
 
-Implements the baseline sequential DCT process of the public ITU-T T.81
-spec: the encoder emits SOI/APP0/DQT/SOF0/DHT/SOS streams with the
+Implements the baseline sequential AND progressive DCT processes of
+the public ITU-T T.81 spec. The encoder emits SOF0 streams with the
 Annex-K example quantization + Huffman tables (quality-scaled per the
-public IJG formula), and the decoder inverts any *baseline* stream —
-marker walk, canonical Huffman entropy decode with byte-destuffing and
-RSTn restart handling, dequantize + dezigzag, batched orthonormal IDCT,
-generic h×v chroma upsampling (4:4:4 / 4:2:2 / 4:2:0), YCbCr→RGB.
+public IJG formula), or SOF2 progressive streams
+(`encode_progressive`: spectral-selection + successive-approximation
+scan script with EOBRUN end-of-band coding under custom per-scan
+Huffman tables). The decoder inverts any baseline or progressive
+stream — marker walk, canonical Huffman entropy decode with
+byte-destuffing and RSTn restart handling, multi-scan coefficient
+accumulation (DC/AC first + refinement per T.81 §G), dequantize +
+dezigzag, batched orthonormal IDCT, generic h×v chroma upsampling
+(4:4:4 / 4:2:2 / 4:2:0), YCbCr→RGB. Progressive and baseline
+encodings of the same image decode to IDENTICAL pixels (same final
+coefficients), which is the cross-check the tests pin.
 
 Reference analog: the reference pipeline treats media payloads as
 opaque bytes (SURVEY.md §2.6); this codec is part of the
@@ -459,51 +466,265 @@ def encode(rgb: np.ndarray, quality: int = 85, subsample: bool = False,
     return bytes(out)
 
 
-def _parse_segments(data: bytes):
-    """Yield (marker, payload, entropy_tail_offset) walking the stream."""
+_ENTROPY_END = None
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _entropy_end(data: bytes, pos: int) -> int:
+    """Offset of the first real marker (not a stuffed 0x00 / RSTn)
+    at or after ``pos`` — the end of a scan's entropy data."""
+    global _ENTROPY_END
+    import re
+
+    if _ENTROPY_END is None:
+        _ENTROPY_END = re.compile(rb"\xff(?![\x00\xd0-\xd7])")
+    m = _ENTROPY_END.search(data, pos)
+    return m.start() if m else len(data)
+
+
+def _destuff_segments(data: bytes) -> list:
+    """One scan's entropy bytes → restart-split list of destuffed
+    segments (byte work is C-speed: split on RSTn, undo stuffing with
+    bytes.replace)."""
+    import re
+
+    return [seg.replace(b"\xff\x00", b"\xff")
+            for seg in re.split(rb"\xff[\xd0-\xd7]", data)]
+
+
+def _decode_scan(comps_in_scan, htables, segs, restart_interval,
+                 mcus_x, mcus_y, ss, se, ah, al, w, h, hmax, vmax):
+    """Decode one scan (baseline or progressive) into the persistent
+    per-component coefficient arrays (rows in zigzag order).
+
+    Implements the four T.81 §G block procedures: DC first
+    (diff-coded at precision Al), DC refinement (one raw bit), AC
+    first (run/size with EOBRUN end-of-band runs), AC refinement
+    (±1<<Al insertions with correction bits on history-nonzero
+    coefficients). A baseline stream is the Ss=0/Se=63/Ah=Al=0
+    interleaved special case and takes a list-batched fast path.
+    """
+    interleaved = len(comps_in_scan) > 1
+    seg_i = 0
+    reader = _BitReader(segs[0])
+    pred = {c["id"]: 0 for c in comps_in_scan}
+    eobrun = 0
+
+    def _next_segment():
+        nonlocal reader, pred, eobrun, seg_i
+        seg_i += 1
+        if seg_i >= len(segs):
+            raise ValueError("missing restart segment")
+        reader = _BitReader(segs[seg_i])
+        pred = {c["id"]: 0 for c in comps_in_scan}
+        eobrun = 0
+
+    if interleaved and ss == 0 and se == 63 and ah == 0 and al == 0:
+        # ------------------------------- baseline fast path (one scan)
+        n_mcus = mcus_x * mcus_y
+        for mcu_index in range(n_mcus):
+            if (restart_interval and mcu_index
+                    and mcu_index % restart_interval == 0):
+                _next_segment()
+            my, mx = divmod(mcu_index, mcus_x)
+            for c in comps_in_scan:
+                dct = htables[(0, c["td"])]
+                act = htables[(1, c["ta"])]
+                read = reader.read
+                read_symbol = reader.read_symbol
+                cid = c["id"]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = [0] * 64
+                        size = read_symbol(dct)
+                        raw = read(size)
+                        if size and raw < (1 << (size - 1)):
+                            raw -= (1 << size) - 1
+                        pred[cid] += raw
+                        zz[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            rs = read_symbol(act)
+                            size = rs & 0xF
+                            if size == 0:
+                                if rs == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            raw = read(size)
+                            if raw < (1 << (size - 1)):
+                                raw -= (1 << size) - 1
+                            zz[k] = raw
+                            k += 1
+                        bi = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                        c["coef"][bi] = zz
+        return
+
+    p1 = 1 << al
+
+    def _dc_first(c, bi):
+        raw_size = reader.read_symbol(htables[(0, c["td"])])
+        raw = reader.read(raw_size)
+        if raw_size and raw < (1 << (raw_size - 1)):
+            raw -= (1 << raw_size) - 1
+        pred[c["id"]] += raw
+        c["coef"][bi, 0] = pred[c["id"]] << al
+
+    def _dc_refine(c, bi):
+        if reader.read(1):
+            c["coef"][bi, 0] |= p1
+
+    ac_start = max(ss, 1)  # a full-band scan's AC part begins at 1
+
+    def _ac_first(c, bi):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        act = htables[(1, c["ta"])]
+        read = reader.read
+        row = c["coef"][bi]
+        k = ac_start
+        while k <= se:
+            rs = reader.read_symbol(act)
+            r, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += read(r)
+                return
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            raw = read(size)
+            if raw < (1 << (size - 1)):
+                raw -= (1 << size) - 1
+            row[k] = raw << al
+            k += 1
+
+    def _ac_refine(c, bi):
+        nonlocal eobrun
+        act = htables[(1, c["ta"])]
+        read = reader.read
+        row = c["coef"][bi]
+        k = ac_start
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.read_symbol(act)
+                r, size = rs >> 4, rs & 0xF
+                if size == 0:
+                    if r < 15:  # EOBn: rest of band is correction-only
+                        # run INCLUDES this block (its remainder below
+                        # still consumes correction bits, then -= 1)
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += read(r)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history positions
+                else:  # size is 1 by construction: a new ±1<<Al coef
+                    val = p1 if read(1) else -p1
+                while k <= se:
+                    c0 = int(row[k])
+                    if c0 != 0:
+                        if read(1) and (c0 & p1) == 0:
+                            row[k] = c0 + (p1 if c0 > 0 else -p1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val != 0 and k <= se:
+                    row[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                c0 = int(row[k])
+                if c0 != 0:
+                    if read(1) and (c0 & p1) == 0:
+                        row[k] = c0 + (p1 if c0 > 0 else -p1)
+                k += 1
+            eobrun -= 1
+
+    def _block(c, bi):
+        if ss == 0:
+            (_dc_first if ah == 0 else _dc_refine)(c, bi)
+        if se > 0 and ss <= se and not (ss == 0 and se == 0):
+            band_c = c
+            if ah == 0:
+                _ac_first(band_c, bi)
+            else:
+                _ac_refine(band_c, bi)
+
+    if interleaved:
+        n_mcus = mcus_x * mcus_y
+        for mcu_index in range(n_mcus):
+            if (restart_interval and mcu_index
+                    and mcu_index % restart_interval == 0):
+                _next_segment()
+            my, mx = divmod(mcu_index, mcus_x)
+            for c in comps_in_scan:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        bi = (my * c["v"] + by) * c["bw"] \
+                            + (mx * c["h"] + bx)
+                        _block(c, bi)
+    else:
+        # non-interleaved: raster over the COMPONENT's own block grid
+        # (ceil of its sample dims — not the MCU-padded grid)
+        c = comps_in_scan[0]
+        bw_s = _ceil_div(_ceil_div(w * c["h"], hmax), 8)
+        bh_s = _ceil_div(_ceil_div(h * c["v"], vmax), 8)
+        unit = 0
+        for by in range(bh_s):
+            for bx in range(bw_s):
+                if (restart_interval and unit
+                        and unit % restart_interval == 0):
+                    _next_segment()
+                unit += 1
+                _block(c, by * c["bw"] + bx)
+
+
+def decode(data: bytes, _return_coefs: bool = False) -> np.ndarray:
+    """JFIF bytes → (h, w, 3) uint8 RGB (grayscale replicated).
+
+    Handles baseline (SOF0/1) and PROGRESSIVE (SOF2) streams: scans
+    are decoded in sequence into persistent coefficient arrays
+    (spectral selection + successive approximation per T.81 §G), then
+    dequantized and IDCT'd once at the end.
+    """
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (no SOI)")
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple, list] = {}
+    sof = None
+    comps = None
+    restart_interval = 0
+    hmax = vmax = mcus_x = mcus_y = 1
+    h = w = 0
+    any_scan = False
     pos = 2
-    while pos + 4 <= len(data):
+    n = len(data)
+    while pos + 2 <= n:
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
-            return
+            break
+        if 0xD0 <= marker <= 0xD7:  # stray RST between scans
+            pos += 2
+            continue
         ln = struct.unpack(">H", data[pos + 2:pos + 4])[0]
         payload = data[pos + 4:pos + 2 + ln]
-        yield marker, payload, pos + 2 + ln
-        if marker == 0xDA:
-            return
         pos += 2 + ln
-
-
-def _destuff(data: bytes):
-    """Entropy bytes → restart-split list of destuffed segments.
-
-    Splits at RSTn markers so each interval decodes from a
-    byte-aligned reader with reset DC predictors. All byte work is
-    C-speed: the scan end is the first 0xFF not followed by a stuffed
-    0x00 or an RSTn, segments split on the RSTn markers, and stuffing
-    is undone with bytes.replace.
-    """
-    import re
-
-    m = re.search(rb"\xff(?![\x00\xd0-\xd7])", data)
-    scan = data[:m.start()] if m else data
-    return [seg.replace(b"\xff\x00", b"\xff")
-            for seg in re.split(rb"\xff[\xd0-\xd7]", scan)]
-
-
-def decode(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → (h, w, 3) uint8 RGB (grayscale replicated)."""
-    qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], dict] = {}
-    sof = None
-    restart_interval = 0
-    scan = None
-    entropy_start = None
-    for marker, payload, tail in _parse_segments(data):
         if marker == 0xDB:  # DQT (possibly several tables)
             p = 0
             while p < len(payload):
@@ -524,7 +745,7 @@ def decode(data: bytes) -> np.ndarray:
                 vals = list(payload[p + 17:p + 17 + nv])
                 htables[(tc, th)] = _huff_lut((bits, vals))
                 p += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/1 (baseline / ext. sequential)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -533,89 +754,52 @@ def decode(data: bytes) -> np.ndarray:
                 cid, hv, tq = payload[6 + 3 * ci:9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
-            sof = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) unsupported")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for c in comps:
+                c["bw"] = mcus_x * c["h"]
+                c["bh"] = mcus_y * c["v"]
+                c["coef"] = np.zeros((c["bh"] * c["bw"], 64),
+                                     dtype=np.int64)
+            sof = marker
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"unsupported JPEG process (SOF marker 0x{marker:02x})")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", payload[:2])[0]
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode one scan's entropy data
+            if comps is None:
+                raise ValueError("SOS before SOF")
             ns = payload[0]
-            scan = []
+            by_id = {c["id"]: c for c in comps}
+            scomps = []
             for si in range(ns):
                 cs, tdta = payload[1 + 2 * si:3 + 2 * si]
-                scan.append({"id": cs, "td": tdta >> 4, "ta": tdta & 0xF})
-            entropy_start = tail
-    if sof is None or scan is None:
+                c = by_id[cs]
+                c["td"], c["ta"] = tdta >> 4, tdta & 0xF
+                scomps.append(c)
+            ss_, se_, ahal = payload[1 + 2 * ns:4 + 2 * ns]
+            end = _entropy_end(data, pos)
+            segs = _destuff_segments(data[pos:end])
+            _decode_scan(
+                scomps, htables, segs, restart_interval,
+                mcus_x, mcus_y, ss_, se_, ahal >> 4, ahal & 0xF,
+                w, h, hmax, vmax,
+            )
+            any_scan = True
+            pos = end
+        # other markers (APPn, COM): skipped by the length walk
+    if sof is None or not any_scan:
         raise ValueError("JPEG without SOF/SOS")
 
-    h, w, comps = sof
-    by_id = {c["id"]: c for c in comps}
-    for s in scan:
-        by_id[s["id"]].update(td=s["td"], ta=s["ta"])
-    order = [by_id[s["id"]] for s in scan]
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-
-    for c in order:
-        c["bw"] = mcus_x * c["h"]
-        c["bh"] = mcus_y * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
-
-    segs = _destuff(data[entropy_start:])
-    seg_i = 0
-    reader = _BitReader(segs[0])
-    pred = {c["id"]: 0 for c in order}
-    n_mcus = mcus_x * mcus_y
-    for mcu_index in range(n_mcus):
-        if (restart_interval and mcu_index
-                and mcu_index % restart_interval == 0):
-            seg_i += 1
-            if seg_i >= len(segs):
-                raise ValueError("missing restart segment")
-            reader = _BitReader(segs[seg_i])
-            pred = {c["id"]: 0 for c in order}
-        my, mx = divmod(mcu_index, mcus_x)
-        for c in order:
-            dct = htables[(0, c["td"])]
-            act = htables[(1, c["ta"])]
-            read = reader.read
-            read_symbol = reader.read_symbol
-            cid = c["id"]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    zz = [0] * 64
-                    size = read_symbol(dct)
-                    raw = read(size)
-                    if size and raw < (1 << (size - 1)):
-                        raw -= (1 << size) - 1
-                    pred[cid] += raw
-                    zz[0] = pred[cid]
-                    k = 1
-                    while k < 64:
-                        rs = read_symbol(act)
-                        size = rs & 0xF
-                        if size == 0:
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += rs >> 4
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        raw = read(size)
-                        if raw < (1 << (size - 1)):
-                            raw -= (1 << size) - 1
-                        zz[k] = raw
-                        k += 1
-                    bi = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
-                    c["coef"][bi] = zz
-
+    if _return_coefs:  # debugging/test hook: zigzag coefficient arrays
+        return {c["id"]: c["coef"] for c in comps}
     # dequantize + batched IDCT per component, then upsample to full res
     planes = []
-    for c in order:
+    for c in comps:
         q = qtables[c["tq"]].reshape(-1)
         nat = np.zeros_like(c["coef"])
         nat[:, ZIGZAG] = c["coef"]
@@ -632,3 +816,332 @@ def decode(data: bytes) -> np.ndarray:
         return np.repeat(y[..., None], 3, axis=2).astype(np.uint8)
     ycc = np.stack(planes[:3], axis=-1)
     return (ycbcr_to_rgb(ycc) + 0.5).astype(np.uint8)
+
+
+class _SymbolRecorder:
+    """Counting-pass stand-in for a Huffman code dict: records which
+    symbols a scan will emit (progressive EOBn symbols are not in the
+    baseline Annex-K tables, so each AC scan ships a custom DHT)."""
+
+    def __init__(self):
+        self.used = set()
+
+    def __getitem__(self, sym):
+        self.used.add(sym)
+        return (0, 1)
+
+
+class _NullWriter:
+    def __init__(self):
+        self.buf = bytearray()
+
+    def write(self, code, length):
+        pass
+
+    def flush(self):
+        pass
+
+
+def _table_from_symbols(syms: list) -> "tuple[list, list]":
+    """A valid (BITS, HUFFVAL) spec assigning every symbol a code of
+    one flat length L with 2^L > len(syms) — a legal canonical prefix
+    code that never uses the all-ones codeword."""
+    m = len(syms)
+    ln = max(2, (m + 1).bit_length() if (1 << (m.bit_length())) <= m + 1
+             else m.bit_length())
+    while (1 << ln) <= m:
+        ln += 1
+    bits = [0] * 16
+    bits[ln - 1] = m
+    return bits, list(syms)
+
+
+def encode_progressive(rgb: np.ndarray, quality: int = 85,
+                       subsample: bool = False,
+                       restart_interval: int = 0) -> bytes:
+    """(h, w, 3) uint8 RGB → PROGRESSIVE JFIF bytes (SOF2).
+
+    Emits a fourteen-scan script exercising the full T.81 §G
+    machinery: an interleaved DC-first scan at precision Al=1,
+    per-component AC-first scans for bands 1-5 and 6-63 (also Al=1,
+    with EOBRUN end-of-band coding under custom per-scan Huffman
+    tables — the baseline Annex-K tables lack the EOBn symbols), then
+    a DC refinement scan and per-component AC refinement scans
+    (Ah=1→Al=0, ±1 insertions with correction bits on history-nonzero
+    coefficients). The final coefficient values equal the baseline
+    encoding's exactly, so
+    ``decode(encode_progressive(x)) == decode(encode(x))``
+    bit-for-bit — the test oracle in test_codecs.py.
+    """
+    h, w = rgb.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qy, qc = quality_tables(quality)
+    ycc = rgb_to_ycbcr(np.asarray(rgb, dtype=np.uint8))
+    if subsample is True:
+        hv = (2, 2)
+    elif subsample:
+        hv = (int(subsample[0]), int(subsample[1]))
+    else:
+        hv = (1, 1)
+    hmax, vmax = hv
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    samp = [hv, (1, 1), (1, 1)]
+    qtabs = [qy, qc, qc]
+    comp_zz = []  # per component: (nblocks, 64) zigzag-ordered ints
+    for ci in range(3):
+        hi, vi = samp[ci]
+        plane = ycc[..., ci]
+        if (hi, vi) != (hmax, vmax):
+            fy, fx = vmax // vi, hmax // hi
+            ph = -(-h // fy) * fy
+            pw = -(-w // fx) * fx
+            p = _pad_to(plane, ph, pw)
+            plane = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        plane = _pad_to(plane, mcus_y * vi * 8, mcus_x * hi * 8) - 128.0
+        blocks = _blockify(plane)
+        coefs = np.einsum("ij,njk,lk->nil", _DCT_M, blocks, _DCT_M)
+        q = np.round(coefs / qtabs[ci]).astype(np.int64)
+        comp_zz.append(q.reshape(-1, 64)[:, ZIGZAG])
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, q in ((0, qy), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(q.reshape(-1)[ZIGZAG[i]]) for i in range(64))
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * 3, 8, h, w, 3)  # SOF2
+    for ci, (hi, vi) in enumerate(samp):
+        out += struct.pack(">BBB", ci + 1, (hi << 4) | vi,
+                           0 if ci == 0 else 1)
+    for tc, tid, spec in (
+        (0, 0, DC_LUMA_SPEC), (0, 1, DC_CHROMA_SPEC),
+    ):
+        bits, vals = spec
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals),
+                                         (tc << 4) | tid)
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    dc_tabs = [_huff_codes(DC_LUMA_SPEC), _huff_codes(DC_CHROMA_SPEC)]
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        hdr = bytearray(b"\xff\xda")
+        hdr += struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        for ci in comp_ids:
+            t = 0 if ci == 0 else 1
+            hdr += struct.pack(">BB", ci + 1, (t << 4) | t)
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return bytes(hdr)
+
+    def dht_segment(tc, tid, spec):
+        bits, vals = spec
+        return (b"\xff\xc4" + struct.pack(">HB", 19 + len(vals),
+                                          (tc << 4) | tid)
+                + bytes(bits) + bytes(vals))
+
+    def make_rst(writer, flush_cb=None):
+        state = {"marker": 0, "unit": 0}
+
+        def tick():
+            fire = (restart_interval and state["unit"]
+                    and state["unit"] % restart_interval == 0)
+            if fire:
+                if flush_cb:
+                    flush_cb()
+                writer.flush()
+                writer.buf += bytes([0xFF, 0xD0 + state["marker"]])
+                state["marker"] = (state["marker"] + 1) % 8
+            state["unit"] += 1
+            return bool(fire)
+        return tick
+
+    def comp_blocks(ci):
+        """Raster order over the component's OWN grid (ceil dims)."""
+        hi, vi = samp[ci]
+        bw = mcus_x * hi
+        bw_s = _ceil_div(_ceil_div(w * hi, hmax), 8)
+        bh_s = _ceil_div(_ceil_div(h * vi, vmax), 8)
+        for by in range(bh_s):
+            for bx in range(bw_s):
+                yield by * bw + bx
+
+    # ---- scan 1: interleaved DC first, Al=1
+    al = 1
+    writer = _BitWriter()
+    tick = make_rst(writer)
+    pred = [0, 0, 0]
+    for mcu_index in range(mcus_x * mcus_y):
+        if tick():
+            pred = [0, 0, 0]
+        for ci in range(3):
+            hi, vi = samp[ci]
+            bw = mcus_x * hi
+            my, mx = divmod(mcu_index, mcus_x)
+            dct = dc_tabs[0 if ci == 0 else 1]
+            for by in range(vi):
+                for bx in range(hi):
+                    bi = (my * vi + by) * bw + (mx * hi + bx)
+                    v = int(comp_zz[ci][bi, 0]) >> al  # arithmetic floor
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    raw, size = _magnitude(diff)
+                    code, ln = dct[size]
+                    writer.write(code, ln)
+                    if size:
+                        writer.write(raw, size)
+    writer.flush()
+    out += sos_header([0, 1, 2], 0, 0, 0, al) + writer.buf
+
+    def ac_first_body(ci, ss, se, al, act, writer):
+        eobrun = 0
+        pending = [0]
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                code, ln = act[nbits << 4]
+                writer.write(code, ln)
+                if nbits:
+                    writer.write(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+
+        tick = make_rst(writer, flush_eobrun)
+        for bi in comp_blocks(ci):
+            tick()
+            row = comp_zz[ci][bi]
+            band = [
+                (abs(int(row[k])) >> al) * (1 if row[k] >= 0 else -1)
+                for k in range(ss, se + 1)
+            ]
+            nz = [i for i, t in enumerate(band) if t]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+                continue
+            flush_eobrun()
+            r = 0
+            for i in range(nz[-1] + 1):
+                t = band[i]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = act[0xF0]
+                    writer.write(code, ln)
+                    r -= 16
+                raw, size = _magnitude(t)
+                code, ln = act[(r << 4) | size]
+                writer.write(code, ln)
+                writer.write(raw, size)
+                r = 0
+            if nz[-1] < se - ss:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+        flush_eobrun()
+        writer.flush()
+
+    def ac_refine_body(ci, ss, se, ah, al, act, writer):
+        eobrun = 0
+        be = []  # correction bits buffered across the EOB run
+
+        def flush_eobrun():
+            nonlocal eobrun, be
+            if eobrun > 0:
+                nbits = eobrun.bit_length() - 1
+                code, ln = act[nbits << 4]
+                writer.write(code, ln)
+                if nbits:
+                    writer.write(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+            for b in be:
+                writer.write(b, 1)
+            be = []
+
+        tick = make_rst(writer, flush_eobrun)
+        for bi in comp_blocks(ci):
+            tick()
+            row = comp_zz[ci][bi]
+            absband = [abs(int(row[k])) >> al for k in range(ss, se + 1)]
+            r = 0
+            br = []
+            for i, t in enumerate(absband):
+                if t == 0:
+                    r += 1
+                    continue
+                if t > 1:  # history-nonzero: append its bit-Al
+                    br.append(t & 1)
+                    continue
+                # t == 1: newly nonzero at this precision
+                flush_eobrun()
+                while r > 15:
+                    code, ln = act[0xF0]
+                    writer.write(code, ln)
+                    for b in br:
+                        writer.write(b, 1)
+                    br = []
+                    r -= 16
+                code, ln = act[(r << 4) | 1]
+                writer.write(code, ln)
+                writer.write(1 if row[ss + i] > 0 else 0, 1)
+                for b in br:
+                    writer.write(b, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                be.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+        flush_eobrun()
+        writer.flush()
+
+    def ac_scan(body, ci, ss, se, ah, al):
+        # pass 1: record the symbols the scan emits; pass 2: emit
+        # under a custom canonical table shipped in a per-scan DHT
+        rec = _SymbolRecorder()
+        body(ci, ss, se, *((ah, al) if body is ac_refine_body else (al,)),
+             act=rec, writer=_NullWriter())
+        spec = _table_from_symbols(sorted(rec.used))
+        act = _huff_codes(spec)
+        writer = _BitWriter()
+        body(ci, ss, se, *((ah, al) if body is ac_refine_body else (al,)),
+             act=act, writer=writer)
+        tid = 0 if ci == 0 else 1
+        return (dht_segment(1, tid, spec)
+                + sos_header([ci], ss, se, ah, al) + writer.buf)
+
+    for ci in range(3):
+        out += ac_scan(ac_first_body, ci, 1, 5, 0, 1)
+    for ci in range(3):
+        out += ac_scan(ac_first_body, ci, 6, 63, 0, 1)
+
+    # ---- interleaved DC refinement (Ah=1, Al=0): raw bits, no table
+    writer = _BitWriter()
+    tick = make_rst(writer)
+    for mcu_index in range(mcus_x * mcus_y):
+        tick()
+        for ci in range(3):
+            hi, vi = samp[ci]
+            bw = mcus_x * hi
+            my, mx = divmod(mcu_index, mcus_x)
+            for by in range(vi):
+                for bx in range(hi):
+                    bi = (my * vi + by) * bw + (mx * hi + bx)
+                    writer.write(int(comp_zz[ci][bi, 0]) & 1, 1)
+    writer.flush()
+    out += sos_header([0, 1, 2], 0, 0, 1, 0) + writer.buf
+
+    for ci in range(3):
+        out += ac_scan(ac_refine_body, ci, 1, 5, 1, 0)
+    for ci in range(3):
+        out += ac_scan(ac_refine_body, ci, 6, 63, 1, 0)
+
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -839,11 +839,14 @@ def synthetic_compressed_pixels(media_id: int, fmt: str, w: int, h: int) -> np.n
 
 
 def synthetic_compressed_media(spark: SparkSession, n: int = 120) -> DataFrame:
-    """Deterministic table of REAL compressed payloads: baseline JPEG
-    (4:4:4 and 4:2:0, some rows with restart markers), GIF89a (LZW),
-    and PNG (DEFLATE, rotating filter types) — fmt cycles by
-    ``media_id % 3``, dims are closed-form so a SQL oracle can re-derive
-    every shape fact (`multimodal_compressed_decode` contract query)."""
+    """Deterministic table of REAL compressed payloads: JPEG (4:4:4
+    and 4:2:0, some rows with restart markers, every fourth jpeg row
+    a PROGRESSIVE SOF2 stream), GIF89a (LZW), and PNG (DEFLATE,
+    rotating filter types) — fmt cycles by ``media_id % 3``, dims are
+    closed-form so a SQL oracle can re-derive every shape fact
+    (`multimodal_compressed_decode` contract query). Progressive and
+    baseline rows share the same pixel tolerance (identical final
+    coefficients)."""
     df = spark.range(0, n).withColumnRenamed("id", "media_id")
     i = F.col("media_id")
     fmt = (
@@ -860,7 +863,9 @@ def synthetic_compressed_media(spark: SparkSession, n: int = 120) -> DataFrame:
             m, ww, hh = int(m), int(ww), int(hh)
             px = synthetic_compressed_pixels(m, f_, ww, hh)
             if f_ == "jpeg":
-                out.append(_jpeg.encode(
+                enc = (_jpeg.encode_progressive
+                       if (m // 3) % 4 == 3 else _jpeg.encode)
+                out.append(enc(
                     px, quality=90,
                     subsample=(m // 3) % 2 == 1,
                     restart_interval=2 if m % 9 == 0 else 0,

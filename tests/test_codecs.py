@@ -98,12 +98,21 @@ class TestJPEG:
                 direct[u, v] = s * cu * cv / 4
         assert np.abs(fast - direct).max() < 1e-9
 
-    def test_progressive_rejected(self):
+    def test_unsupported_process_rejected(self):
         data = bytearray(jpeg.encode(_gradient(8, 8)))
         i = bytes(data).index(b"\xff\xc0")
-        data[i + 1] = 0xC2  # SOF0 → SOF2 (same payload layout)
-        with pytest.raises(NotImplementedError, match="progressive"):
+        data[i + 1] = 0xC3  # SOF3: lossless sequential — unsupported
+        with pytest.raises(NotImplementedError, match="SOF"):
             jpeg.decode(bytes(data))
+        # SOF0 -> SOF2 relabeling of a single full-band scan still
+        # decodes identically (baseline is the Ss=0/Se=63 special case
+        # of the progressive machinery)
+        img = _gradient(16, 16)
+        base = bytearray(jpeg.encode(img, quality=85))
+        j = bytes(base).index(b"\xff\xc0")
+        base[j + 1] = 0xC2
+        assert (jpeg.decode(bytes(base))
+                == jpeg.decode(jpeg.encode(img, quality=85))).all()
 
     def test_non_jpeg_rejected(self):
         with pytest.raises(ValueError):
@@ -226,3 +235,56 @@ class TestGeneratorGrid:
         assert worst["444"] <= 12, worst
         assert worst["420"] <= 28, worst
         assert max(worst.values()) <= JPEG_TOL
+
+
+class TestProgressiveJPEG:
+    def test_progressive_equals_baseline_exactly(self):
+        """The final coefficients of a progressive stream equal the
+        baseline encoding's, so decoded pixels must match bit-exactly
+        — this pins every §G path: DC/AC first + refinement, EOBRUN,
+        ZRL-in-refinement, custom per-scan DHTs, non-interleaved
+        component grids (ceil dims, not MCU-padded)."""
+        rng = np.random.default_rng(11)
+        cases = [
+            _gradient(17, 23),          # non-MCU-aligned grid
+            rng.integers(0, 256, (24, 40, 3), dtype=np.uint8),
+            np.full((16, 16, 3), 200, np.uint8),
+        ]
+        for img in cases:
+            for sub in (False, True):
+                for q in (30, 85):
+                    base = jpeg.decode(jpeg.encode(
+                        img.astype(np.uint8), quality=q, subsample=sub))
+                    prog = jpeg.decode(jpeg.encode_progressive(
+                        img.astype(np.uint8), quality=q, subsample=sub))
+                    assert (base == prog).all(), (img.shape, sub, q)
+
+    def test_progressive_markers_and_structure(self):
+        data = jpeg.encode_progressive(_gradient(16, 16))
+        assert b"\xff\xc2" in data          # SOF2
+        assert data.count(b"\xff\xda") == 14  # the 14-scan script
+        # per-scan custom DHTs: 2 DC up front + 12 AC
+        assert data.count(b"\xff\xc4") == 14
+
+    def test_progressive_restart_markers(self):
+        img = _gradient(33, 31)
+        data = jpeg.encode_progressive(img, quality=85, restart_interval=2)
+        assert any(bytes([0xFF, 0xD0 + i]) in data for i in range(8))
+        base = jpeg.decode(jpeg.encode(img, quality=85))
+        assert (jpeg.decode(data) == base).all()
+
+    def test_truncated_progressive_still_decodes(self):
+        # a progressive stream cut after the early scans decodes to a
+        # coarse image — the property the format exists for; decoding
+        # must not raise. Cut right before the 8th SOS and append EOI.
+        img = _gradient(32, 32)
+        data = jpeg.encode_progressive(img, quality=85)
+        idx = -1
+        for _ in range(8):
+            idx = data.index(b"\xff\xda", idx + 1)
+        coarse = jpeg.decode(data[:idx] + b"\xff\xd9")
+        assert coarse.shape == img.shape
+        # coarse pass carries the DC at reduced precision: within a
+        # quant step + subsampling of the real image on this gradient
+        full = jpeg.decode(jpeg.encode(img, quality=85))
+        assert np.abs(coarse.astype(int) - full.astype(int)).mean() < 32
