@@ -1513,6 +1513,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decode_compressed_stats(synthetic_compressed_media(spark, n=120))
     q["multimodal_compressed_decode"] = multimodal_compressed_decode
 
+    def multimodal_audio_codecs(spark, sf):
+        # REAL compressed-audio codecs (round 6): synthetic_codec_audio
+        # emits valid WAV payloads rotating G.711 mu-law / A-law
+        # (functions/audio.py companding, fmt tags 7/6) and IMA ADPCM
+        # (4-bit block-adaptive, tag 0x11, vectorized across blocks);
+        # decode_audio_codec_stats routes each through the fmt-tag
+        # dispatch and compares to the closed-form triangle source.
+        # The oracle re-derives codec, sample count, the EXACT
+        # container byte size (pins the RIFF/fact/data layout), and
+        # the tolerance verdict — a companding-table, nibble-order, or
+        # step-adaptation bug breaks the hash.
+        _ensure_shipped(spark)
+        from ingest_spark.operators.multimodal import (
+            decode_audio_codec_stats, synthetic_codec_audio,
+        )
+        return decode_audio_codec_stats(synthetic_codec_audio(spark, n=90))
+    q["multimodal_audio_codecs"] = multimodal_audio_codecs
+
+    def multimodal_mjpeg_decode(spark, sf):
+        # REAL compressed video (round 6): synthetic_mjpeg_media emits
+        # Motion-JPEG AVIs — every '00dc' chunk an independent
+        # baseline T.81 stream from the native encoder (4:4:4 and
+        # 4:2:0 rows) inside the RIFF container; decode_mjpeg_stats
+        # walks the container, decodes every frame through
+        # functions/jpeg.py, and emits per-frame shape facts + the
+        # tolerance verdict vs the closed-form source frames. The
+        # oracle re-derives frame counts/dims/fps in SQL — a container
+        # offset, SOF-dim, Huffman, or upsampling bug drops or flips a
+        # row and breaks the hash.
+        _ensure_shipped(spark)
+        from ingest_spark.operators.multimodal import (
+            decode_mjpeg_stats, synthetic_mjpeg_media,
+        )
+        return decode_mjpeg_stats(synthetic_mjpeg_media(spark, n=60))
+    q["multimodal_mjpeg_decode"] = multimodal_mjpeg_decode
+
     def iceberg_snapshots_q(spark, sf):
         # the catalog commit protocol end-to-end (round 6): three
         # deterministic commits against a fresh Iceberg-v2-layout table
@@ -1811,6 +1847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_counts",  # r5-green; tailed to keep the window at 50 when
                       # multimodal_compressed_decode (round 6) joined it
         "s11_bbox_query",  # r5-green; tailed for iceberg_snapshots
+        "j3_semi_join",  # r5-green; tailed for multimodal_audio_codecs
+        "asof_join",  # r5-green; tailed for multimodal_mjpeg_decode
         "s1_scan_stats", "f2_filter_drop", "j4_order_preserving",
         "j_anti_join", "a1_bbox_agg", "a6_rolling_rate",
         "o3_grid_assign", "salt_hot_cells", "interval_join",
@@ -2252,6 +2290,42 @@ def oracle_sql() -> dict[str, str]:
                    (i % 3 <> 0) AS lossless_exact,
                    TRUE AS within_tol
             FROM (SELECT UNNEST(range(0, 120)) AS i)
+        """,
+        # closed-form twin of synthetic_codec_audio: n_samples per
+        # codec family; payload_bytes pins the exact RIFF layout —
+        # G.711: 12 RIFF + 26 fmt(18) + 12 fact + 8 data hdr + n (even)
+        # = 58 + n; ADPCM: 12 + 28 fmt(20) + 12 fact + 8 + 256/block
+        # = 60 + 256*nb. within_tol TRUE everywhere (triangle source;
+        # measured worst: ulaw 510, alaw 256, adpcm 262 — bounds
+        # pinned by tests/test_codecs.py)
+        "multimodal_audio_codecs": """
+            SELECT i AS media_id,
+                   CASE i % 3 WHEN 0 THEN 'ulaw' WHEN 1 THEN 'alaw'
+                        ELSE 'adpcm' END AS codec,
+                   8000 AS sample_rate,
+                   (CASE WHEN i % 3 = 2 THEN 505 * (4 + i % 13)
+                         ELSE 4000 + 2 * ((i * 97) % 2000)
+                    END)::INT AS n_samples,
+                   (CASE WHEN i % 3 = 2 THEN 60 + 256 * (4 + i % 13)
+                         ELSE 58 + 4000 + 2 * ((i * 97) % 2000)
+                    END)::INT AS payload_bytes,
+                   TRUE AS within_tol
+            FROM (SELECT UNNEST(range(0, 90)) AS i)
+        """,
+        # closed-form twin of synthetic_mjpeg_media: one row per frame;
+        # dims/frame-count/fps are container facts the decode must
+        # reproduce exactly; within_tol TRUE everywhere (smooth
+        # bilinear frames at q=90; measured worst 13 vs MJPEG_TOL=24,
+        # pinned by tests/test_codecs.py)
+        "multimodal_mjpeg_decode": """
+            WITH m AS (
+              SELECT i AS media_id, 16 + i % 13 AS w,
+                     16 + (i * 5) % 11 AS h, 2 + i % 4 AS nf
+              FROM (SELECT UNNEST(range(0, 60)) AS i)
+            )
+            SELECT media_id, fi::INT AS frame_idx, 4 AS fps,
+                   h::INT AS height, w::INT AS width, TRUE AS within_tol
+            FROM m, UNNEST(range(0, nf)) AS u(fi)
         """,
         "multimodal_frames": """
             WITH m AS (

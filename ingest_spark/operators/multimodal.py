@@ -10,15 +10,22 @@ struct. The codec layer:
   `synthetic_media` emits VALID BMP payloads whose pixels follow a
   closed-form pattern, so decode is pixel-exact-verifiable against a
   SQL oracle (`multimodal_decode_pixels` contract query).
-- **WAV (PCM16 mono)**: real pure-numpy decode/encode
-  (`wav_decode`/`wav_encode`); `synthetic_media` audio rows are valid
-  WAV with closed-form samples (`multimodal_audio_decode` query).
-- **AVI (uncompressed 24-bit 'DIB ' frames)**: real pure-numpy
-  container codec (`avi_encode`/`avi_decode` — RIFF chunk tree,
-  '00db' bottom-up-BGR frames, keyframe index); `synthetic_media`
-  video rows are valid 1-fps AVIs with closed-form per-frame pixels
-  (`multimodal_video_decode` contract query). The round-≤4 opaque
-  video blob stub is gone.
+- **WAV (PCM16 mono + compressed, round 6)**: real pure-numpy
+  decode/encode (`wav_decode`/`wav_encode`) dispatching on the fmt
+  tag: PCM16 (tag 1), G.711 A-law/mu-law (tags 6/7) and IMA ADPCM
+  (tag 0x11) via `functions/audio.py`; `synthetic_media` audio rows
+  are valid PCM WAV with closed-form samples
+  (`multimodal_audio_decode` query) and `synthetic_codec_audio` rows
+  rotate the three compressed encodings
+  (`multimodal_audio_codecs` query, exact container-byte oracle).
+- **AVI ('DIB ' uncompressed + Motion-JPEG, round 6)**: real
+  pure-numpy container codec (`avi_encode`/`avi_decode` — RIFF chunk
+  tree, keyframe index) with two frame codecs: raw bottom-up-BGR
+  '00db' DIB frames (byte-exact; `synthetic_media` video rows,
+  `multimodal_video_decode` query) and 'MJPG' '00dc' chunks, each an
+  independent baseline T.81 stream through `functions/jpeg.py`
+  (`synthetic_mjpeg_media` rows, `multimodal_mjpeg_decode` query).
+  The round-<=4 opaque video blob stub is gone.
 - **PNG (8-bit truecolor, round 6)**: a REAL compressed codec with no
   imaging library — DEFLATE via stdlib ``zlib``, CRC-verified chunk
   walk, and all five published scanline filters inverted
@@ -37,8 +44,11 @@ struct. The codec layer:
   the contract query asserts exact pixel equality.
 - **Remaining compressed formats (MP3/MP4/H.264)**: gated behind an
   import-try on PIL (absent in this container) with the deterministic
-  fake decoder as the tested fallback — motion/perceptual codec
-  support is the honest environmental gap, not a semantic stub.
+  fake decoder as the tested fallback — psychoacoustic/motion-
+  compensated codec support is the honest environmental gap, not a
+  semantic stub. Every non-predictive mainstream container/codec
+  (JPEG incl. progressive, PNG, GIF, BMP/PPM, WAV PCM/G.711/ADPCM,
+  AVI DIB/MJPEG) is native.
 
 ``resize`` / ``frame_sample`` / ``feature_extract`` operate on the
 decoded tensor representation with correct Arrow batch semantics
@@ -138,38 +148,64 @@ def _dib_frame(rgb: np.ndarray) -> bytes:
     return rows.tobytes()
 
 
-def avi_encode(frames: np.ndarray, fps: int = 1) -> bytes:
-    """(n, h, w, 3) uint8 RGB frames → minimal VALID uncompressed AVI
-    (RIFF 'AVI ': avih + one 'vids'/'DIB ' stream, '00db' raw
-    bottom-up-BGR DIB frames in 'movi', keyframe 'idx1') — the
+_MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
+
+
+def avi_encode(frames: np.ndarray, fps: int = 1, codec: str = "dib",
+               quality: int = 90, subsample: bool = False) -> bytes:
+    """(n, h, w, 3) uint8 RGB frames → minimal VALID AVI (RIFF 'AVI ':
+    avih + one 'vids' stream, frames in 'movi', keyframe 'idx1') — the
     published RIFF/AVI layout; files written this way open in standard
-    players/ffmpeg. Replaces the round-≤4 opaque-blob video stub."""
+    players/ffmpeg.
+
+    ``codec="dib"`` emits raw bottom-up-BGR '00db' DIB frames
+    (uncompressed, byte-exact). ``codec="mjpg"`` emits Motion-JPEG:
+    each frame an independent baseline T.81 stream from the native
+    `functions/jpeg.py` encoder in a '00dc' chunk, biCompression
+    'MJPG' — every frame a keyframe, which is exactly why MJPEG is the
+    splittable video format for corpus-scale pipelines."""
     n, h, w, _ = frames.shape
-    pad = (4 - (w * 3) % 4) % 4
-    frame_size = (w * 3 + pad) * h
+    if codec == "dib":
+        pad = (4 - (w * 3) % 4) % 4
+        frame_size = (w * 3 + pad) * h
+        payloads = [_dib_frame(frames[i]) for i in range(n)]
+        fcc, comp, cnk = b"DIB ", 0, b"00db"
+        buf_size = frame_size
+    elif codec == "mjpg":
+        payloads = [
+            _jpeg.encode(frames[i], quality=quality, subsample=subsample)
+            for i in range(n)
+        ]
+        fcc, comp, cnk = b"MJPG", _MJPG_FOURCC, b"00dc"
+        frame_size = 0  # variable; biSizeImage is advisory for MJPG
+        buf_size = max(len(p) for p in payloads)
+    else:
+        raise ValueError(f"unknown avi codec {codec!r}")
     avih = b"avih" + struct.pack(
         "<I14I", 56,
-        1_000_000 // fps, frame_size * fps, 0, 0x10,  # HASINDEX
-        n, 0, 1, frame_size, w, h, 0, 0, 0, 0,
+        1_000_000 // fps, buf_size * fps, 0, 0x10,  # HASINDEX
+        n, 0, 1, buf_size, w, h, 0, 0, 0, 0,
     )
     strh = b"strh" + struct.pack(
         "<I4s4sIHHIIIIIIiI4h", 56,
-        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_size, -1, 0,
+        b"vids", fcc, 0, 0, 0, 0, 1, fps, 0, n, buf_size, -1, 0,
         0, 0, w, h,
     )
     strf = b"strf" + struct.pack(
-        "<IIiiHHIIiiII", 40, 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0
+        "<IIiiHHIIiiII", 40, 40, w, h, 1, 24, comp, frame_size, 0, 0, 0, 0
     )
     strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl" + strh + strf
     hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + b"hdrl" + avih + strl
-    movi_body = b"".join(
-        b"00db" + struct.pack("<I", frame_size) + _dib_frame(frames[i])
-        for i in range(n)
-    )
+    chunks, offsets, off = [], [], 4
+    for p in payloads:
+        chunks.append(cnk + struct.pack("<I", len(p)) + p
+                      + (b"\x00" * (len(p) & 1)))
+        offsets.append(off)
+        off += len(chunks[-1])
+    movi_body = b"".join(chunks)
     movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
     idx_body = b"".join(
-        struct.pack("<4sIII", b"00db", 0x10,
-                    4 + i * (8 + frame_size), frame_size)
+        struct.pack("<4sIII", cnk, 0x10, offsets[i], len(payloads[i]))
         for i in range(n)
     )
     idx1 = b"idx1" + struct.pack("<I", len(idx_body)) + idx_body
@@ -178,17 +214,18 @@ def avi_encode(frames: np.ndarray, fps: int = 1) -> bytes:
 
 
 def avi_decode(data: bytes) -> "tuple[int, np.ndarray]":
-    """AVI bytes (uncompressed 24-bit 'DIB ' video stream) → (fps,
-    (n, h, w, 3) uint8 RGB frames). Walks the RIFF chunk tree; only
-    the layout `avi_encode` emits plus benign chunk reordering."""
+    """AVI bytes → (fps, (n, h, w, 3) uint8 RGB frames). Walks the
+    RIFF chunk tree; decodes uncompressed 24-bit 'DIB ' streams
+    natively and Motion-JPEG ('MJPG') streams through the native T.81
+    decoder, one independent JPEG per '00dc' chunk."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF AVI payload")
-    w = h = None
+    w = h = comp = None
     scale, rate = 1, 1
     frames = []
 
     def walk(pos, end):
-        nonlocal w, h, scale, rate
+        nonlocal w, h, comp, scale, rate
         while pos + 8 <= end:
             cid = data[pos: pos + 4]
             (sz,) = struct.unpack_from("<I", data, pos + 4)
@@ -205,8 +242,11 @@ def avi_decode(data: bytes) -> "tuple[int, np.ndarray]":
                 _bs, w, h, _pl, bpp, comp = struct.unpack_from(
                     "<IiiHHI", data, body
                 )
-                if bpp != 24 or comp != 0:
-                    raise ValueError("only 24-bit BI_RGB frames supported")
+                if comp not in (0, _MJPG_FOURCC) or (comp == 0 and bpp != 24):
+                    raise ValueError(
+                        f"only 24-bit BI_RGB or MJPG streams supported "
+                        f"(bpp={bpp} comp={comp})"
+                    )
             elif cid in (b"00db", b"00dc"):
                 frames.append((body, sz))
             pos = body + sz + (sz & 1)
@@ -214,16 +254,23 @@ def avi_decode(data: bytes) -> "tuple[int, np.ndarray]":
     walk(12, len(data))
     if w is None or not frames:
         raise ValueError("missing strf/frames")
-    pad = (4 - (w * 3) % 4) % 4
-    row = w * 3 + pad
     out = np.zeros((len(frames), h, w, 3), dtype=np.uint8)
-    for i, (off, sz) in enumerate(frames):
-        arr = (
-            np.frombuffer(data, np.uint8, row * h, off)
-            .reshape(h, row)[:, : w * 3]
-            .reshape(h, w, 3)
-        )
-        out[i] = arr[::-1, :, ::-1]  # bottom-up BGR → top-down RGB
+    if comp == _MJPG_FOURCC:
+        for i, (off, sz) in enumerate(frames):
+            px = _jpeg.decode(data[off: off + sz])
+            if px.shape[:2] != (h, w):
+                raise ValueError("MJPG frame dims disagree with strf")
+            out[i] = px
+    else:
+        pad = (4 - (w * 3) % 4) % 4
+        row = w * 3 + pad
+        for i, (off, sz) in enumerate(frames):
+            arr = (
+                np.frombuffer(data, np.uint8, row * h, off)
+                .reshape(h, row)[:, : w * 3]
+                .reshape(h, w, 3)
+            )
+            out[i] = arr[::-1, :, ::-1]  # bottom-up BGR → top-down RGB
     fps = max(1, rate // max(scale, 1))
     return fps, out
 
@@ -395,40 +442,103 @@ def ppm_decode(data: bytes) -> np.ndarray:
     return np.frombuffer(data, np.uint8, h * w * 3, i).reshape(h, w, 3).copy()
 
 
-def wav_encode(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
-    """int16 mono samples → canonical PCM WAV bytes."""
-    data = np.asarray(samples, dtype="<i2").tobytes()
+# WAV format tags (published RIFF/WAVE registry)
+_WAV_TAG = {"pcm16": 1, "alaw": 6, "ulaw": 7, "adpcm": 0x11}
+_WAV_CODEC = {v: k for k, v in _WAV_TAG.items()}
+ADPCM_BLOCK_ALIGN = 256
+ADPCM_SPB = (ADPCM_BLOCK_ALIGN - 4) * 2 + 1  # 505 samples per block
+
+
+def wav_encode(samples: np.ndarray, sample_rate: int = 8000,
+               codec: str = "pcm16") -> bytes:
+    """int16 mono samples → canonical WAV bytes in one of four REAL
+    encodings: ``pcm16`` (tag 1), G.711 ``alaw``/``ulaw`` (tags 6/7),
+    or IMA ``adpcm`` (tag 0x11, `functions/audio.py` block kernel —
+    sample count must be a multiple of `ADPCM_SPB`). Compressed
+    variants carry the spec-required ``fact`` chunk with the decoded
+    sample count."""
+    x = np.asarray(samples, dtype="<i2")
+    n_samp = len(x)
+    if codec == "pcm16":
+        data = x.tobytes()
+        fmt = struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                          sample_rate * 2, 2, 16)
+        fact = b""
+    elif codec in ("ulaw", "alaw"):
+        from ingest_spark.functions import audio as _audio
+        enc = _audio.ulaw_encode if codec == "ulaw" else _audio.alaw_encode
+        data = enc(x).tobytes()
+        fmt = struct.pack("<IHHIIHHH", 18, _WAV_TAG[codec], 1, sample_rate,
+                          sample_rate, 1, 8, 0)
+        fact = b"fact" + struct.pack("<II", 4, n_samp)
+    elif codec == "adpcm":
+        from ingest_spark.functions import audio as _audio
+        headers, packed = _audio.adpcm_ima_encode_blocks(x, ADPCM_SPB)
+        data = np.concatenate(
+            [headers, packed], axis=1
+        ).astype(np.uint8).tobytes()
+        nb = headers.shape[0]
+        byte_rate = sample_rate * ADPCM_BLOCK_ALIGN // ADPCM_SPB
+        fmt = struct.pack("<IHHIIHHHH", 20, 0x11, 1, sample_rate,
+                          byte_rate, ADPCM_BLOCK_ALIGN, 4, 2, ADPCM_SPB)
+        fact = b"fact" + struct.pack("<II", 4, nb * ADPCM_SPB)
+    else:
+        raise ValueError(f"unknown wav codec {codec!r}")
     n = len(data)
-    return (
-        b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
-        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
-                                sample_rate * 2, 2, 16)
-        + b"data" + struct.pack("<I", n) + data
-    )
+    body = b"WAVE" + b"fmt " + fmt + fact \
+        + b"data" + struct.pack("<I", n) + data + (b"\x00" * (n & 1))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def wav_decode(data: bytes):
-    """PCM16 mono WAV bytes → (sample_rate, int16 samples) via a RIFF
-    chunk walk (fmt/data; other chunks skipped)."""
+    """WAV bytes → (sample_rate, int16 samples); see `wav_decode_full`."""
+    _codec, sr, samples = wav_decode_full(data)
+    return sr, samples
+
+
+def wav_decode_full(data: bytes):
+    """WAV bytes → (codec, sample_rate, int16 samples) via a RIFF chunk
+    walk (fmt/fact/data; other chunks skipped). Dispatches on the fmt
+    tag: PCM16, G.711 A-law/mu-law, and IMA ADPCM all decode natively."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
-    sr = None
-    samples = None
+    sr = tag = block_align = None
+    n_fact = None
+    raw = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (sz,) = struct.unpack_from("<I", data, pos + 4)
         body = pos + 8
         if cid == b"fmt ":
-            fmt, ch, sr, _br, _ba, bits = struct.unpack_from("<HHIIHH", data, body)
-            if fmt != 1 or ch != 1 or bits != 16:
-                raise ValueError("only PCM16 mono supported")
+            tag, ch, sr, _br, block_align, bits = struct.unpack_from(
+                "<HHIIHH", data, body)
+            if tag not in _WAV_CODEC or ch != 1:
+                raise ValueError(f"unsupported wav format tag={tag} ch={ch}")
+            if tag == 1 and bits != 16:
+                raise ValueError("only 16-bit PCM supported")
+        elif cid == b"fact":
+            (n_fact,) = struct.unpack_from("<I", data, body)
         elif cid == b"data":
-            samples = np.frombuffer(data, "<i2", sz // 2, body).copy()
+            raw = (body, sz)
         pos = body + sz + (sz & 1)
-    if sr is None or samples is None:
+    if sr is None or raw is None:
         raise ValueError("missing fmt/data chunk")
-    return sr, samples
+    body, sz = raw
+    codec = _WAV_CODEC[tag]
+    if codec == "pcm16":
+        samples = np.frombuffer(data, "<i2", sz // 2, body).copy()
+    elif codec in ("ulaw", "alaw"):
+        from ingest_spark.functions import audio as _audio
+        dec = _audio.ulaw_decode if codec == "ulaw" else _audio.alaw_decode
+        samples = dec(np.frombuffer(data, np.uint8, sz, body))
+    else:  # adpcm
+        from ingest_spark.functions import audio as _audio
+        samples = _audio.adpcm_ima_decode_blocks(
+            data[body: body + sz], block_align)
+    if n_fact is not None:
+        samples = samples[:n_fact]
+    return codec, sr, samples
 
 
 def synthetic_pixels(media_id: int, w: int, h: int) -> np.ndarray:
@@ -931,3 +1041,189 @@ def decode_compressed_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(_stats, COMPRESSED_STATS_SCHEMA)
+
+
+# ------------------------------------------- compressed audio + MJPEG
+
+# measured worst-case reconstruction error of each audio codec on the
+# triangle source pattern, pinned by tests/test_codecs.py: G.711 error
+# is bounded by the top-segment quantization step (mu-law 512 + clip
+# 644 over all int16; 510 measured on the pattern), IMA ADPCM by the
+# per-block adaptation transient (262 measured; index restarts at 0
+# each block while the pattern slope needs step~122)
+AUDIO_CODEC_TOL = {"ulaw": 644, "alaw": 512, "adpcm": 512}
+AUDIO_CODECS = ("ulaw", "alaw", "adpcm")
+
+
+def synthetic_codec_samples(media_id: int, n: int) -> np.ndarray:
+    """Closed-form triangle wave (slope ±122/sample) — smooth enough
+    that every compressed codec tracks it within `AUDIO_CODEC_TOL`,
+    unlike the PCM sawtooth whose 65k wrap would put ADPCM into a
+    many-sample recovery transient."""
+    t = np.arange(n, dtype=np.int64)
+    p = (t * 61 + media_id * 17) % 32768
+    return (np.abs(p - 16384) * 2 - 16384).astype(np.int16)
+
+
+def _codec_audio_n_samples(media_id: int) -> int:
+    if media_id % 3 == 2:  # adpcm rows: whole blocks
+        return ADPCM_SPB * (4 + media_id % 13)
+    return 4000 + 2 * ((media_id * 97) % 2000)  # even → no RIFF pad byte
+
+
+def synthetic_codec_audio(spark: SparkSession, n: int = 90) -> DataFrame:
+    """Deterministic table of REAL compressed-audio WAV payloads:
+    codec cycles ulaw/alaw/adpcm by ``media_id % 3``; sample counts
+    are closed-form (`_codec_audio_n_samples`) so a SQL oracle can
+    re-derive every decoded fact INCLUDING the exact container byte
+    size (`multimodal_audio_codecs` contract query)."""
+    df = spark.range(0, n).withColumnRenamed("id", "media_id")
+    i = F.col("media_id")
+    codec = (
+        F.when(i % 3 == 0, F.lit("ulaw"))
+        .when(i % 3 == 1, F.lit("alaw"))
+        .otherwise(F.lit("adpcm"))
+    )
+
+    @F.pandas_udf(BinaryType())
+    def _payload(mid: pd.Series, cod: pd.Series) -> pd.Series:
+        out = []
+        for m, c in zip(mid, cod):
+            m = int(m)
+            x = synthetic_codec_samples(m, _codec_audio_n_samples(m))
+            out.append(wav_encode(x, AUDIO_SAMPLE_RATE, codec=str(c)))
+        return pd.Series(out)
+
+    from ingest_spark.operators.partitioning import spread_for_kernel
+    df = spread_for_kernel(df)
+    return df.select(
+        "media_id", codec.alias("codec"),
+        _payload(i, codec).alias("content"),
+    )
+
+
+AUDIO_CODEC_STATS_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("codec", StringType(), False),
+    StructField("sample_rate", IntegerType(), False),
+    StructField("n_samples", IntegerType(), False),
+    StructField("payload_bytes", IntegerType(), False),
+    StructField("within_tol", BooleanType(), False),
+])
+
+
+def decode_audio_codec_stats(media: DataFrame) -> DataFrame:
+    """Decode every compressed-audio payload through the WAV fmt-tag
+    router and compare against the closed-form source: output is
+    integer/boolean only so the DuckDB oracle pins it exactly — a
+    companding-table, block-header, nibble-order, or step-adaptation
+    bug flips `within_tol` (or shifts `n_samples`/`payload_bytes`)
+    and breaks the driver hash."""
+
+    def _stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in AUDIO_CODEC_STATS_SCHEMA}
+            for mid, content in zip(
+                pdf["media_id"].to_numpy(), pdf["content"].to_numpy()
+            ):
+                raw = bytes(content)
+                codec, sr, samples = wav_decode_full(raw)
+                src = synthetic_codec_samples(int(mid), len(samples))
+                max_err = int(np.abs(
+                    samples.astype(np.int64) - src.astype(np.int64)
+                ).max()) if len(samples) else 1 << 30
+                rows["media_id"].append(int(mid))
+                rows["codec"].append(codec)
+                rows["sample_rate"].append(int(sr))
+                rows["n_samples"].append(len(samples))
+                rows["payload_bytes"].append(len(raw))
+                rows["within_tol"].append(
+                    max_err <= AUDIO_CODEC_TOL.get(codec, 0)
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_stats, AUDIO_CODEC_STATS_SCHEMA)
+
+
+# measured worst per-channel error of the MJPEG round trip at q=90
+# over the generator grid (smooth bilinear frames; worst observed 13
+# on 4:2:0 rows) — pinned by tests/test_codecs.py
+MJPEG_TOL = 24
+MJPEG_FPS = 4
+
+
+def synthetic_mjpeg_pixels(media_id: int, t: int, w: int, h: int) -> np.ndarray:
+    """Closed-form smooth frame pattern for MJPEG rows: bilinear
+    gradients (JPEG-friendly) with a per-frame flat blue phase so
+    consecutive frames differ."""
+    y, x = np.mgrid[0:h, 0:w]
+    r = x * 255 // max(w - 1, 1)
+    g = y * 255 // max(h - 1, 1)
+    b = np.full_like(r, (media_id * 37 + t * 29) % 256)
+    return np.stack([r, g, b], axis=2).astype(np.uint8)
+
+
+def synthetic_mjpeg_media(spark: SparkSession, n: int = 60) -> DataFrame:
+    """Deterministic table of REAL Motion-JPEG AVI payloads: per-row
+    frame count / dims / 4:2:0-vs-4:4:4 are closed-form in
+    ``media_id`` so the SQL oracle re-derives every per-frame fact
+    (`multimodal_mjpeg_decode` contract query)."""
+    df = spark.range(0, n).withColumnRenamed("id", "media_id")
+
+    @F.pandas_udf(BinaryType())
+    def _payload(mid: pd.Series) -> pd.Series:
+        out = []
+        for m in mid:
+            m = int(m)
+            w, h, nf = 16 + m % 13, 16 + (m * 5) % 11, 2 + m % 4
+            frames = np.stack([
+                synthetic_mjpeg_pixels(m, t, w, h) for t in range(nf)
+            ])
+            out.append(avi_encode(frames, fps=MJPEG_FPS, codec="mjpg",
+                                  quality=90, subsample=m % 2 == 1))
+        return pd.Series(out)
+
+    from ingest_spark.operators.partitioning import spread_for_kernel
+    df = spread_for_kernel(df)
+    return df.select("media_id", _payload(F.col("media_id")).alias("content"))
+
+
+MJPEG_STATS_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("fps", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("within_tol", BooleanType(), False),
+])
+
+
+def decode_mjpeg_stats(media: DataFrame) -> DataFrame:
+    """Decode every MJPEG AVI through the container walk + native T.81
+    decoder, one output row per frame with the per-frame tolerance
+    verdict vs the closed-form source — a container-offset, SOF-dim,
+    Huffman, or upsampling bug flips a boolean or drops a frame row
+    and breaks the cross-engine hash."""
+
+    def _stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in MJPEG_STATS_SCHEMA}
+            for mid, content in zip(
+                pdf["media_id"].to_numpy(), pdf["content"].to_numpy()
+            ):
+                fps, frames = avi_decode(bytes(content))
+                nf, h, w = frames.shape[:3]
+                for t in range(nf):
+                    exp = synthetic_mjpeg_pixels(int(mid), t, w, h)
+                    err = int(np.abs(
+                        frames[t].astype(np.int64) - exp.astype(np.int64)
+                    ).max())
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(t)
+                    rows["fps"].append(int(fps))
+                    rows["height"].append(h)
+                    rows["width"].append(w)
+                    rows["within_tol"].append(err <= MJPEG_TOL)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_stats, MJPEG_STATS_SCHEMA)

@@ -9,7 +9,8 @@ decode stats, contract query) is covered in test_webtext.py and the
 import numpy as np
 import pytest
 
-from ingest_spark.functions import gif, jpeg
+from ingest_spark.functions import audio, gif, jpeg
+from ingest_spark.operators import multimodal as mm
 
 
 RNG = np.random.default_rng(20260817)
@@ -288,3 +289,167 @@ class TestProgressiveJPEG:
         # quant step + subsampling of the real image on this gradient
         full = jpeg.decode(jpeg.encode(img, quality=85))
         assert np.abs(coarse.astype(int) - full.astype(int)).mean() < 32
+
+
+class TestG711:
+    """G.711 companding kernels (functions/audio.py)."""
+
+    def test_code_idempotence(self):
+        # encode(decode(c)) == c for every 8-bit code — the standard
+        # self-consistency check; the single mu-law exception is the
+        # "negative zero" alias 0x7F which decodes to 0 and re-encodes
+        # as +0 = 0xFF (canonical G.711 behavior)
+        codes = np.arange(256, dtype=np.uint8)
+        re_u = audio.ulaw_encode(audio.ulaw_decode(codes))
+        assert (re_u[codes != 0x7F] == codes[codes != 0x7F]).all()
+        assert audio.ulaw_decode(np.array([0x7F], np.uint8))[0] == 0
+        assert re_u[0x7F] == 0xFF
+        re_a = audio.alaw_encode(audio.alaw_decode(codes))
+        assert (re_a == codes).all()
+
+    def test_known_anchors(self):
+        # canonical anchor values: mu-law(0) = 0xFF; A-law(0) = 0xD5
+        assert audio.ulaw_encode(np.array([0], np.int16))[0] == 0xFF
+        assert audio.alaw_encode(np.array([0], np.int16))[0] == 0xD5
+
+    def test_quantization_error_bounds(self):
+        x = np.arange(-32768, 32768, dtype=np.int16)
+        ue = np.abs(audio.ulaw_decode(audio.ulaw_encode(x)).astype(int) - x)
+        ae = np.abs(audio.alaw_decode(audio.alaw_encode(x)).astype(int) - x)
+        # worst case = half the top-segment step + the mu-law clip
+        assert ue.max() == 644
+        assert ae.max() == 512
+
+    def test_decode_monotone(self):
+        # positive codes in magnitude order decode strictly increasing
+        pos = audio.ulaw_decode(np.arange(0x80, 0x100, dtype=np.uint8)[::-1])
+        assert (np.diff(pos.astype(int)) > 0).all()
+        posa = audio.alaw_decode(
+            (np.arange(0x80, 0x100, dtype=np.uint8) ^ 0x55))
+        assert len(np.unique(posa)) == 128
+
+
+class TestIMAADPCM:
+    def test_vectorized_matches_scalar_spec(self):
+        # the block-vectorized encoder must be nibble-exact vs the
+        # per-sample scalar recurrence from the published IMA spec
+        rng = np.random.default_rng(7)
+        spb = 9
+        x = rng.integers(-32768, 32768, spb * 6).astype(np.int16)
+        h, p = audio.adpcm_ima_encode_blocks(x, spb)
+        hs, ps = audio.adpcm_ima_encode_scalar(x, spb)
+        for i in range(6):
+            seed = int(np.frombuffer(h[i, 0:2].tobytes(), "<i2")[0])
+            assert (seed, int(h[i, 2])) == hs[i]
+            assert p[i].tobytes() == ps[i]
+
+    def test_block_independence(self):
+        # decoding a block slice equals the slice of the full decode —
+        # the property that makes the format splittable at scale
+        spb = mm.ADPCM_SPB
+        ba = mm.ADPCM_BLOCK_ALIGN
+        x = mm.synthetic_codec_samples(5, spb * 4)
+        h, p = audio.adpcm_ima_encode_blocks(x, spb)
+        blob = np.concatenate([h, p], axis=1).astype(np.uint8).tobytes()
+        full = audio.adpcm_ima_decode_blocks(blob, ba)
+        part = audio.adpcm_ima_decode_blocks(blob[ba: 3 * ba], ba)
+        assert (part == full[spb: 3 * spb]).all()
+
+    def test_tracking_error_bound(self):
+        # triangle source (the contract pattern): reconstruction stays
+        # within the per-block adaptation transient bound the oracle
+        # assumes (ADPCM tol 512; measured worst 262)
+        for mid in range(6):
+            x = mm.synthetic_codec_samples(mid, mm.ADPCM_SPB * 5)
+            h, p = audio.adpcm_ima_encode_blocks(x, mm.ADPCM_SPB)
+            blob = np.concatenate([h, p], axis=1).astype(np.uint8).tobytes()
+            y = audio.adpcm_ima_decode_blocks(blob, mm.ADPCM_BLOCK_ALIGN)
+            assert np.abs(y.astype(int) - x.astype(int)).max() <= 512
+
+
+class TestWavDispatch:
+    def test_all_codecs_round_trip(self):
+        x = mm.synthetic_codec_samples(3, mm.ADPCM_SPB * 4)
+        for codec, tol in [("pcm16", 0), ("ulaw", 644),
+                           ("alaw", 512), ("adpcm", 512)]:
+            blob = mm.wav_encode(x, 8000, codec=codec)
+            c, sr, y = mm.wav_decode_full(blob)
+            assert (c, sr, len(y)) == (codec, 8000, len(x))
+            assert np.abs(y.astype(int) - x.astype(int)).max() <= tol
+
+    def test_fmt_tags_on_wire(self):
+        import struct as _s
+        for codec, tag in [("pcm16", 1), ("alaw", 6),
+                           ("ulaw", 7), ("adpcm", 0x11)]:
+            n = mm.ADPCM_SPB if codec == "adpcm" else 100
+            blob = mm.wav_encode(
+                mm.synthetic_codec_samples(1, n), codec=codec)
+            i = blob.index(b"fmt ")
+            assert _s.unpack_from("<H", blob, i + 8)[0] == tag
+
+    def test_payload_byte_formula(self):
+        # the oracle pins container sizes in closed form — verify the
+        # formulas for a spread of ids
+        for mid in range(12):
+            n = mm._codec_audio_n_samples(mid)
+            codec = ("ulaw", "alaw", "adpcm")[mid % 3]
+            blob = mm.wav_encode(
+                mm.synthetic_codec_samples(mid, n), codec=codec)
+            if codec == "adpcm":
+                assert len(blob) == 60 + 256 * (n // mm.ADPCM_SPB)
+            else:
+                assert len(blob) == 58 + n
+
+    def test_fact_chunk_trims(self):
+        # a fact count smaller than the block payload must trim
+        x = mm.synthetic_codec_samples(2, mm.ADPCM_SPB)
+        blob = bytearray(mm.wav_encode(x, codec="adpcm"))
+        i = blob.index(b"fact")
+        import struct as _s
+        _s.pack_into("<I", blob, i + 8, 100)
+        _, _, y = mm.wav_decode_full(bytes(blob))
+        assert len(y) == 100
+
+
+class TestMJPEG:
+    def test_round_trip_within_tol(self):
+        # the generator grid the contract query uses: worst measured
+        # error must stay under MJPEG_TOL with margin
+        worst = 0
+        for mid in range(0, 60, 7):
+            w, h, nf = 16 + mid % 13, 16 + (mid * 5) % 11, 2 + mid % 4
+            frames = np.stack([
+                mm.synthetic_mjpeg_pixels(mid, t, w, h) for t in range(nf)
+            ])
+            blob = mm.avi_encode(frames, fps=4, codec="mjpg",
+                                 subsample=mid % 2 == 1)
+            fps, out = mm.avi_decode(blob)
+            assert fps == 4 and out.shape == frames.shape
+            worst = max(worst, int(np.abs(
+                out.astype(int) - frames.astype(int)).max()))
+        assert worst <= mm.MJPEG_TOL, worst
+
+    def test_container_structure(self):
+        frames = np.stack([
+            mm.synthetic_mjpeg_pixels(1, t, 20, 18) for t in range(3)
+        ])
+        blob = mm.avi_encode(frames, fps=4, codec="mjpg")
+        assert b"MJPG" in blob and b"00dc" in blob
+        # every frame chunk is an independent JPEG (SOI right after
+        # the chunk header) — the splittability property
+        pos, n = 0, 0
+        while (pos := blob.find(b"00dc", pos)) != -1:
+            if blob[pos + 8: pos + 10] == b"\xff\xd8":
+                n += 1
+            pos += 4
+        assert n == 3
+
+    def test_dib_layout_unchanged(self):
+        # adding the codec switch must not perturb uncompressed bytes
+        frames = np.stack([
+            mm.synthetic_video_pixels(9, t, 17, 11) for t in range(2)
+        ])
+        blob = mm.avi_encode(frames, fps=1)
+        fps, out = mm.avi_decode(blob)
+        assert fps == 1 and (out == frames).all()
+        assert b"00db" in blob and b"MJPG" not in blob
