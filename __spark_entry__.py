@@ -1549,6 +1549,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decode_mjpeg_stats(synthetic_mjpeg_media(spark, n=60))
     q["multimodal_mjpeg_decode"] = multimodal_mjpeg_decode
 
+    def multimodal_flac_decode(spark, sf):
+        # REAL lossless compressed audio (round 6): synthetic_flac_audio
+        # emits valid FLAC payloads (functions/flac.py — STREAMINFO
+        # with sample MD5, CRC-8/16-protected frames, fixed-predictor
+        # rice-coded subframes) over the SQL-twinned PCM sawtooth;
+        # decode_flac_stats decodes natively and emits the EXACT int64
+        # sample sum, which the oracle re-derives in closed form —
+        # lossless means zero tolerance: any rice, CRC, predictor-
+        # integration, or framing defect breaks the hash.
+        _ensure_shipped(spark)
+        from ingest_spark.operators.multimodal import (
+            decode_flac_stats, synthetic_flac_audio,
+        )
+        return decode_flac_stats(synthetic_flac_audio(spark, n=80))
+    q["multimodal_flac_decode"] = multimodal_flac_decode
+
     def iceberg_snapshots_q(spark, sf):
         # the catalog commit protocol end-to-end (round 6): three
         # deterministic commits against a fresh Iceberg-v2-layout table
@@ -1849,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s11_bbox_query",  # r5-green; tailed for iceberg_snapshots
         "j3_semi_join",  # r5-green; tailed for multimodal_audio_codecs
         "asof_join",  # r5-green; tailed for multimodal_mjpeg_decode
+        "pip_grid_join",  # r5-green; tailed for multimodal_flac_decode
         "s1_scan_stats", "f2_filter_drop", "j4_order_preserving",
         "j_anti_join", "a1_bbox_agg", "a6_rolling_rate",
         "o3_grid_assign", "salt_hot_cells", "interval_join",
@@ -2368,6 +2385,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # closed-form twin of synthetic_samples: s=((t*31+17id)%65536)-32768
         # over n = duration_ms * 8000 / 1000 samples
+        # closed-form twin of synthetic_flac_audio: the PCM sawtooth
+        # summed exactly — FLAC is lossless so lossless_exact is TRUE
+        # everywhere and the checksum has no tolerance slack
+        "multimodal_flac_decode": """
+            WITH m AS (
+              SELECT i AS media_id, 6000 + (i * 389) % 6000 AS n
+              FROM (SELECT UNNEST(range(0, 80)) AS i)
+            ),
+            s AS (
+              SELECT media_id, n,
+                     ((t * 31 + media_id * 17) % 65536) - 32768 AS v
+              FROM m, UNNEST(range(0, n)) AS ut(t)
+            )
+            SELECT media_id, 8000 AS sample_rate, n::INT AS n_samples,
+                   SUM(v)::BIGINT AS checksum, TRUE AS lossless_exact
+            FROM s GROUP BY media_id, n
+        """,
         "multimodal_audio_decode": """
             WITH m AS (
               SELECT i AS media_id,

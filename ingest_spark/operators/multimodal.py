@@ -42,13 +42,19 @@ struct. The codec layer:
   (variable-width codes, clear/EOI, 12-bit growth + dictionary reset,
   interlace, local color tables). Lossless for ≤256-color frames, so
   the contract query asserts exact pixel equality.
+- **FLAC (round 6)**: a full lossless codec — `functions/flac.py`
+  (STREAMINFO + sample MD5, CRC-8/16-protected frames, fixed-predictor
+  rice encoder; the decoder also inverts LPC subframes, RICE2/escape
+  partitions, wasted bits, and stereo decorrelation). Lossless, so
+  `multimodal_flac_decode` pins decode sample-exactly via closed-form
+  SQL sums.
 - **Remaining compressed formats (MP3/MP4/H.264)**: gated behind an
   import-try on PIL (absent in this container) with the deterministic
   fake decoder as the tested fallback — psychoacoustic/motion-
   compensated codec support is the honest environmental gap, not a
   semantic stub. Every non-predictive mainstream container/codec
   (JPEG incl. progressive, PNG, GIF, BMP/PPM, WAV PCM/G.711/ADPCM,
-  AVI DIB/MJPEG) is native.
+  FLAC, AVI DIB/MJPEG) is native.
 
 ``resize`` / ``frame_sample`` / ``feature_extract`` operate on the
 decoded tensor representation with correct Arrow batch semantics
@@ -1227,3 +1233,64 @@ def decode_mjpeg_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(_stats, MJPEG_STATS_SCHEMA)
+
+
+# ------------------------------------------------------------- FLAC
+
+def synthetic_flac_audio(spark: SparkSession, n: int = 80) -> DataFrame:
+    """Deterministic table of REAL FLAC payloads (`functions/flac.py`:
+    STREAMINFO + fixed-predictor frames, CRC-8/16, sample MD5) over
+    the SQL-twinned PCM sawtooth — FLAC is lossless, so the contract
+    oracle pins decode SAMPLE-exactly via closed-form sums
+    (`multimodal_flac_decode` query)."""
+    from ingest_spark.functions import flac as _flac
+
+    df = spark.range(0, n).withColumnRenamed("id", "media_id")
+
+    @F.pandas_udf(BinaryType())
+    def _payload(mid: pd.Series) -> pd.Series:
+        out = []
+        for m in mid:
+            m = int(m)
+            x = synthetic_samples(m, 6000 + (m * 389) % 6000)
+            out.append(_flac.encode(x, AUDIO_SAMPLE_RATE))
+        return pd.Series(out)
+
+    from ingest_spark.operators.partitioning import spread_for_kernel
+    df = spread_for_kernel(df)
+    return df.select("media_id", _payload(F.col("media_id")).alias("content"))
+
+
+FLAC_STATS_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("sample_rate", IntegerType(), False),
+    StructField("n_samples", IntegerType(), False),
+    StructField("checksum", LongType(), False),
+    StructField("lossless_exact", BooleanType(), False),
+])
+
+
+def decode_flac_stats(media: DataFrame) -> DataFrame:
+    """Decode every FLAC payload natively (frame walk, rice residuals,
+    fixed-predictor integration, CRC + MD5 verification) and emit the
+    exact integer sample sum — the DuckDB oracle re-derives it from
+    the closed-form source, so ANY bit-level decode defect breaks the
+    cross-engine hash (lossless leaves no tolerance to hide in)."""
+    from ingest_spark.functions import flac as _flac
+
+    def _stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in FLAC_STATS_SCHEMA}
+            for mid, content in zip(
+                pdf["media_id"].to_numpy(), pdf["content"].to_numpy()
+            ):
+                sr, samples = _flac.decode(bytes(content))
+                src = synthetic_samples(int(mid), len(samples))
+                rows["media_id"].append(int(mid))
+                rows["sample_rate"].append(int(sr))
+                rows["n_samples"].append(len(samples))
+                rows["checksum"].append(int(samples.sum(dtype=np.int64)))
+                rows["lossless_exact"].append(bool((samples == src).all()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_stats, FLAC_STATS_SCHEMA)

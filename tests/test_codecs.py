@@ -9,7 +9,7 @@ decode stats, contract query) is covered in test_webtext.py and the
 import numpy as np
 import pytest
 
-from ingest_spark.functions import audio, gif, jpeg
+from ingest_spark.functions import audio, flac, gif, jpeg
 from ingest_spark.operators import multimodal as mm
 
 
@@ -453,3 +453,157 @@ class TestMJPEG:
         fps, out = mm.avi_decode(blob)
         assert fps == 1 and (out == frames).all()
         assert b"00db" in blob and b"MJPG" not in blob
+
+
+class TestFLAC:
+    def test_round_trip_exact(self):
+        # lossless: bit-exact over sawtooth (wraps), constant, noise
+        rng = np.random.default_rng(13)
+        cases = [
+            mm.synthetic_samples(4, 9999),
+            np.full(5000, -123, np.int16),
+            rng.integers(-32768, 32768, 12345).astype(np.int16),
+            np.arange(7, dtype=np.int16),
+            np.zeros(0, np.int16),
+        ]
+        for x in cases:
+            sr, y = flac.decode(flac.encode(x, 8000))
+            assert sr == 8000 and len(y) == len(x) and (y == x).all()
+
+    def test_compresses_predictable_signal(self):
+        x = mm.synthetic_samples(1, 40000)  # linear ramp segments
+        blob = flac.encode(x, 8000)
+        assert len(blob) < 0.6 * (2 * len(x))
+
+    def test_md5_and_crc_tamper_detected(self):
+        x = np.arange(5000, dtype=np.int16)
+        blob = bytearray(flac.encode(x, 8000))
+        blob[30] ^= 1  # STREAMINFO MD5 byte
+        with pytest.raises(ValueError, match="MD5"):
+            flac.decode(bytes(blob))
+        blob = bytearray(flac.encode(x, 8000))
+        blob[-3] ^= 1  # inside the last frame payload → CRC-16
+        with pytest.raises(ValueError):
+            flac.decode(bytes(blob))
+
+    def test_untabled_sample_rate_exact_via_streaminfo(self):
+        x = np.arange(3000, dtype=np.int16)
+        sr, y = flac.decode(flac.encode(x, 11025))
+        assert sr == 11025 and (y == x).all()
+
+    # -- hand-crafted streams for the decoder-only paths ------------
+
+    @staticmethod
+    def _stream(frame_body_fn, ch_code, bs, total, ss_code=4):
+        """Build a one-frame FLAC stream around a caller-written
+        subframe body (white-box: uses the codec's own bit/CRC
+        helpers, which the encoder round-trip tests pin)."""
+        streaminfo = (
+            __import__("struct").pack(">HH", bs, bs)
+            + b"\x00" * 6
+            + flac._pack_sr_ch_bits_total(
+                8000, 2 if ch_code >= 8 else ch_code + 1, 16, total)
+            + b"\x00" * 16  # md5 unknown → skip check
+        )
+        head = (b"fLaC" + bytes([0x80])
+                + __import__("struct").pack(">I", len(streaminfo))[1:]
+                + streaminfo)
+        hdr = bytes([0xFF, 0xF8, (6 << 4) | 0x4,
+                     (ch_code << 4) | (ss_code << 1)])
+        hdr += flac._utf8_number(0) + bytes([bs - 1])
+        hdr += bytes([flac._crc8(hdr)])
+        w = flac._BitWriter()
+        frame_body_fn(w)
+        w.align()
+        body = hdr + w.bytes()
+        body += __import__("struct").pack(">H", flac._crc16(body))
+        return head + body
+
+    def test_lpc_subframe_decodes(self):
+        # order-2 LPC, coefs (3, -1), shift 1: pred = (3a - b) >> 1
+        bs, order, shift = 12, 2, 1
+        coefs = [3, -1]
+        x = [100, 103]
+        for i in range(2, bs):
+            pred = (coefs[0] * x[i - 1] + coefs[1] * x[i - 2]) >> shift
+            x.append(pred + ((-1) ** i) * (i % 5))  # known residuals
+        res = [x[i] - ((coefs[0] * x[i-1] + coefs[1] * x[i-2]) >> shift)
+               for i in range(order, bs)]
+
+        def body(w):
+            w.write(0, 1)
+            w.write(0b100000 | (order - 1), 6)  # LPC, order
+            w.write(0, 1)
+            for v in x[:order]:
+                w.write(v & 0xFFFF, 16)
+            w.write(4 - 1, 4)   # precision 4 bits
+            w.write(shift & 0x1F, 5)
+            for c in coefs:
+                w.write(c & 0xF, 4)
+            w.write(0, 2)       # rice method
+            w.write(0, 4)       # porder 0
+            w.write(2, 4)       # k = 2
+            flac._rice_encode(w, np.array(res, dtype=np.int64), 2)
+
+        sr, y = flac.decode(self._stream(body, ch_code=0, bs=bs, total=bs))
+        assert (y == np.array(x, dtype=np.int16)).all()
+
+    def test_stereo_decorrelation_modes(self):
+        left = np.array([1000, -200, 4, 77, 1000, 3, -5, 9], np.int64)
+        right = np.array([999, -300, 0, 80, -1000, 2, -5, 8], np.int64)
+
+        def verbatim(w, vals, nbits):
+            w.write(0, 1)
+            w.write(0b000001, 6)
+            w.write(0, 1)
+            for v in vals:
+                w.write(int(v) & ((1 << nbits) - 1), nbits)
+
+        cases = {
+            8: (left, left - right, 0, 1),           # left/side
+            9: (left - right, right, 1, 0),          # side/right
+            10: (((left + right) >> 1), left - right, 0, 1),  # mid/side
+        }
+        for ch_code, (a, b, ea, eb) in cases.items():
+            def body(w, a=a, b=b, ea=ea, eb=eb):
+                verbatim(w, a, 16 + ea)
+                verbatim(w, b, 16 + eb)
+            sr, y = flac.decode(
+                self._stream(body, ch_code=ch_code, bs=8, total=8))
+            assert (y[:, 0] == left).all() and (y[:, 1] == right).all(), ch_code
+
+    def test_rice2_partitions_and_escape(self):
+        # FIXED order 1, partition order 1 (two partitions), RICE2
+        # method, second partition escaped to 6-bit verbatim residuals
+        x = np.array([10, 12, 15, 11, 10, 30, 10, 25], np.int64)
+        res = np.diff(x)  # order 1: 7 residuals; partitions: 3 + 4
+
+        def body(w):
+            w.write(0, 1)
+            w.write(0b001000 | 1, 6)
+            w.write(0, 1)
+            w.write(int(x[0]) & 0xFFFF, 16)
+            w.write(1, 2)   # method: RICE2 (5-bit params)
+            w.write(1, 4)   # porder 1 → 2 partitions of bs/2 = 4
+            w.write(3, 5)   # partition 1: k=3 (covers 4-1=3 residuals)
+            flac._rice_encode(w, res[:3], 3)
+            w.write(0x1F, 5)  # partition 2: escape
+            w.write(6, 5)     # 6-bit verbatim residuals
+            for v in res[3:]:
+                w.write(int(v) & 0x3F, 6)
+
+        sr, y = flac.decode(self._stream(body, ch_code=0, bs=8, total=8))
+        assert (y == x.astype(np.int16)).all()
+
+    def test_wasted_bits(self):
+        x = np.array([-4096] * 6, np.int64)  # = (-256) << 4
+
+        def body(w):
+            w.write(0, 1)
+            w.write(0, 6)       # CONSTANT
+            w.write(1, 1)       # wasted-bits flag
+            w.write(1, 4)       # unary 3+1 → wasted = 4
+            w.write((-256) & 0xFFF, 12)  # ss 16 - 4 wasted
+
+        sr, y = flac.decode(self._stream(body, ch_code=0, bs=6, total=6))
+        assert (y == x.astype(np.int16)).all()
