@@ -1565,6 +1565,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decode_flac_stats(synthetic_flac_audio(spark, n=80))
     q["multimodal_flac_decode"] = multimodal_flac_decode
 
+    def warc_records_q(spark, sf):
+        # REAL WARC container parsing (round 6): synthetic_warc builds
+        # valid .warc.gz archives (functions/warc.py — ISO 28500
+        # records, per-record gzip members, embedded HTTP/1.1
+        # responses); parse_warc walks members, splits the HTTP
+        # payload, and emits one row per record. The oracle re-derives
+        # every record fact (file, index, type, url, status, mime) in
+        # closed form — a framing, Content-Length, member-boundary, or
+        # HTTP-split bug breaks the hash.
+        _ensure_shipped(spark)
+        from ingest_spark.operators.webtext import parse_warc, synthetic_warc
+        return parse_warc(synthetic_warc(spark, n_files=12)).select(
+            "warc_file", "rec_idx", "warc_type", "url", "status", "mime")
+    q["warc_records"] = warc_records_q
+
+    def webtext_extract_q(spark, sf):
+        # REAL HTML extraction (round 6): functions/htmltext.py is a
+        # tokenizing extractor (stdlib html.parser — not the regex
+        # fast path the synthetic <article> pages use): drops script/
+        # style/comment content, decodes entities, separates <title>,
+        # counts links, inserts block boundaries. The oracle re-derives
+        # title, link count, and the visible-word count per page in
+        # closed form — script/comment leakage or word-merging across
+        # tags shifts n_words and breaks the hash.
+        _ensure_shipped(spark)
+        from ingest_spark.operators.webtext import (
+            extract_webtext, parse_warc, synthetic_warc,
+        )
+        return extract_webtext(
+            parse_warc(synthetic_warc(spark, n_files=12))
+        ).select("page_id", "url", "status", "title", "n_links", "n_words")
+    q["webtext_extract"] = webtext_extract_q
+
     def iceberg_snapshots_q(spark, sf):
         # the catalog commit protocol end-to-end (round 6): three
         # deterministic commits against a fresh Iceberg-v2-layout table
@@ -1866,6 +1899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_semi_join",  # r5-green; tailed for multimodal_audio_codecs
         "asof_join",  # r5-green; tailed for multimodal_mjpeg_decode
         "pip_grid_join",  # r5-green; tailed for multimodal_flac_decode
+        "minhash_incremental",  # r5-green; tailed for warc_records
+        "embedding_cosine",  # r5-green; tailed for webtext_extract
         "s1_scan_stats", "f2_filter_drop", "j4_order_preserving",
         "j_anti_join", "a1_bbox_agg", "a6_rolling_rate",
         "o3_grid_assign", "salt_hot_cells", "interval_join",
@@ -2385,6 +2420,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         # closed-form twin of synthetic_samples: s=((t*31+17id)%65536)-32768
         # over n = duration_ms * 8000 / 1000 samples
+        # closed-form twin of synthetic_warc/build_warc_file: each of
+        # the 12 archives holds a warcinfo record then 8 HTTP
+        # responses; page ids are file*8 + slot, every 7th page a 404
+        "warc_records": """
+            WITH f AS (SELECT UNNEST(range(0, 12)) AS fi),
+            info AS (
+              SELECT printf('warc-%05d', fi) AS warc_file, 0::INT AS rec_idx,
+                     'warcinfo' AS warc_type, '' AS url, 0 AS status,
+                     'application/warc-fields' AS mime
+              FROM f
+            ),
+            resp AS (
+              SELECT printf('warc-%05d', fi) AS warc_file,
+                     (k + 1)::INT AS rec_idx, 'response' AS warc_type,
+                     'https://example.org/doc/' || (fi * 8 + k) AS url,
+                     CASE WHEN (fi * 8 + k) % 7 = 3 THEN 404 ELSE 200
+                          END AS status,
+                     'text/html' AS mime
+              FROM f, UNNEST(range(0, 8)) AS u(k)
+            )
+            SELECT * FROM info UNION ALL SELECT * FROM resp
+        """,
+        # closed-form twin of synthetic_page_html: visible words =
+        # 2 (h1) + per-paragraph 3+(pid+j)%7 + one word per link;
+        # 404 pages have exactly the 2-word "Not Found" body
+        "webtext_extract": """
+            WITH p AS (SELECT UNNEST(range(0, 96)) AS pid),
+            para AS (
+              SELECT pid, SUM(3 + (pid + j) % 7) AS pw
+              FROM p, UNNEST(range(0, 2 + pid % 4)) AS u(j)
+              GROUP BY pid
+            )
+            SELECT p.pid AS page_id,
+                   'https://example.org/doc/' || p.pid AS url,
+                   CASE WHEN p.pid % 7 = 3 THEN 404 ELSE 200 END AS status,
+                   CASE WHEN p.pid % 7 = 3 THEN '404'
+                        ELSE 'Doc ' || p.pid END AS title,
+                   (CASE WHEN p.pid % 7 = 3 THEN 0
+                         ELSE p.pid % 5 END)::INT AS n_links,
+                   (CASE WHEN p.pid % 7 = 3 THEN 2
+                         ELSE 2 + p.pid % 5 + para.pw END)::INT AS n_words
+            FROM p JOIN para ON para.pid = p.pid
+        """,
         # closed-form twin of synthetic_flac_audio: the PCM sawtooth
         # summed exactly — FLAC is lossless so lossless_exact is TRUE
         # everywhere and the checksum has no tolerance slack

@@ -1,0 +1,239 @@
+"""Webtext ingestion: WARC container parsing + real HTML extraction.
+
+The Common-Crawl-shaped front half of a training-data pipeline:
+``.warc.gz`` bytes → records (`functions/warc.py`, ISO 28500 layout,
+per-record gzip members) → HTTP response split → visible-text /
+title / link extraction (`functions/htmltext.py`, a real tokenizer —
+not the regex fast path the synthetic ``<article>`` pages use) →
+the existing text-quality / token / dedup layer.
+
+Everything is deterministic and closed-form so the driver oracles pin
+it cross-engine: `synthetic_warc` builds valid .warc.gz files whose
+record/page facts (urls, statuses, paragraph word counts, link
+counts) are arithmetic in the page id (`warc_records` and
+`webtext_extract` contract queries).
+
+Reference analog: the blob-level container scan feeding the reference
+pipeline (SURVEY.md §2.1 S1/S2) — WARC is the container for the
+webtext axis of this graft; `sources/pages.py` describes the pages
+table as the materialized form of exactly this input.
+
+Scale design: files parallelize across partitions (one task decodes
+many files; `repartition_by_bytes` bounds Arrow batches); per-record
+gzip members make single huge files splittable too (a CDX-style
+member-offset index is exactly what `parse` reports). No collect, no
+driver-side loops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from ingest_spark.functions import htmltext as _htmltext
+from ingest_spark.functions import warc as _warc
+
+# ------------------------------------------------- synthetic corpus
+
+PAGES_PER_FILE = 8
+
+
+def synthetic_page_html(page_id: int) -> "tuple[int, str, str]":
+    """Deterministic page → (status, mime, html). Facts are
+    closed-form in ``page_id``:
+
+    - every 7th page (id % 7 == 3) is a 404: title "404", body
+      "Not Found" (2 words), no links;
+    - otherwise 200: title "Doc {id}", an <h1> with the same 2 words,
+      ``2 + id % 4`` paragraphs where paragraph j holds
+      ``3 + (id + j) % 7`` words (one bolded — entity/inline tags
+      must not split words), ``id % 5`` links of 1 word each, plus a
+      head <script> and an HTML comment that must contribute NOTHING.
+    """
+    if page_id % 7 == 3:
+        html = ("<html><head><title>404</title></head>"
+                "<body><h1>Not Found</h1></body></html>")
+        return 404, "text/html", html
+    np_ = 2 + page_id % 4
+    nl = page_id % 5
+    paras = []
+    for j in range(np_):
+        words = [f"w{j}x{k}" for k in range(3 + (page_id + j) % 7)]
+        words[0] = f"<b>{words[0]}</b>"
+        paras.append("<p>" + " ".join(words) + "</p>")
+    links = "".join(
+        f'<a href="/l{k}">go{k}</a> ' for k in range(nl)
+    )
+    html = (
+        f"<html><head><title>Doc {page_id}</title>"
+        f"<script>var x = {page_id};</script></head>"
+        f"<body><h1>Doc {page_id}</h1>"
+        f"<!-- crawl id {page_id} -->"
+        + "".join(paras) + links
+        + "</body></html>"
+    )
+    return 200, "text/html", html
+
+
+def expected_word_count(page_id: int) -> int:
+    """The SQL-twinned word count of `synthetic_page_html`."""
+    if page_id % 7 == 3:
+        return 2
+    return 2 + sum(
+        3 + (page_id + j) % 7 for j in range(2 + page_id % 4)
+    ) + page_id % 5
+
+
+def build_warc_file(file_idx: int, pages_per_file: int = PAGES_PER_FILE) -> bytes:
+    """One valid .warc.gz: a warcinfo record then one HTTP response
+    record per page, every record its own gzip member."""
+    out = [_warc.gzip_member(_warc.build_record(
+        "warcinfo",
+        b"software: ingest-spark synthetic crawler\r\n",
+        {"Content-Type": "application/warc-fields"},
+        rec_id_seed=f"info-{file_idx}",
+    ))]
+    for k in range(pages_per_file):
+        pid = file_idx * pages_per_file + k
+        status, mime, html = synthetic_page_html(pid)
+        reason = "OK" if status == 200 else "Not Found"
+        http = _warc.build_http_response(
+            status, reason, mime, html.encode())
+        out.append(_warc.gzip_member(_warc.build_record(
+            "response", http,
+            {
+                "WARC-Target-URI": f"https://example.org/doc/{pid}",
+                "Content-Type": "application/http; msgtype=response",
+            },
+            rec_id_seed=f"resp-{pid}",
+        )))
+    return b"".join(out)
+
+
+def synthetic_warc(spark: SparkSession, n_files: int = 12,
+                   pages_per_file: int = PAGES_PER_FILE) -> DataFrame:
+    """Deterministic table of VALID .warc.gz payloads, one row per
+    archive file — the in-memory stand-in for a binaryFile scan of a
+    crawl bucket."""
+    df = spark.range(0, n_files).withColumnRenamed("id", "file_idx")
+
+    @F.pandas_udf(BinaryType())
+    def _payload(fi: pd.Series) -> pd.Series:
+        return pd.Series(
+            [build_warc_file(int(f), pages_per_file) for f in fi])
+
+    from ingest_spark.operators.partitioning import spread_for_kernel
+    df = spread_for_kernel(df)
+    return df.select(
+        "file_idx",
+        F.format_string("warc-%05d", F.col("file_idx")).alias("warc_file"),
+        _payload(F.col("file_idx")).alias("content"),
+    )
+
+
+# ---------------------------------------------------------- parsing
+
+WARC_RECORDS_SCHEMA = StructType([
+    StructField("warc_file", StringType(), False),
+    StructField("rec_idx", IntegerType(), False),
+    StructField("member_offset", LongType(), False),
+    StructField("warc_type", StringType(), False),
+    StructField("record_id", StringType(), False),
+    StructField("url", StringType(), False),
+    StructField("status", IntegerType(), False),
+    StructField("mime", StringType(), False),
+    StructField("body", BinaryType(), False),
+])
+
+
+def parse_warc(files: DataFrame) -> DataFrame:
+    """(warc_file, content) → one row per WARC record with the HTTP
+    response split out (status + body) and the compressed member
+    offset (the CDX index value — what a splittable reader seeks to).
+    """
+
+    def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in WARC_RECORDS_SCHEMA}
+            for fname, content in zip(
+                pdf["warc_file"].to_numpy(), pdf["content"].to_numpy()
+            ):
+                for i, rec in enumerate(_warc.parse(bytes(content))):
+                    _warc.parse_http(rec)
+                    mime = (
+                        rec.http_headers.get("content-type", "").split(";")[0]
+                        if rec.warc_type == "response"
+                        else rec.headers.get("Content-Type", "")
+                    )
+                    rows["warc_file"].append(str(fname))
+                    rows["rec_idx"].append(i)
+                    rows["member_offset"].append(rec.offset)
+                    rows["warc_type"].append(rec.warc_type)
+                    rows["record_id"].append(
+                        rec.headers.get("WARC-Record-ID", ""))
+                    rows["url"].append(
+                        rec.headers.get("WARC-Target-URI", ""))
+                    rows["status"].append(rec.http_status)
+                    rows["mime"].append(mime)
+                    rows["body"].append(
+                        rec.http_body if rec.warc_type == "response"
+                        else rec.payload)
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(_parse, WARC_RECORDS_SCHEMA)
+
+
+def read_warc_files(spark: SparkSession, path: str) -> DataFrame:
+    """Disk surface: binaryFile scan → `parse_warc` (used by jobs and
+    tests; the contract queries use the in-memory synthetic table)."""
+    files = (
+        spark.read.format("binaryFile").load(path)
+        .select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("warc_file"),
+            F.col("content"),
+        )
+    )
+    return parse_warc(files)
+
+
+WEBTEXT_SCHEMA = StructType([
+    StructField("page_id", LongType(), False),
+    StructField("url", StringType(), False),
+    StructField("status", IntegerType(), False),
+    StructField("title", StringType(), False),
+    StructField("n_links", IntegerType(), False),
+    StructField("n_words", IntegerType(), False),
+    StructField("text", StringType(), False),
+])
+
+
+def extract_webtext(records: DataFrame) -> DataFrame:
+    """response records → visible text via the real HTML tokenizer:
+    title, link count, word count, and the extracted text itself.
+    script/style/comment content contributes nothing (the oracle's
+    closed-form word counts would catch leakage)."""
+    resp = records.filter(F.col("warc_type") == "response")
+
+    def _extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in WEBTEXT_SCHEMA}
+            for url, status, body in zip(
+                pdf["url"].to_numpy(), pdf["status"].to_numpy(),
+                pdf["body"].to_numpy(),
+            ):
+                d = _htmltext.extract(bytes(body).decode("utf-8", "replace"))
+                rows["page_id"].append(int(str(url).rsplit("/", 1)[-1]))
+                rows["url"].append(str(url))
+                rows["status"].append(int(status))
+                rows["title"].append(d["title"])
+                rows["n_links"].append(len(d["links"]))
+                rows["n_words"].append(d["n_words"])
+                rows["text"].append(d["text"])
+            yield pd.DataFrame(rows)
+
+    return resp.mapInPandas(_extract, WEBTEXT_SCHEMA)
