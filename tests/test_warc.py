@@ -1,0 +1,161 @@
+"""WARC container + HTML extraction layer (functions/warc.py,
+functions/htmltext.py, operators/webtext.py) — the webtext front half
+feeding the text-quality/dedup layer. Cross-engine parity for the
+`warc_records` / `webtext_extract` contract queries lives in
+tests/test_entry.py; these tests pin the byte-level and parser-level
+behavior."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from ingest_spark.functions import htmltext, warc
+from ingest_spark.operators import webtext as W
+
+
+class TestWarcContainer:
+    def test_gz_and_plain_parse_agree(self):
+        raws = [
+            warc.build_record("metadata", f"k: {i}\r\n".encode(),
+                              rec_id_seed=str(i))
+            for i in range(5)
+        ]
+        plain = b"".join(raws)
+        gz = b"".join(warc.gzip_member(r) for r in raws)
+        a, b = warc.parse(plain), warc.parse(gz)
+        assert len(a) == len(b) == 5
+        for ra, rb in zip(a, b):
+            assert ra.payload == rb.payload
+            assert ra.headers["WARC-Record-ID"] == rb.headers["WARC-Record-ID"]
+
+    def test_member_offsets_are_seek_points(self):
+        # the CDX/splittability property: decompressing from a
+        # reported member offset yields exactly that record
+        blob = W.build_warc_file(3)
+        recs = warc.parse(blob)
+        for rec in recs[1:4]:
+            tail = warc.parse(blob[rec.offset:])
+            assert tail[0].headers["WARC-Record-ID"] == \
+                rec.headers["WARC-Record-ID"]
+
+    def test_gzip_members_standard_readable(self):
+        # members must be plain standard gzip (external tools can read)
+        blob = W.build_warc_file(0)
+        assert gzip.decompress(blob).startswith(b"WARC/1.0\r\n")
+
+    def test_deterministic_bytes(self):
+        assert W.build_warc_file(7) == W.build_warc_file(7)
+
+    def test_truncated_payload_rejected(self):
+        rec = warc.build_record("metadata", b"x" * 100, rec_id_seed="t")
+        with pytest.raises(ValueError, match="truncated"):
+            warc.parse(rec[:-60])
+
+    def test_http_split(self):
+        body = b"<html>hi</html>"
+        rec = warc.build_record(
+            "response",
+            warc.build_http_response(301, "Moved", "text/html", body),
+            {"WARC-Target-URI": "http://x/"}, rec_id_seed="h")
+        r = warc.parse_http(warc.parse(rec)[0])
+        assert r.http_status == 301
+        assert r.http_headers["content-type"] == "text/html"
+        assert r.http_body == body
+
+
+class TestHtmlExtract:
+    def test_golden_page(self):
+        _, _, html = W.synthetic_page_html(9)  # 3 paras, 4 links
+        d = htmltext.extract(html)
+        assert d["title"] == "Doc 9"
+        assert d["links"] == ["/l0", "/l1", "/l2", "/l3"]
+        assert d["text"].split("\n")[0] == "Doc 9"
+        assert d["n_words"] == W.expected_word_count(9)
+
+    def test_script_style_comment_excluded(self):
+        d = htmltext.extract(
+            "<html><head><style>p{color:red}</style></head><body>"
+            "<script>var a = 'leaky words';</script>"
+            "<!-- hidden words --><p>only these</p>"
+            "<noscript>nope</noscript></body></html>")
+        assert d["text"] == "only these"
+        assert d["n_words"] == 2
+
+    def test_inline_tags_do_not_split_words(self):
+        d = htmltext.extract("<p>wo<b>r</b>d other</p>")
+        assert d["text"] == "word other"
+
+    def test_block_tags_do_separate_words(self):
+        d = htmltext.extract("<p>one</p><p>two</p><div>three</div>")
+        assert d["text"] == "one\ntwo\nthree"
+        assert d["n_words"] == 3
+
+    def test_entities_decoded(self):
+        d = htmltext.extract("<p>A&amp;B &lt;tag&gt;</p>")
+        assert d["text"] == "A&B <tag>"
+        assert d["n_words"] == 2
+
+    def test_meta_and_title_captured_not_counted(self):
+        d = htmltext.extract(
+            '<head><title>T W</title>'
+            '<meta name="description" content="desc here"></head>'
+            "<body><p>body</p></body>")
+        assert d["title"] == "T W"
+        assert d["meta"]["description"] == "desc here"
+        assert d["n_words"] == 1
+
+    def test_hostile_html_no_crash(self):
+        for bad in ["<p><a href=", "<<<>>>", "<b>" * 500, "&#xZZ; <p",
+                    "<script>never closed", ""]:
+            d = htmltext.extract(bad)
+            assert isinstance(d["n_words"], int)
+
+    def test_all_synthetic_counts(self):
+        for pid in range(96):
+            _, _, html = W.synthetic_page_html(pid)
+            d = htmltext.extract(html)
+            assert d["n_words"] == W.expected_word_count(pid), pid
+            exp_links = 0 if pid % 7 == 3 else pid % 5
+            assert len(d["links"]) == exp_links, pid
+
+
+class TestWebtextOperators:
+    def test_parse_counts_and_offsets(self, spark):
+        df = W.parse_warc(W.synthetic_warc(spark, n_files=4)).cache()
+        try:
+            assert df.count() == 4 * (1 + W.PAGES_PER_FILE)
+            # member offsets strictly increase within a file
+            pdf = df.orderBy("warc_file", "rec_idx").toPandas()
+            for _, grp in pdf.groupby("warc_file"):
+                off = grp["member_offset"].to_numpy()
+                assert (np.diff(off) > 0).all()
+                assert off[0] == 0
+        finally:
+            df.unpersist()
+
+    def test_read_warc_files_from_disk(self, spark, tmp_path):
+        for i in range(3):
+            (tmp_path / f"crawl-{i:05d}.warc.gz").write_bytes(
+                W.build_warc_file(i))
+        df = W.read_warc_files(spark, str(tmp_path))
+        assert df.count() == 3 * (1 + W.PAGES_PER_FILE)
+        stats = W.extract_webtext(df)
+        assert stats.filter("status = 404").count() == \
+            sum(1 for p in range(24) if p % 7 == 3)
+
+    def test_extracted_text_feeds_text_layer(self, spark):
+        # the point of the extractor: its output drops straight into
+        # the existing token/quality functions
+        from ingest_spark.functions import text as T
+        from pyspark.sql import functions as F
+        df = W.extract_webtext(
+            W.parse_warc(W.synthetic_warc(spark, n_files=2)))
+        out = df.select(
+            "page_id", T.ws_token_count(F.col("text")).alias("tok"))
+        pdf = out.toPandas()
+        exp = {p: W.expected_word_count(p) for p in range(16)}
+        # ws_token_count splits on whitespace incl. newlines → equals
+        # the extractor's own n_words
+        got = dict(zip(pdf["page_id"], pdf["tok"]))
+        assert got == exp
