@@ -1227,6 +1227,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["tile_xyz"] = tile_xyz
 
+    def mvt_points_tiles(spark, sf):
+        # MVT tile materialization (operators/tiling.mvt_tiles: buffered
+        # tile fan-out -> clip -> quantize -> MVT 2.1 command-stream
+        # payload). The query DECODES the payload bytes back to
+        # quantized coords and aggregates them, so the oracle checks the
+        # whole chain: fan-out tile set, buffer inclusion, and the
+        # floor(x+0.5) integer grid — re-derived exactly in SQL.
+        from ingest_spark.operators.tiling import decode_mvt_payload, mvt_tiles
+
+        g = _points(spark, sf).select(
+            "id", F.lit("point").alias("gtype"),
+            F.array(F.col("lon")).alias("xs"),
+            F.array(F.col("lat")).alias("ys"),
+        )
+        t = mvt_tiles(g, z=6)
+
+        def _stats(it):
+            for pdf in it:
+                rows = {k: [] for k in ("tile_z", "tile_x", "tile_y",
+                                        "n_features", "sum_qx", "sum_qy")}
+                for tz, tx, ty, nf, payload in zip(
+                    pdf["tile_z"], pdf["tile_x"], pdf["tile_y"],
+                    pdf["n_features"], pdf["payload"],
+                ):
+                    feats = decode_mvt_payload(bytes(payload))
+                    rows["tile_z"].append(int(tz))
+                    rows["tile_x"].append(int(tx))
+                    rows["tile_y"].append(int(ty))
+                    rows["n_features"].append(int(nf))
+                    rows["sum_qx"].append(sum(
+                        int(part[0].sum()) for f in feats for part in f[2]))
+                    rows["sum_qy"].append(sum(
+                        int(part[1].sum()) for f in feats for part in f[2]))
+                yield pd.DataFrame(rows)
+
+        return t.mapInPandas(
+            _stats,
+            "tile_z int, tile_x int, tile_y int, "
+            "n_features long, sum_qx long, sum_qy long",
+        )
+    q["mvt_points_tiles"] = mvt_points_tiles
+
     def h3_rollup(spark, sf):
         # H3 hierarchy rollup: res-8 cell assignment (real H3, UDF) →
         # res-5 parent via PURE Catalyst bit math (cellToParent is bit
@@ -1901,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_grid_join",  # r5-green; tailed for multimodal_flac_decode
         "minhash_incremental",  # r5-green; tailed for warc_records
         "embedding_cosine",  # r5-green; tailed for webtext_extract
+        "h3_rollup",  # r5-green; tailed for mvt_points_tiles
         "s1_scan_stats", "f2_filter_drop", "j4_order_preserving",
         "j_anti_join", "a1_bbox_agg", "a6_rolling_rate",
         "o3_grid_assign", "salt_hot_cells", "interval_join",
@@ -2108,6 +2151,46 @@ def oracle_sql() -> dict[str, str]:
               FROM {_POINTS_SQL} p
             )
             SELECT tile_z, tile_x, tile_y, COUNT(*) AS n FROM t GROUP BY 1, 2, 3
+        """,
+        # exact SQL twin of mvt_tiles' point chain at z=6, extent 4096,
+        # buffer 64: projected coords -> buffered tile fan-out (pad =
+        # 64/4096 = 1/64) -> float inclusion in [-64, 4160] tile-local
+        # units -> floor(x+0.5) quantization; the Spark side decodes the
+        # packed MVT payload back to coords, so equality here certifies
+        # the encoded bytes, not just the plan
+        "mvt_points_tiles": f"""
+            WITH p AS (
+              SELECT id, (lon + 180.0) / 360.0 AS xn,
+                (1.0 - LN(TAN(RADIANS(GREATEST(-85.05112878, LEAST(85.05112878, lat))))
+                        + 1.0 / COS(RADIANS(GREATEST(-85.05112878, LEAST(85.05112878, lat)))))
+                 / PI()) / 2.0 AS yn
+              FROM {_POINTS_SQL} p
+            ),
+            tx AS (
+              SELECT id, xn, yn, UNNEST(RANGE(
+                  GREATEST(0, LEAST(63, FLOOR((xn - 1.0/64.0) * 64)::BIGINT)),
+                  GREATEST(0, LEAST(63, FLOOR((xn + 1.0/64.0) * 64)::BIGINT)) + 1)) AS tile_x
+              FROM p
+            ),
+            txy AS (
+              SELECT id, xn, yn, tile_x, UNNEST(RANGE(
+                  GREATEST(0, LEAST(63, FLOOR((yn - 1.0/64.0) * 64)::BIGINT)),
+                  GREATEST(0, LEAST(63, FLOOR((yn + 1.0/64.0) * 64)::BIGINT)) + 1)) AS tile_y
+              FROM tx
+            ),
+            loc AS (
+              SELECT tile_x, tile_y,
+                     xn * 262144.0 - tile_x * 4096.0 AS lx,
+                     yn * 262144.0 - tile_y * 4096.0 AS ly
+              FROM txy
+            )
+            SELECT 6 AS tile_z, tile_x::INT AS tile_x, tile_y::INT AS tile_y,
+                   COUNT(*) AS n_features,
+                   SUM(FLOOR(lx + 0.5)::BIGINT)::BIGINT AS sum_qx,
+                   SUM(FLOOR(ly + 0.5)::BIGINT)::BIGINT AS sum_qy
+            FROM loc
+            WHERE lx >= -64.0 AND lx <= 4160.0 AND ly >= -64.0 AND ly <= 4160.0
+            GROUP BY 2, 3
         """,
         "dedup_exact": """
             SELECT source, COUNT(*) AS n_docs,
