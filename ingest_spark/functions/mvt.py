@@ -223,6 +223,22 @@ def _ring_area2(qx, qy) -> int:
     return int(np.sum(qx * y2 - x2 * qy))
 
 
+def _ring_area2_f(xs, ys) -> float:
+    x2, y2 = np.roll(xs, -1), np.roll(ys, -1)
+    return float(np.sum(xs * y2 - x2 * ys))
+
+
+def _orient(xs, ys, positive: bool):
+    """Enforce ring winding: positive (exterior, MVT spec §4.3.4.4 —
+    surveyor's-formula area > 0 in the y-down tile frame) or negative
+    (interior). Reversal keeps the vertex set; callers re-anchor the
+    start vertex afterwards."""
+    a = _ring_area2_f(xs, ys)
+    if (a < 0) == positive and a != 0:
+        return xs[::-1].copy(), ys[::-1].copy()
+    return xs, ys
+
+
 # --------------------------------------------------- geometry encoding
 
 def _emit(cmds: list[int], cmd_id: int, count: int):
@@ -309,11 +325,43 @@ def decode_geometry(gtype: str, buf: bytes):
 
 # ----------------------------------------------- per-geometry pipeline
 
-def tile_geometry(gtype, xs, ys, extent=4096, buf=64, tol=1.0):
+def _process_ring(xs, ys, positive, lo, hi, tol):
+    """Clip → orient (MVT winding) → lex-min re-anchor → DP → quantize
+    one ring; returns (qx, qy) or None if it degenerates."""
+    cx, cy = clip_ring(xs, ys, lo, lo, hi, hi)
+    if len(cx) < 3:
+        return None
+    cx, cy = _orient(cx, cy, positive)
+    # rotate the ring to start at its lexicographic-min vertex: DP
+    # always keeps its two endpoints, so anchoring at an extreme point
+    # protects a true corner and makes the result independent of the
+    # input ring's starting vertex
+    start = int(np.lexsort((cy, cx))[0])
+    cx, cy = np.roll(cx, -start), np.roll(cy, -start)
+    if tol > 0.0 and len(cx) > 4:
+        k = simplify_dp(np.append(cx, cx[0]), np.append(cy, cy[0]), tol)
+        cx, cy = cx[k[:-1]], cy[k[:-1]]
+    qx, qy = quantize(cx, cy)
+    if len(qx) >= 3 and qx[0] == qx[-1] and qy[0] == qy[-1]:
+        qx, qy = qx[:-1], qy[:-1]
+    if len(qx) < 3:
+        return None
+    a2 = _ring_area2(qx, qy)
+    # quantization may collapse the ring (or, for slivers, flip its
+    # sign); only emit rings whose final winding matches their role
+    if a2 == 0 or (a2 > 0) != positive:
+        return None
+    return qx, qy
+
+
+def tile_geometry(gtype, xs, ys, extent=4096, buf=64, tol=1.0, holes=None):
     """Full per-(geometry, tile) chain on tile-local FLOAT coords
     (0..extent inside the tile): clip to the buffered tile square,
     Douglas-Peucker simplify at ``tol`` tile units, quantize, drop
-    degenerates. Returns the encoded parts list (possibly empty)."""
+    degenerates. ``holes`` (polygons only) is a list of (hxs, hys)
+    interior rings; exterior rings are emitted with positive
+    surveyor's-formula area and interiors negative, per MVT §4.3.4.4.
+    Returns the encoded parts list (possibly empty)."""
     lo, hi = -float(buf), float(extent) + float(buf)
     xs = np.asarray(xs, dtype=np.float64)
     ys = np.asarray(ys, dtype=np.float64)
@@ -334,21 +382,15 @@ def tile_geometry(gtype, xs, ys, extent=4096, buf=64, tol=1.0):
                 parts.append((qx, qy))
         return parts
     if gtype == "polygon":
-        cx, cy = clip_ring(xs, ys, lo, lo, hi, hi)
-        if len(cx) >= 3:
-            # rotate the ring to start at its lexicographic-min vertex:
-            # DP always keeps its two endpoints, so anchoring at an
-            # extreme point protects a true corner and makes the result
-            # independent of the input ring's starting vertex
-            start = int(np.lexsort((cy, cx))[0])
-            cx, cy = np.roll(cx, -start), np.roll(cy, -start)
-            if tol > 0.0 and len(cx) > 4:
-                k = simplify_dp(np.append(cx, cx[0]), np.append(cy, cy[0]), tol)
-                cx, cy = cx[k[:-1]], cy[k[:-1]]
-            qx, qy = quantize(cx, cy)
-            if len(qx) >= 3 and qx[0] == qx[-1] and qy[0] == qy[-1]:
-                qx, qy = qx[:-1], qy[:-1]
-            if len(qx) >= 3 and _ring_area2(qx, qy) != 0:
-                parts.append((qx, qy))
+        outer = _process_ring(xs, ys, True, lo, hi, tol)
+        if outer is None:
+            return parts
+        parts.append(outer)
+        for hxs, hys in holes or ():
+            hole = _process_ring(np.asarray(hxs, dtype=np.float64),
+                                 np.asarray(hys, dtype=np.float64),
+                                 False, lo, hi, tol)
+            if hole is not None:
+                parts.append(hole)
         return parts
     raise ValueError(f"unknown gtype {gtype!r}")

@@ -1086,8 +1086,10 @@ def mvt_tiles(
     encoding (functions/mvt.py).
 
     Input ``geoms``: (id long, gtype string in point|line|polygon,
-    xs array<double> lons, ys array<double> lats); polygon rings are
-    unclosed single outer rings.
+    xs array<double> lons, ys array<double> lats); polygon xs/ys is the
+    unclosed OUTER ring, with optional interior rings in ``hole_xs`` /
+    ``hole_ys`` (array<array<double>>) — encoded as MVT interior rings
+    (negative surveyor's-formula area) after per-tile clipping.
 
     Plan shape (100 TB): tile assignment is pure JVM expressions over
     the geometry's projected bbox (array_min/max of transform()), the
@@ -1123,6 +1125,14 @@ def mvt_tiles(
     yn = F.transform(F.col("ys"), lat_y)
     clamp = lambda c: F.greatest(F.lit(0), F.least(F.lit(n - 1), c.cast("int")))  # noqa: E731
 
+    has_holes = "hole_xs" in geoms.columns
+    if not has_holes:
+        geoms = geoms.withColumn(
+            "hole_xs", F.array().cast("array<array<double>>")
+        ).withColumn("hole_ys", F.array().cast("array<array<double>>"))
+
+    # holes lie inside the outer ring by definition, so the outer
+    # ring's bbox bounds the tile fan-out for the whole polygon
     fanned = (
         geoms.where(F.size("xs") > 0)
         .withColumn("_tx0", clamp(F.floor((F.array_min(xn) - pad) * n)))
@@ -1131,7 +1141,8 @@ def mvt_tiles(
         .withColumn("_ty1", clamp(F.floor((F.array_max(yn) + pad) * n)))
         .withColumn("tile_x", F.explode(F.sequence("_tx0", "_tx1")))
         .withColumn("tile_y", F.explode(F.sequence("_ty0", "_ty1")))
-        .select("tile_x", "tile_y", "id", "gtype", "xs", "ys")
+        .select("tile_x", "tile_y", "id", "gtype", "xs", "ys",
+                "hole_xs", "hole_ys")
     )
 
     ext = float(extent)
@@ -1140,16 +1151,25 @@ def mvt_tiles(
         for pdf in it:
             out = {k: [] for k in
                    ("tile_x", "tile_y", "id", "gtype", "geom", "n_pts")}
-            for tx, ty, fid, gtype, xs, ys in zip(
+            for tx, ty, fid, gtype, xs, ys, hxs, hys in zip(
                 pdf["tile_x"], pdf["tile_y"], pdf["id"], pdf["gtype"],
-                pdf["xs"], pdf["ys"],
+                pdf["xs"], pdf["ys"], pdf["hole_xs"], pdf["hole_ys"],
             ):
                 gx, gy = _merc_norm(np.asarray(xs, dtype=np.float64),
                                     np.asarray(ys, dtype=np.float64))
                 lx = gx * (n * ext) - float(tx) * ext
                 ly = gy * (n * ext) - float(ty) * ext
+                holes = []
+                if hxs is None or hys is None:
+                    hxs, hys = (), ()
+                for hx, hy in zip(hxs, hys):
+                    ghx, ghy = _merc_norm(np.asarray(hx, dtype=np.float64),
+                                          np.asarray(hy, dtype=np.float64))
+                    holes.append((ghx * (n * ext) - float(tx) * ext,
+                                  ghy * (n * ext) - float(ty) * ext))
                 parts = M.tile_geometry(gtype, lx, ly, extent=extent,
-                                        buf=buffer_px, tol=tolerance_px)
+                                        buf=buffer_px, tol=tolerance_px,
+                                        holes=holes)
                 if not parts:
                     continue
                 out["tile_x"].append(int(tx))

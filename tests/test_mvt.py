@@ -260,3 +260,62 @@ class TestMvtTilesOperator:
         n_pts = sum(len(p[0]) for r in rows
                     for f in decode_mvt_payload(bytes(r.payload)) for p in f[2])
         assert 2 <= n_pts < 50  # 200 raw points simplified away
+
+
+class TestPolygonHoles:
+    def test_winding_canonicalized(self):
+        # clockwise-input outer ring (negative surveyor area) is
+        # reversed to positive; same vertex set
+        a = M.tile_geometry("polygon", [0.0, 0.0, 4000.0, 4000.0],
+                            [0.0, 4000.0, 4000.0, 0.0], tol=0.0)
+        assert M._ring_area2(a[0][0], a[0][1]) > 0
+
+    def test_hole_winding_negative(self):
+        outer = ([0.0, 4000.0, 4000.0, 0.0], [0.0, 0.0, 4000.0, 4000.0])
+        hole = ([1000.0, 2000.0, 2000.0, 1000.0],
+                [1000.0, 1000.0, 2000.0, 2000.0])
+        parts = M.tile_geometry("polygon", outer[0], outer[1],
+                                holes=[hole], tol=0.0)
+        assert len(parts) == 2
+        assert M._ring_area2(parts[0][0], parts[0][1]) > 0
+        assert M._ring_area2(parts[1][0], parts[1][1]) < 0
+
+    def test_hole_outside_clip_dropped(self):
+        # outer spans far beyond the tile; the hole sits wholly outside
+        # the buffered square and must vanish
+        outer = ([-9000.0, 9000.0, 9000.0, -9000.0],
+                 [-9000.0, -9000.0, 9000.0, 9000.0])
+        hole = ([7000.0, 8000.0, 8000.0, 7000.0],
+                [7000.0, 7000.0, 8000.0, 8000.0])
+        parts = M.tile_geometry("polygon", outer[0], outer[1],
+                                holes=[hole], tol=0.0)
+        assert len(parts) == 1
+
+    def test_degenerate_hole_dropped(self):
+        outer = ([0.0, 4000.0, 4000.0, 0.0], [0.0, 0.0, 4000.0, 4000.0])
+        hole = ([100.0, 100.2, 100.4], [100.0, 100.1, 100.2])
+        parts = M.tile_geometry("polygon", outer[0], outer[1],
+                                holes=[hole], tol=0.0)
+        assert len(parts) == 1
+
+    def test_operator_end_to_end_with_hole(self, spark):
+        """Cool-lake-shaped multipolygon (outer ring + inner hole, the
+        reference fixture relation 700 pattern) through mvt_tiles."""
+        from ingest_spark.operators.tiling import decode_mvt_payload, mvt_tiles
+        rows = [(700, "polygon",
+                 [5.0, 5.0, 5.01, 5.01], [-10.0, -10.01, -10.01, -10.0],
+                 [[5.005, 5.006, 5.007]], [[-10.003, -10.004, -10.003]])]
+        df = spark.createDataFrame(
+            rows, "id long, gtype string, xs array<double>, ys array<double>, "
+                  "hole_xs array<array<double>>, hole_ys array<array<double>>")
+        out = mvt_tiles(df, z=14, tolerance_px=0.0).collect()
+        assert out, "fixture polygon produced no tiles"
+        found_hole = False
+        for r in out:
+            for fid, gtype, parts in decode_mvt_payload(bytes(r.payload)):
+                assert fid == 700 and gtype == "polygon"
+                assert M._ring_area2(parts[0][0], parts[0][1]) > 0
+                for qx, qy in parts[1:]:
+                    assert M._ring_area2(qx, qy) < 0
+                    found_hole = True
+        assert found_hole, "interior ring never survived tiling"
