@@ -1222,3 +1222,88 @@ def decode_mvt_payload(payload: bytes):
         feats.append((fid, gtype, parts))
     assert pos == len(payload), "trailing bytes in tile payload"
     return feats
+
+
+def feature_geometries(
+    nodes: DataFrame,
+    assembled_ways: DataFrame,
+    assembled_relations: DataFrame,
+) -> DataFrame:
+    """Adapt the assembled element frames (operators/assemble.py) to
+    mvt_tiles' geometry schema — all pure JVM array expressions.
+
+    - tagged nodes → point geometries;
+    - ways → polygon when the resolved ring closes (closing vertex
+      stripped), else line;
+    - relations → one polygon per relation: first outer ring is the
+      exterior, every inner ring attaches as a hole. (Multi-outer
+      relations would need ring-containment tests to group holes; the
+      corpus generator emits single-outer multipolygons, matching the
+      reference fixture relation 700.)
+
+    Ring splitting of the relations' flattened coordinate arrays uses
+    slice()+aggregate() running offsets — ring counts per relation are
+    tiny, so the quadratic offset fold is constant-time in practice.
+    """
+    tags_type = dict(nodes.dtypes).get("tags", "string")
+    tagged = (
+        F.size("tags") > 0 if tags_type.startswith("map")
+        else F.col("tags") != ""
+    )
+    pts = nodes.where(tagged).select(
+        F.col("id"),
+        F.lit("point").alias("gtype"),
+        F.array(F.col("lon").cast("double")).alias("xs"),
+        F.array(F.col("lat").cast("double")).alias("ys"),
+        F.lit(None).cast("array<array<double>>").alias("hole_xs"),
+        F.lit(None).cast("array<array<double>>").alias("hole_ys"),
+    )
+
+    dbl = lambda c: F.col(c).cast("array<double>")  # noqa: E731
+    ways_g = assembled_ways.where(F.col("n_nodes") >= 2).select(
+        F.col("way_id").alias("id"),
+        F.when(F.col("resolved_closed"), F.lit("polygon"))
+        .otherwise(F.lit("line")).alias("gtype"),
+        F.when(
+            F.col("resolved_closed"),
+            F.slice(dbl("xs"), 1, F.size("xs") - 1),
+        ).otherwise(dbl("xs")).alias("xs"),
+        F.when(
+            F.col("resolved_closed"),
+            F.slice(dbl("ys"), 1, F.size("ys") - 1),
+        ).otherwise(dbl("ys")).alias("ys"),
+        F.lit(None).cast("array<array<double>>").alias("hole_xs"),
+        F.lit(None).cast("array<array<double>>").alias("hole_ys"),
+    )
+
+    rings = F.expr("""
+        transform(ring_lens, (len, i) -> named_struct(
+          'rxs', slice(cast(xs as array<double>),
+                       aggregate(slice(ring_lens, 1, i), 1, (a, b) -> a + b),
+                       len),
+          'rys', slice(cast(ys as array<double>),
+                       aggregate(slice(ring_lens, 1, i), 1, (a, b) -> a + b),
+                       len),
+          'role', ring_roles[i],
+          'closed', ring_closed[i]))
+    """)
+    strip = (
+        "transform(filter(_rings, r -> r.role = 'inner'), r -> "
+        "  case when r.closed then slice(r.{c}, 1, size(r.{c}) - 1) "
+        "       else r.{c} end)"
+    )
+    rels_g = (
+        assembled_relations.withColumn("_rings", rings)
+        .withColumn("_outer", F.expr("filter(_rings, r -> r.role = 'outer')[0]"))
+        .where(F.col("_outer").isNotNull() & (F.size("_outer.rxs") >= 3))
+        .select(
+            F.col("rel_id").alias("id"),
+            F.lit("polygon").alias("gtype"),
+            F.expr("case when _outer.closed then slice(_outer.rxs, 1, size(_outer.rxs) - 1) else _outer.rxs end").alias("xs"),
+            F.expr("case when _outer.closed then slice(_outer.rys, 1, size(_outer.rys) - 1) else _outer.rys end").alias("ys"),
+            F.expr(strip.format(c="rxs")).alias("hole_xs"),
+            F.expr(strip.format(c="rys")).alias("hole_ys"),
+        )
+    )
+
+    return pts.unionByName(ways_g).unionByName(rels_g)

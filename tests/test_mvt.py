@@ -9,6 +9,7 @@ containment, and deterministic payload bytes through Spark."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 from hypothesis import given, settings, strategies as st
 
 from ingest_spark.functions import mvt as M
@@ -319,3 +320,67 @@ class TestPolygonHoles:
                     assert M._ring_area2(qx, qy) < 0
                     found_hole = True
         assert found_hole, "interior ring never survived tiling"
+
+
+class TestFeatureGeometries:
+    """Golden-fixture chain: pages → parse → assemble →
+    feature_geometries → mvt_tiles (reference ingest.xml entities)."""
+
+    @pytest.fixture(scope="class")
+    def decoded(self, spark):
+        from ingest_spark.operators import assemble, extract
+        from ingest_spark.operators.tiling import (
+            decode_mvt_payload, feature_geometries, mvt_tiles)
+        from ingest_spark.sources import pages as pages_src
+
+        pages = pages_src.fixture_pages(spark)
+        nodes, ways, rels = extract.parse_elements(pages)
+        aw = assemble.assemble_ways(ways, nodes)
+        ar = assemble.assemble_relations(rels, ways, nodes)
+        g = feature_geometries(nodes, aw, ar)
+        out = []
+        for r in mvt_tiles(g, z=10).collect():
+            for fid, gtype, parts in decode_mvt_payload(bytes(r.payload)):
+                out.append((fid, gtype, parts, (r.tile_x, r.tile_y)))
+        return out
+
+    def test_tagged_nodes_become_points(self, decoded):
+        by_id = {f[0]: f[1] for f in decoded}
+        assert by_id.get(1312) == "point"      # amenity=cafe
+        assert by_id.get(2000) == "point"      # amenity=bus_station
+        assert 1313 not in by_id               # untagged node dropped
+
+    def test_park_way_is_polygon(self, decoded):
+        feats = [f for f in decoded if f[0] == 555]
+        assert feats and all(f[1] == "polygon" for f in feats)
+        parts = feats[0][2]
+        assert len(parts) == 1
+        assert M._ring_area2(parts[0][0], parts[0][1]) > 0
+
+    def test_lake_relation_has_hole(self, decoded):
+        feats = [f for f in decoded if f[0] == 700]
+        assert feats and all(f[1] == "polygon" for f in feats)
+        with_hole = [f for f in feats if len(f[2]) == 2]
+        assert with_hole, "lake hole (inner way 601) lost"
+        outer, hole = with_hole[0][2]
+        assert M._ring_area2(*outer) > 0 and M._ring_area2(*hole) < 0
+        # hole strictly smaller than the outer
+        assert abs(M._ring_area2(*hole)) < M._ring_area2(*outer)
+
+    def test_open_way_would_be_line(self, spark):
+        from ingest_spark.operators import assemble
+        from ingest_spark.operators.tiling import feature_geometries
+        nodes = spark.createDataFrame(
+            [(1, 10.0, 10.0, ""), (2, 10.1, 10.0, ""), (3, 10.1, 10.1, "")],
+            "id long, lon double, lat double, tags string")
+        ways = spark.createDataFrame(
+            [(77, [1, 2, 3], "highway=path")],
+            "id long, refs array<long>, tags string")
+        aw = assemble.assemble_ways(ways, nodes)
+        ar_empty = assemble.assemble_relations(
+            spark.createDataFrame(
+                [], "id long, members array<struct<mtype:string,role:string,ref:long>>, tags string"),
+            ways, nodes)
+        g = feature_geometries(nodes.where(F.col("tags") != ""), aw, ar_empty)
+        rows = {r.id: r for r in g.collect()}
+        assert rows[77].gtype == "line" and len(rows[77].xs) == 3
