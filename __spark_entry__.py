@@ -1640,6 +1640,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("page_id", "url", "status", "title", "n_links", "n_words")
     q["webtext_extract"] = webtext_extract_q
 
+    def url_canonical_q(spark, sf):
+        # URL canonicalization (round 6 web-graph layer): pure column
+        # expressions (regexp + array lambdas, JVM-side) lower-case
+        # scheme/host, strip default ports / fragments / tracking
+        # params, and sort surviving query params; host_surt emits the
+        # Common-Crawl index sort key. The oracle re-derives the
+        # canonical url and SURT key in closed form from the messy
+        # synthetic urls — any rule drift breaks the hash.
+        _ensure_shipped(spark)
+        from ingest_spark.operators import webgraph as wg
+        pages = wg.synthetic_linked_pages(spark)
+        host = wg.url_host(F.col("url"))
+        return pages.select(
+            "page_id",
+            wg.canonical_url(F.col("url")).alias("canon_url"),
+            host.alias("canon_host"),
+            wg.host_surt(host).alias("surt_key"),
+        )
+    q["url_canonical"] = url_canonical_q
+
+    def host_graph_degrees_q(spark, sf):
+        # Host link graph (round 6): pages → real-HTML link extraction
+        # → canonical host edges (self-loops dropped) → per-host degree
+        # stats. Integer-exact; the oracle re-derives the edge list
+        # from the closed-form link rule (the same-host /local links
+        # MUST vanish — leaking one shifts the counts).
+        _ensure_shipped(spark)
+        from ingest_spark.operators import webgraph as wg
+        edges = wg.host_edges(wg.extract_links(
+            wg.synthetic_linked_pages(spark)))
+        return wg.host_degrees(edges)
+    q["host_graph_degrees"] = host_graph_degrees_q
+
+    def pagerank_hosts_q(spark, sf):
+        # Distributed PageRank (round 6): 3 damped iterations over the
+        # weighted host graph — per-iteration join+groupBy on
+        # host-cardinality rows, transition matrix built once. The
+        # oracle unrolls the SAME 3 iterations in SQL CTEs; ranks are
+        # rounded to 6 dp on both sides (float-sum ordering differs
+        # across engines at ~1e-16).
+        _ensure_shipped(spark)
+        from ingest_spark.operators import webgraph as wg
+        edges = wg.host_edges(wg.extract_links(
+            wg.synthetic_linked_pages(spark)))
+        pr = wg.pagerank(edges, iters=3, damping=0.85)
+        return pr.select("host", F.round("pr", 6).alias("pr"))
+    q["pagerank_hosts"] = pagerank_hosts_q
+
     def iceberg_snapshots_q(spark, sf):
         # the catalog commit protocol end-to-end (round 6): three
         # deterministic commits against a fresh Iceberg-v2-layout table
@@ -1944,6 +1992,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental",  # r5-green; tailed for warc_records
         "embedding_cosine",  # r5-green; tailed for webtext_extract
         "h3_rollup",  # r5-green; tailed for mvt_points_tiles
+        "subquery_in",  # r5-green; tailed for url_canonical
+        "sessionize",  # r5-green; tailed for host_graph_degrees
+        "event_windows",  # r5-green; tailed for pagerank_hosts
         "s1_scan_stats", "f2_filter_drop", "j4_order_preserving",
         "j_anti_join", "a1_bbox_agg", "a6_rolling_rate",
         "o3_grid_assign", "salt_hot_cells", "interval_join",
@@ -2545,6 +2596,81 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN p.pid % 7 = 3 THEN 2
                          ELSE 2 + p.pid % 5 + para.pw END)::INT AS n_words
             FROM p JOIN para ON para.pid = p.pid
+        """,
+        # closed-form twin of webgraph._raw_url / canonical_url: the
+        # messy synthetic urls canonicalize to exactly this arithmetic
+        # (scheme/host lower-cased, :443 and #frag stripped,
+        # utm_source dropped, a=1&b=N sorted; i%4==3 pages carry no
+        # query at all)
+        "url_canonical": """
+            WITH p AS (SELECT UNNEST(range(0, 600)) AS i)
+            SELECT i AS page_id,
+                   'https://host' || (i % 37) || '.example.org/p/' || i ||
+                     CASE WHEN i % 4 = 3 THEN ''
+                          ELSE '?a=1&b=' || (i % 5) END AS canon_url,
+                   'host' || (i % 37) || '.example.org' AS canon_host,
+                   'org,example,host' || (i % 37) AS surt_key
+            FROM p
+        """,
+        # closed-form twin of webgraph.link_targets: page i emits
+        # 1 + i%3 cross-host links (offset 1 + (i*3+k*7)%36 — never
+        # 0 mod 37, so no self-loop); the /local same-host links on
+        # every 6th page must NOT appear as edges
+        "host_graph_degrees": """
+            WITH p AS (SELECT UNNEST(range(0, 600)) AS i),
+            e AS (
+              SELECT 'host' || (i % 37) || '.example.org' AS src,
+                     'host' || (((i % 37) + 1 + (i*3 + k*7) % 36) % 37)
+                       || '.example.org' AS dst
+              FROM p, UNNEST(range(0, 1 + i % 3)) AS u(k)
+            ),
+            o AS (SELECT src AS host, COUNT(*) AS out_links,
+                         COUNT(DISTINCT dst) AS out_hosts
+                  FROM e GROUP BY 1),
+            n AS (SELECT dst AS host, COUNT(*) AS in_links,
+                         COUNT(DISTINCT src) AS in_hosts
+                  FROM e GROUP BY 1)
+            SELECT host,
+                   COALESCE(out_links, 0) AS out_links,
+                   COALESCE(out_hosts, 0) AS out_hosts,
+                   COALESCE(in_links, 0) AS in_links,
+                   COALESCE(in_hosts, 0) AS in_hosts
+            FROM o FULL OUTER JOIN n USING (host)
+        """,
+        # the SAME 3 damped iterations pagerank() runs, unrolled as
+        # CTEs. Every float literal is cast to DOUBLE *before*
+        # arithmetic — bare 0.15/37 is DECIMAL division in DuckDB and
+        # diverges from the engine's IEEE value. 6-dp rounding on both
+        # sides absorbs float-sum ordering (~1e-16).
+        "pagerank_hosts": """
+            WITH p AS (SELECT UNNEST(range(0, 600)) AS i),
+            e0 AS (
+              SELECT 'host' || (i % 37) || '.example.org' AS src,
+                     'host' || (((i % 37) + 1 + (i*3 + k*7) % 36) % 37)
+                       || '.example.org' AS dst
+              FROM p, UNNEST(range(0, 1 + i % 3)) AS u(k)
+            ),
+            ew AS (SELECT src, dst, COUNT(*) AS w FROM e0 GROUP BY 1, 2),
+            ow AS (SELECT src, SUM(w) AS ow FROM ew GROUP BY 1),
+            t AS (SELECT ew.src, ew.dst,
+                         ew.w::DOUBLE / ow.ow::DOUBLE AS pp
+                  FROM ew JOIN ow USING (src)),
+            nodes AS (SELECT DISTINCT src AS h FROM e0
+                      UNION SELECT DISTINCT dst FROM e0),
+            r0 AS (SELECT h, 1.0::DOUBLE / 37 AS r FROM nodes),
+            r1 AS (SELECT n.h, 0.15::DOUBLE / 37
+                         + 0.85::DOUBLE * COALESCE(SUM(r0.r * t.pp), 0) AS r
+                   FROM nodes n LEFT JOIN t ON t.dst = n.h
+                   LEFT JOIN r0 ON r0.h = t.src GROUP BY n.h),
+            r2 AS (SELECT n.h, 0.15::DOUBLE / 37
+                         + 0.85::DOUBLE * COALESCE(SUM(r1.r * t.pp), 0) AS r
+                   FROM nodes n LEFT JOIN t ON t.dst = n.h
+                   LEFT JOIN r1 ON r1.h = t.src GROUP BY n.h),
+            r3 AS (SELECT n.h, 0.15::DOUBLE / 37
+                         + 0.85::DOUBLE * COALESCE(SUM(r2.r * t.pp), 0) AS r
+                   FROM nodes n LEFT JOIN t ON t.dst = n.h
+                   LEFT JOIN r2 ON r2.h = t.src GROUP BY n.h)
+            SELECT h AS host, ROUND(r, 6) AS pr FROM r3
         """,
         # closed-form twin of synthetic_flac_audio: the PCM sawtooth
         # summed exactly — FLAC is lossless so lossless_exact is TRUE

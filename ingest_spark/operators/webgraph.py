@@ -1,0 +1,332 @@
+"""Web-graph layer: URL canonicalization, host link graph, PageRank.
+
+The back half of a Common-Crawl-style crawl pipeline that the WARC /
+HTML front half (`operators/webtext.py`) feeds: pages carry outbound
+links; a training-data pipeline needs those links canonicalized (one
+URL per logical resource), rolled up to a host-level link graph, and
+ranked (link-based quality priors are a standard corpus-filtering
+signal). Reference analog: none — this extends the graft's webtext
+axis the same way dedup/ANN do (SURVEY.md §2 "beyond-reference"
+block).
+
+Everything here is deliberately two-layered:
+
+* **Canonicalization is pure Spark column expressions** (regexp +
+  array lambdas — JVM-side, whole-stage codegen, no Python). The
+  exact same rules are expressible in DuckDB's list lambdas, so the
+  driver oracles pin the semantics cross-engine.
+* **Graph ops are plain shuffles.** Edges aggregate per (src, dst)
+  host pair; PageRank iterates join → groupBy with the transition
+  matrix built ONCE outside the loop (the per-iteration work touches
+  only (host, rank) rows). Persist/unpersist per iteration keeps the
+  lineage flat; `checkpoint_every` truncates it for long runs.
+
+Scale design (10^12 pages → ~10^8 hosts): the host graph is ~4
+orders of magnitude smaller than the page table, so every stage
+after `host_edges` shuffles only host-cardinality rows. Nothing here
+collects more than a scalar (the node count); there is no driver-side
+adjacency structure and no broadcast of anything graph-sized.
+Canonicalization runs in the scan stage (column expressions fused
+into the page scan — no extra job, no Python worker).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    LongType, StringType, StructField, StructType,
+)
+
+from ingest_spark.functions import htmltext as _htmltext
+
+# --------------------------------------------- URL canonicalization
+
+# tracking parameters dropped by canonicalization (name= prefix);
+# keep in sync with _TRACK_RE_SQL in __spark_entry__.py's oracles
+_TRACK_RE = r"^(utm_[a-zA-Z]+|gclid|fbclid|msclkid)="
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def url_scheme(url: Column) -> Column:
+    """Lower-cased scheme ('' when the value is not an absolute URL)."""
+    return F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+
+
+def url_host(url: Column) -> Column:
+    """Canonical host: lower-cased, userinfo stripped, default port
+    (http:80 / https:443) stripped."""
+    hostport = F.regexp_replace(
+        F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1)), "^[^@]*@", "")
+    scheme = url_scheme(url)
+    return (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+
+
+def url_path(url: Column) -> Column:
+    """Path component; empty path normalizes to '/'."""
+    p = F.regexp_extract(url, _PATH_RE, 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def url_query_canonical(url: Column) -> Column:
+    """Query string with tracking params dropped and the remaining
+    ``k=v`` pairs sorted bytewise ('' when nothing survives)."""
+    frag_stripped = F.regexp_replace(url, "#.*", "")
+    raw = F.regexp_extract(frag_stripped, _QUERY_RE, 1)
+    kept = F.filter(
+        F.split(raw, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACK_RE),
+    )
+    return F.array_join(F.array_sort(kept), "&")
+
+
+def canonical_url(url: Column) -> Column:
+    """One canonical string per logical resource: lower-cased scheme
+    and host, default port and fragment stripped, tracking params
+    dropped, surviving query params sorted. Pure column expressions —
+    runs inside the page scan's codegen stage."""
+    q = url_query_canonical(url)
+    return F.concat(
+        url_scheme(url), F.lit("://"), url_host(url), url_path(url),
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+
+
+def host_surt(host: Column) -> Column:
+    """SURT-style reversed host key ('org,example,www') — the
+    Common-Crawl index sort key; prefix range scans over it cluster a
+    registrable domain's subdomains together."""
+    return F.array_join(F.reverse(F.split(host, r"\.")), ",")
+
+
+# ------------------------------------------------- synthetic corpus
+
+N_PAGES = 600
+N_HOSTS = 37
+
+
+def _raw_url(i: int, n_hosts: int = N_HOSTS) -> str:
+    """Deterministic MESSY url for page ``i`` — exercises every
+    canonicalization rule; the canonical twin is closed-form
+    (see the `url_canonical` oracle)."""
+    h = i % n_hosts
+    scheme = "https" if i % 2 == 0 else "HTTPS"
+    port = ":443" if i % 3 == 0 else ""
+    q = ["?utm_source=feed&b=%d&a=1" % (i % 5),
+         "?b=%d&a=1" % (i % 5),
+         "?a=1&b=%d" % (i % 5),
+         ""][i % 4]
+    frag = "#sec%d" % (i % 3) if i % 5 == 0 else ""
+    return f"{scheme}://Host{h}.Example.ORG{port}/p/{i}{q}{frag}"
+
+
+def link_targets(i: int, n_hosts: int = N_HOSTS,
+                 n_pages: int = N_PAGES) -> "list[tuple[int, str]]":
+    """Closed-form outbound links of page ``i``: ``1 + i % 3``
+    cross-host links (host offset in [1, n_hosts-1] — never the own
+    host) plus, on every 6th page, one root-relative SAME-host link
+    (which must vanish as a host-level self-loop)."""
+    h = i % n_hosts
+    out = []
+    for k in range(1 + i % 3):
+        t = (h + 1 + (i * 3 + k * 7) % (n_hosts - 1)) % n_hosts
+        out.append((t, "https://Host%d.Example.org:443/p/%d?utm_campaign=c%d"
+                    % (t, (i * 11 + k) % n_pages, k)))
+    if i % 6 == 0:
+        out.append((h, "/local/%d" % i))
+    return out
+
+
+def synthetic_linked_pages(spark: SparkSession, n_pages: int = N_PAGES,
+                           n_hosts: int = N_HOSTS) -> DataFrame:
+    """Deterministic (page_id, url, html) corpus whose pages link
+    across hosts — the stand-in for the crawl's response table. The
+    urls are messy on purpose; every page fact (canonical url, link
+    targets) is arithmetic in page_id so the driver oracles re-derive
+    them in closed form."""
+    df = spark.range(0, n_pages).withColumnRenamed("id", "page_id")
+
+    @F.pandas_udf(StringType())
+    def _html(pid: pd.Series) -> pd.Series:
+        out = []
+        for i in pid:
+            i = int(i)
+            anchors = "".join(
+                f'<a href="{href}">t{j}</a> '
+                for j, (_t, href) in enumerate(link_targets(i, n_hosts,
+                                                            n_pages))
+            )
+            out.append(
+                f"<html><head><title>P{i}</title></head>"
+                f"<body><p>page {i} body</p>{anchors}</body></html>"
+            )
+        return pd.Series(out)
+
+    @F.pandas_udf(StringType())
+    def _url(pid: pd.Series) -> pd.Series:
+        return pd.Series([_raw_url(int(i), n_hosts) for i in pid])
+
+    from ingest_spark.operators.partitioning import spread_for_kernel
+    df = spread_for_kernel(df)
+    return df.select(
+        "page_id", _url(F.col("page_id")).alias("url"),
+        _html(F.col("page_id")).alias("html"),
+    )
+
+
+# ----------------------------------------------------- link extract
+
+LINKS_SCHEMA = StructType([
+    StructField("page_id", LongType(), False),
+    StructField("url", StringType(), False),
+    StructField("link", StringType(), False),
+])
+
+
+def extract_links(pages: DataFrame) -> DataFrame:
+    """(page_id, url, html) → one row per ``<a href>`` via the real
+    HTML tokenizer (`functions/htmltext.py`) — the same extractor the
+    WARC path uses, so script/comment hrefs never leak in."""
+
+    def _ex(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"page_id": [], "url": [], "link": []}
+            for pid, url, html in zip(
+                pdf["page_id"].to_numpy(), pdf["url"].to_numpy(),
+                pdf["html"].to_numpy(),
+            ):
+                for href in _htmltext.extract(str(html))["links"]:
+                    rows["page_id"].append(int(pid))
+                    rows["url"].append(str(url))
+                    rows["link"].append(str(href))
+            yield pd.DataFrame(rows)
+
+    return pages.mapInPandas(_ex, LINKS_SCHEMA)
+
+
+def resolve_link_host(base_url: Column, link: Column) -> Column:
+    """Host a link points at: absolute links carry their own host;
+    root-/path-relative links inherit the page's host. Canonical
+    (lower-cased, default-port-stripped) either way."""
+    return F.when(
+        link.rlike(_SCHEME_RE), url_host(link)
+    ).otherwise(url_host(base_url))
+
+
+def host_edges(links: DataFrame) -> DataFrame:
+    """Link rows → weighted host-level edges (src_host, dst_host,
+    weight), self-loops dropped. One shuffle, on the (src, dst) pair;
+    at crawl scale this is the page→host cardinality collapse — do it
+    FIRST, everything downstream is host-sized."""
+    e = links.select(
+        url_host(F.col("url")).alias("src_host"),
+        resolve_link_host(F.col("url"), F.col("link")).alias("dst_host"),
+    ).filter(F.col("src_host") != F.col("dst_host"))
+    return e.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("weight"))
+
+
+def host_degrees(edges: DataFrame) -> DataFrame:
+    """Per-host degree stats over the weighted edge list: total link
+    weight and distinct peer-host counts, both directions. Two
+    host-keyed aggregations + one full outer join — integer-exact."""
+    out = edges.groupBy(F.col("src_host").alias("host")).agg(
+        F.sum("weight").alias("out_links"),
+        F.count("*").alias("out_hosts"))
+    inn = edges.groupBy(F.col("dst_host").alias("host")).agg(
+        F.sum("weight").alias("in_links"),
+        F.count("*").alias("in_hosts"))
+    return (
+        out.join(inn, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce("out_links", F.lit(0)).alias("out_links"),
+            F.coalesce("out_hosts", F.lit(0)).alias("out_hosts"),
+            F.coalesce("in_links", F.lit(0)).alias("in_links"),
+            F.coalesce("in_hosts", F.lit(0)).alias("in_hosts"),
+        )
+    )
+
+
+# ----------------------------------------------------------- rank
+
+def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
+             checkpoint_every: int = 8) -> DataFrame:
+    """Standard damped PageRank over the weighted host graph, fixed
+    iteration count (deterministic — no convergence test, so the
+    driver oracle can unroll the same iterations in SQL).
+
+    rank'(v) = (1-d)/N + d * Σ_{u→v} rank(u) · w(u,v) / outw(u)
+
+    Hosts with no outbound links keep their (1-d)/N floor but their
+    mass is NOT redistributed (the convention of the classic Spark /
+    Pregel examples; total mass then dips below 1 in graphs with
+    dangling hosts — document, don't hide).
+
+    Scale: the transition matrix (src, dst, p) is materialized ONCE
+    and persisted; each iteration is one join + one groupBy over
+    host-cardinality rows, shuffling on src then dst. Ranks persist
+    per iteration, the previous iteration unpersists, and every
+    ``checkpoint_every`` iterations the lineage is truncated with
+    localCheckpoint so a 50-iteration run does not accrete a
+    50-stage plan. The only driver-side value is the scalar node
+    count."""
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # scalar — the single driver-side value
+    outw = edges.groupBy("src_host").agg(F.sum("weight").alias("outw"))
+    trans = (
+        edges.join(outw, "src_host")
+        .select("src_host", "dst_host",
+                (F.col("weight") / F.col("outw")).alias("p"))
+        .persist()
+    )
+    base = (1.0 - damping) / n
+
+    ranks = nodes.select("host", F.lit(1.0 / n).alias("pr"))
+    cached = None  # the persisted frame backing `ranks`, if any
+    for it in range(iters):
+        contrib = (
+            trans.join(ranks, trans.src_host == ranks.host)
+            .groupBy("dst_host")
+            .agg(F.sum(F.col("pr") * F.col("p")).alias("contrib"))
+        )
+        new_ranks = (
+            nodes.join(contrib, nodes.host == contrib.dst_host, "left")
+            .select(
+                "host",
+                (F.lit(base)
+                 + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                 ).alias("pr"),
+            )
+        )
+        # materialize eagerly (localCheckpoint also truncates lineage)
+        # so the PREVIOUS iteration's cache can release immediately —
+        # one tiny host-sized job per iteration, which keeps exactly
+        # one rank snapshot cached at any time
+        if (it + 1) % checkpoint_every == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        else:
+            new_ranks = new_ranks.persist()
+            new_ranks.count()
+        if cached is not None:
+            cached.unpersist()
+        cached = new_ranks
+        ranks = new_ranks
+    trans.unpersist()
+    nodes.unpersist()
+    return ranks

@@ -1,0 +1,148 @@
+"""Web-graph layer tests: URL canonicalization rules, host-edge
+building (self-loop exclusion), and distributed PageRank vs a numpy
+power-iteration reference."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ingest_spark.operators import webgraph as wg
+
+
+def _canon(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], ["u"])
+    return df.select(wg.canonical_url(F.col("u")).alias("c")).first()["c"]
+
+
+class TestCanonicalUrl:
+    @pytest.mark.parametrize("raw,want", [
+        # scheme + host case, default https port, fragment
+        ("HTTPS://WWW.Example.ORG:443/a/b#frag",
+         "https://www.example.org/a/b"),
+        # http default port; empty path -> '/'
+        ("http://host.org:80", "http://host.org/"),
+        # NON-default port survives
+        ("http://host.org:8080/x", "http://host.org:8080/x"),
+        # tracking params dropped, rest sorted
+        ("https://h.org/p?utm_source=x&z=2&a=1", "https://h.org/p?a=1&z=2"),
+        ("https://h.org/p?gclid=1&fbclid=2&utm_campaign=c",
+         "https://h.org/p"),
+        # userinfo stripped
+        ("https://user:pw@h.org/p", "https://h.org/p"),
+        # query + fragment together; '?' with nothing surviving drops
+        ("https://h.org/p?utm_medium=m#sec", "https://h.org/p"),
+    ])
+    def test_rules(self, spark, raw, want):
+        assert _canon(spark, raw) == want
+
+    def test_surt_key(self, spark):
+        df = spark.createDataFrame([("https://www.sub.example.org/p",)],
+                                   ["u"])
+        got = df.select(
+            wg.host_surt(wg.url_host(F.col("u"))).alias("s")).first()["s"]
+        assert got == "org,example,sub,www"
+
+    def test_idempotent(self, spark):
+        """canonical(canonical(u)) == canonical(u) over the synthetic
+        corpus — canonicalization must be a projection."""
+        pages = wg.synthetic_linked_pages(spark, 60, 7)
+        once = pages.select(
+            wg.canonical_url(F.col("url")).alias("u"))
+        twice = once.select(wg.canonical_url(F.col("u")).alias("u"))
+        assert sorted(r["u"] for r in once.collect()) == \
+            sorted(r["u"] for r in twice.collect())
+
+
+class TestHostEdges:
+    def test_matches_closed_form(self, spark):
+        """HTML-extracted edges == the link_targets closed form, with
+        the same-host /local links gone (host-level self-loops)."""
+        n_pages, n_hosts = 90, 7
+        pages = wg.synthetic_linked_pages(spark, n_pages, n_hosts)
+        got = {
+            (r["src_host"], r["dst_host"]): r["weight"]
+            for r in wg.host_edges(wg.extract_links(pages)).collect()
+        }
+        want: "dict[tuple[str, str], int]" = {}
+        for i in range(n_pages):
+            src = f"host{i % n_hosts}.example.org"
+            for t, _href in wg.link_targets(i, n_hosts, n_pages):
+                dst = f"host{t}.example.org"
+                if dst != src:
+                    want[(src, dst)] = want.get((src, dst), 0) + 1
+        assert got == want
+
+    def test_relative_links_resolve_to_page_host(self, spark):
+        df = spark.createDataFrame(
+            [(0, "https://A.org/x", "/rel"),
+             (1, "https://A.org/x", "https://B.org/y")],
+            ["page_id", "url", "link"])
+        rows = df.select(
+            wg.resolve_link_host(F.col("url"), F.col("link")).alias("h")
+        ).collect()
+        assert [r["h"] for r in rows] == ["a.org", "b.org"]
+
+
+class TestPagerank:
+    def _numpy_pagerank(self, edges, iters, d=0.85):
+        hosts = sorted({e[0] for e in edges} | {e[1] for e in edges})
+        idx = {h: i for i, h in enumerate(hosts)}
+        n = len(hosts)
+        w = np.zeros((n, n))
+        for s, t, ww in edges:
+            w[idx[s], idx[t]] += ww
+        outw = w.sum(axis=1)
+        r = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            contrib = np.zeros(n)
+            for s in range(n):
+                if outw[s] > 0:
+                    contrib += r[s] * w[s] / outw[s]
+            r = (1 - d) / n + d * contrib
+        return {h: r[idx[h]] for h in hosts}
+
+    def test_matches_numpy_reference(self, spark):
+        pages = wg.synthetic_linked_pages(spark, 90, 7)
+        edges_df = wg.host_edges(wg.extract_links(pages))
+        edges = [(r["src_host"], r["dst_host"], r["weight"])
+                 for r in edges_df.collect()]
+        want = self._numpy_pagerank(edges, iters=4)
+        got = {r["host"]: r["pr"]
+               for r in wg.pagerank(edges_df, iters=4).collect()}
+        assert set(got) == set(want)
+        for h in want:
+            assert got[h] == pytest.approx(want[h], abs=1e-12)
+
+    def test_mass_conserved_without_dangling(self, spark):
+        """Every synthetic host has out-links, so total rank mass
+        stays 1 under iteration."""
+        pages = wg.synthetic_linked_pages(spark, 60, 7)
+        pr = wg.pagerank(wg.host_edges(wg.extract_links(pages)), iters=3)
+        mass = pr.agg(F.sum("pr")).first()[0]
+        assert mass == pytest.approx(1.0, abs=1e-9)
+
+    def test_uniform_ring_is_uniform(self, spark):
+        """A weight-1 directed ring is rank-uniform at every
+        iteration count — any drift means the transition math leaks."""
+        n = 8
+        ring = spark.createDataFrame(
+            [(f"h{i}", f"h{(i + 1) % n}", 1) for i in range(n)],
+            ["src_host", "dst_host", "weight"])
+        pr = wg.pagerank(ring, iters=5)
+        vals = [r["pr"] for r in pr.collect()]
+        assert len(vals) == n
+        for v in vals:
+            assert v == pytest.approx(1.0 / n, abs=1e-12)
+
+    def test_dangling_host_keeps_floor(self, spark):
+        """A sink host (in-links only) must end at the (1-d)/N floor
+        + its damped in-flow; its received mass is not re-emitted."""
+        edges = spark.createDataFrame(
+            [("a", "sink", 1), ("b", "sink", 1), ("a", "b", 1)],
+            ["src_host", "dst_host", "weight"])
+        got = {r["host"]: r["pr"]
+               for r in wg.pagerank(edges, iters=2).collect()}
+        want = self._numpy_pagerank(
+            [("a", "sink", 1), ("b", "sink", 1), ("a", "b", 1)], iters=2)
+        for h in want:
+            assert got[h] == pytest.approx(want[h], abs=1e-12)
