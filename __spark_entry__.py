@@ -1688,6 +1688,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pr.select("host", F.round("pr", 6).alias("pr"))
     q["pagerank_hosts"] = pagerank_hosts_q
 
+    def geotag_cells_q(spark, sf):
+        # Webtext→geospatial bridge (round 6): pages carrying
+        # geo.position / ICBM meta tags (real HTML meta extraction,
+        # malformed content skipped row-wise) → (lat, lon) points →
+        # REAL H3 res-8 cells via the same with_cells kernel the
+        # spatial core uses → per-cell page rollup. The oracle
+        # re-derives the parseable pages' quarter-degree coordinates
+        # in closed form and runs them through the bit-exact SQL H3
+        # twin — a meta-parse, precedence, skip, or cell-assignment
+        # drift breaks the hash.
+        _ensure_shipped(spark)
+        from ingest_spark.operators.spatial import with_cells
+        from ingest_spark.operators.webtext import (
+            geotag_points, synthetic_geotagged_pages,
+        )
+        pts = geotag_points(synthetic_geotagged_pages(spark, 500))
+        cells = with_cells(
+            pts.select(F.col("page_id").alias("id"), "lon", "lat"),
+            lon_col="lon", lat_col="lat")
+        return cells.groupBy("hex_cell").agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.min("id").alias("min_page"))
+    q["geotag_cells"] = geotag_cells_q
+
     def iceberg_snapshots_q(spark, sf):
         # the catalog commit protocol end-to-end (round 6): three
         # deterministic commits against a fresh Iceberg-v2-layout table
@@ -1995,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subquery_in",  # r5-green; tailed for url_canonical
         "sessionize",  # r5-green; tailed for host_graph_degrees
         "event_windows",  # r5-green; tailed for pagerank_hosts
+        "tpch_q5ish",  # r5-green; tailed for geotag_cells
         "s1_scan_stats", "f2_filter_drop", "j4_order_preserving",
         "j_anti_join", "a1_bbox_agg", "a6_rolling_rate",
         "o3_grid_assign", "salt_hot_cells", "interval_join",
@@ -2671,6 +2696,21 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes n LEFT JOIN t ON t.dst = n.h
                    LEFT JOIN r2 ON r2.h = t.src GROUP BY n.h)
             SELECT h AS host, ROUND(r, 6) AS pr FROM r3
+        """,
+        # closed-form twin of synthetic_geotagged_pages +
+        # geotag_points: pages i%3==2 carry no geo meta and i%21==6
+        # is malformed ("here;there") — both excluded; the rest carry
+        # exact quarter-degree coordinates run through the bit-exact
+        # SQL H3 twin (same machinery as h3_rollup)
+        "geotag_cells": f"""
+            SELECT hex_cell, COUNT(*) AS n_pages, MIN(id) AS min_page
+            FROM ({_h3_cell_sql(
+                "(SELECT i AS id, "
+                "((i*73)%1361)/4.0 - 170.0 AS lon, "
+                "((i*37)%641)/4.0 - 80.0 AS lat "
+                "FROM (SELECT UNNEST(range(0, 500)) AS i) "
+                "WHERE i % 3 <> 2 AND i % 21 <> 6)")})
+            GROUP BY 1
         """,
         # closed-form twin of synthetic_flac_audio: the PCM sawtooth
         # summed exactly — FLAC is lossless so lossless_exact is TRUE

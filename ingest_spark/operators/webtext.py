@@ -32,7 +32,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
-    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+    BinaryType, DoubleType, IntegerType, LongType, StringType, StructField,
+    StructType,
 )
 
 from ingest_spark.functions import htmltext as _htmltext
@@ -237,3 +238,89 @@ def extract_webtext(records: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return resp.mapInPandas(_extract, WEBTEXT_SCHEMA)
+
+
+# ------------------------------------------------------ geotagging
+
+GEOTAG_SCHEMA = StructType([
+    StructField("page_id", LongType(), False),
+    StructField("lat", DoubleType(), False),
+    StructField("lon", DoubleType(), False),
+])
+
+
+def _geo_values(i: int) -> "tuple[float, float]":
+    """Closed-form quarter-degree coordinates for page ``i`` — every
+    value is an exact binary double (multiple of 0.25), so string
+    round-trips and SQL re-derivation are bit-exact."""
+    lat = ((i * 37) % 641) / 4.0 - 80.0
+    lon = ((i * 73) % 1361) / 4.0 - 170.0
+    return lat, lon
+
+
+def synthetic_geotagged_pages(spark: SparkSession,
+                              n_pages: int = 500) -> DataFrame:
+    """Deterministic (page_id, html) corpus where pages carry
+    geographic metadata the way real web pages do: ``<meta
+    name="geo.position" content="lat;lon">`` (i%3==0), the ICBM
+    variant ``content="lat, lon"`` (i%3==1), or none (i%3==2). Every
+    21st page (i%21==6) carries a MALFORMED geo.position that the
+    extractor must skip without dropping the batch."""
+    df = spark.range(0, n_pages).withColumnRenamed("id", "page_id")
+
+    @F.pandas_udf(StringType())
+    def _html(pid: pd.Series) -> pd.Series:
+        out = []
+        for i in pid:
+            i = int(i)
+            lat, lon = _geo_values(i)
+            if i % 21 == 6:
+                meta = '<meta name="geo.position" content="here;there">'
+            elif i % 3 == 0:
+                meta = f'<meta name="geo.position" content="{lat};{lon}">'
+            elif i % 3 == 1:
+                meta = f'<meta name="ICBM" content="{lat}, {lon}">'
+            else:
+                meta = ""
+            out.append(
+                f"<html><head><title>G{i}</title>{meta}</head>"
+                f"<body><p>geo page {i}</p></body></html>"
+            )
+        return pd.Series(out)
+
+    from ingest_spark.operators.partitioning import spread_for_kernel
+    df = spread_for_kernel(df)
+    return df.select("page_id", _html(F.col("page_id")).alias("html"))
+
+
+def geotag_points(pages: DataFrame) -> DataFrame:
+    """(page_id, html) → (page_id, lat, lon) for pages carrying
+    parseable geo metadata. ``geo.position`` ("lat;lon") wins over
+    ``ICBM`` ("lat, lon"); unparseable content is skipped row-wise.
+    Output feeds `operators/spatial.with_cells` directly — the bridge
+    from the webtext axis to the H3/S2 spatial core."""
+
+    def _geo(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"page_id": [], "lat": [], "lon": []}
+            for pid, html in zip(
+                pdf["page_id"].to_numpy(), pdf["html"].to_numpy()
+            ):
+                meta = _htmltext.extract(str(html))["meta"]
+                raw = meta.get("geo.position") or meta.get("icbm")
+                if not raw:
+                    continue
+                sep = ";" if ";" in raw else ","
+                parts = raw.split(sep)
+                if len(parts) != 2:
+                    continue
+                try:
+                    lat, lon = float(parts[0]), float(parts[1])
+                except ValueError:
+                    continue
+                rows["page_id"].append(int(pid))
+                rows["lat"].append(lat)
+                rows["lon"].append(lon)
+            yield pd.DataFrame(rows)
+
+    return pages.mapInPandas(_geo, GEOTAG_SCHEMA)
