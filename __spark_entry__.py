@@ -1712,6 +1712,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.min("id").alias("min_page"))
     q["geotag_cells"] = geotag_cells_q
 
+    def tile_pyramid_q(spark, sf):
+        # Full-pyramid tile rollup (round 6): counts for every zoom
+        # 0..6 in ONE shuffle — each point explodes to its 7 ancestor
+        # tiles (bit-shifted coords), map-side combine collapses the
+        # fan-out before the exchange. Oracle: the same fan-out as a
+        # range cross join over the SQL tile twin. z=0 must hold the
+        # global row count; each parent must hold the sum of its ≤4
+        # children (the pytest asserts both invariants directly).
+        from ingest_spark.operators.tiling import tile_pyramid
+        p = (_points(spark, sf)
+             .withColumn("minx", F.col("lon"))
+             .withColumn("miny", F.col("lat")))
+        return tile_pyramid(p, 6)
+    q["tile_pyramid"] = tile_pyramid_q
+
     def iceberg_snapshots_q(spark, sf):
         # the catalog commit protocol end-to-end (round 6): three
         # deterministic commits against a fresh Iceberg-v2-layout table
@@ -2020,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize",  # r5-green; tailed for host_graph_degrees
         "event_windows",  # r5-green; tailed for pagerank_hosts
         "tpch_q5ish",  # r5-green; tailed for geotag_cells
+        "simhash_dups",  # r5-green; tailed for tile_pyramid
         "s1_scan_stats", "f2_filter_drop", "j4_order_preserving",
         "j_anti_join", "a1_bbox_agg", "a6_rolling_rate",
         "o3_grid_assign", "salt_hot_cells", "interval_join",
@@ -2227,6 +2243,25 @@ def oracle_sql() -> dict[str, str]:
               FROM {_POINTS_SQL} p
             )
             SELECT tile_z, tile_x, tile_y, COUNT(*) AS n FROM t GROUP BY 1, 2, 3
+        """,
+        # the tile_xyz twin fanned out over zooms 0..6: ancestor tile
+        # coords are integer right-shifts of the z=6 tile coords
+        "tile_pyramid": f"""
+            WITH t AS (
+              SELECT
+                GREATEST(0, LEAST(63, FLOOR((lon + 180.0) / 360.0 * 64)::BIGINT)) AS bx,
+                GREATEST(0, LEAST(63, FLOOR(
+                  (1.0 - LN(TAN(RADIANS(GREATEST(-85.05112878, LEAST(85.05112878, lat))))
+                          + 1.0 / COS(RADIANS(GREATEST(-85.05112878, LEAST(85.05112878, lat)))))
+                   / PI()) / 2.0 * 64)::BIGINT)) AS by
+              FROM {_POINTS_SQL} p
+            ),
+            lv AS (SELECT UNNEST(range(0, 7)) AS z)
+            SELECT z::INT AS tile_z,
+                   (bx // (1::BIGINT << (6 - z)))::INT AS tile_x,
+                   (by // (1::BIGINT << (6 - z)))::INT AS tile_y,
+                   COUNT(*) AS n
+            FROM t, lv GROUP BY 1, 2, 3
         """,
         # exact SQL twin of mvt_tiles' point chain at z=6, extent 4096,
         # buffer 64: projected coords -> buffered tile fan-out (pad =
