@@ -261,7 +261,8 @@ def host_degrees(edges: DataFrame) -> DataFrame:
 # ----------------------------------------------------------- rank
 
 def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
-             checkpoint_every: int = 8) -> DataFrame:
+             checkpoint_every: int = 8,
+             partitions: int | None = None) -> DataFrame:
     """Standard damped PageRank over the weighted host graph, fixed
     iteration count (deterministic — no convergence test, so the
     driver oracle can unroll the same iterations in SQL).
@@ -273,46 +274,89 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     Pregel examples; total mass then dips below 1 in graphs with
     dangling hosts — document, don't hide).
 
-    Scale: the transition matrix (src, dst, p) is materialized ONCE
-    and persisted; each iteration is one join + one groupBy over
-    host-cardinality rows, shuffling on src then dst. Ranks persist
-    per iteration, the previous iteration unpersists, and every
-    ``checkpoint_every`` iterations the lineage is truncated with
-    localCheckpoint so a 50-iteration run does not accrete a
-    50-stage plan. The only driver-side value is the scalar node
-    count."""
-    nodes = (
+    Scale design (each choice measured on the 4→16 window,
+    jobs/webgraph_scale.py):
+
+    - **Surrogate keys.** Hosts are dictionary-encoded to dense longs
+      once up front (two edge-cardinality joins, amortized over all
+      iterations) and every per-iteration shuffle moves (long, double)
+      rows instead of (string, double) — less shuffle bandwidth and
+      cheaper hashing, which is what binds at high core counts. The
+      mapping is restored by one |V|-sized join at the end.
+    - **Co-partitioning, never broadcast.** The transition matrix
+      (src, dst, p) is hash-partitioned on src ONCE and persisted;
+      each iteration re-keys only the |V|-sized ranks frame to the
+      same partitioning (SHUFFLE_HASH hint on the ranks side), so the
+      edge-cardinality side is NEVER re-shuffled — and never broadcast:
+      a per-iteration broadcast of ranks serializes rank collection +
+      hash-table build on the driver, an Amdahl term that measurably
+      caps multi-core scaling and is impossible outright at 10^8
+      hosts. Per iteration the only wide exchanges are the |V|-sized
+      ranks re-key and the inherent groupBy(dst) of the contribution
+      stream (the distributed-SpMV transpose — one edge-cardinality
+      shuffle per iteration is the information-theoretic floor).
+    - **One wide op per iteration.** The no-inlink completion is NOT
+      a separate left join against the node table: a |V|-sized stream
+      of per-node zero contributions is unioned into the contribution
+      stream before the groupBy(dst), so the damping affine map and
+      the completion ride the same exchange (adding 0.0 to an IEEE
+      sum is exact, so values are unchanged). The left-join variant
+      planned a third stage per iteration whose fixed scheduling
+      floor measurably capped high-core efficiency at bench SF.
+    - **Bounded state.** Ranks persist per iteration, the previous
+      iteration unpersists, and every ``checkpoint_every`` iterations
+      the lineage is truncated with localCheckpoint so a 50-iteration
+      run does not accrete a 50-stage plan. The only driver-side
+      values are scalar counts.
+
+    The id table uses ``monotonically_increasing_id`` on a persisted
+    frame; the final host⨝rank join is lineage-truncated (eager
+    localCheckpoint) before that cache is released, so a later
+    recomputation of the RESULT can never re-derive different ids."""
+    spark = edges.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ids = (
         edges.select(F.col("src_host").alias("host"))
         .union(edges.select(F.col("dst_host").alias("host")))
         .distinct()
+        .repartition(partitions, "host")
+        .withColumn("hid", F.monotonically_increasing_id())
         .persist()
     )
-    n = nodes.count()  # scalar — the single driver-side value
+    n = ids.count()  # scalar — pins the id assignment in the cache
     outw = edges.groupBy("src_host").agg(F.sum("weight").alias("outw"))
     trans = (
         edges.join(outw, "src_host")
-        .select("src_host", "dst_host",
+        .join(ids.select(F.col("host").alias("src_host"),
+                         F.col("hid").alias("src")), "src_host")
+        .join(ids.select(F.col("host").alias("dst_host"),
+                         F.col("hid").alias("dst")), "dst_host")
+        .select("src", "dst",
                 (F.col("weight") / F.col("outw")).alias("p"))
+        .repartition(partitions, "src")
+        .persist()
+    )
+    nodes = (
+        ids.select(F.col("hid").alias("src"))
+        .repartition(partitions, "src")
         .persist()
     )
     base = (1.0 - damping) / n
 
-    ranks = nodes.select("host", F.lit(1.0 / n).alias("pr"))
+    zeros = nodes.select(F.col("src").alias("dst"),
+                         F.lit(0.0).alias("c"))
+    ranks = nodes.select("src", F.lit(1.0 / n).alias("pr"))
     cached = None  # the persisted frame backing `ranks`, if any
     for it in range(iters):
-        contrib = (
-            trans.join(ranks, trans.src_host == ranks.host)
-            .groupBy("dst_host")
-            .agg(F.sum(F.col("pr") * F.col("p")).alias("contrib"))
-        )
         new_ranks = (
-            nodes.join(contrib, nodes.host == contrib.dst_host, "left")
-            .select(
-                "host",
-                (F.lit(base)
-                 + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
-                 ).alias("pr"),
-            )
+            trans.join(ranks.hint("shuffle_hash"), "src")
+            .select("dst", (F.col("pr") * F.col("p")).alias("c"))
+            .unionByName(zeros)
+            .groupBy("dst")
+            .agg((F.lit(base) + F.lit(damping) * F.sum("c")).alias("pr"))
+            .select(F.col("dst").alias("src"), "pr")
+            .repartition(partitions, "src")
         )
         # materialize eagerly (localCheckpoint also truncates lineage)
         # so the PREVIOUS iteration's cache can release immediately —
@@ -327,6 +371,16 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
             cached.unpersist()
         cached = new_ranks
         ranks = new_ranks
+    # restore host strings; truncate lineage BEFORE releasing the id
+    # cache (a recompute must never re-assign ids under the result)
+    result = (
+        ranks.join(ids, ranks.src == ids.hid)
+        .select("host", "pr")
+        .localCheckpoint(eager=True)
+    )
+    if cached is not None:
+        cached.unpersist()
     trans.unpersist()
     nodes.unpersist()
-    return ranks
+    ids.unpersist()
+    return result
