@@ -1688,6 +1688,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pr.select("host", F.round("pr", 6).alias("pr"))
     q["pagerank_hosts"] = pagerank_hosts_q
 
+    def hits_hosts_q(spark, sf):
+        # Kleinberg HITS (round 6): 2 L2-normalized iterations over
+        # the same weighted host graph — two SpMV half-steps per
+        # iteration against direction-specific cached adjacency. The
+        # oracle unrolls the SAME half-steps as SQL CTEs (norms via
+        # scalar subqueries); 6-dp rounding absorbs float-sum order.
+        _ensure_shipped(spark)
+        from ingest_spark.operators import webgraph as wg
+        edges = wg.host_edges(wg.extract_links(
+            wg.synthetic_linked_pages(spark)))
+        res = wg.hits(edges, iters=2)
+        return res.select("host",
+                          F.round("authority", 6).alias("authority"),
+                          F.round("hub", 6).alias("hub"))
+    q["hits_hosts"] = hits_hosts_q
+
     def geotag_cells_q(spark, sf):
         # Webtext→geospatial bridge (round 6): pages carrying
         # geo.position / ICBM meta tags (real HTML meta extraction,
@@ -2036,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_windows",  # r5-green; tailed for pagerank_hosts
         "tpch_q5ish",  # r5-green; tailed for geotag_cells
         "simhash_dups",  # r5-green; tailed for tile_pyramid
+        "dup_components_distributed",  # r5-green; tailed for hits_hosts
         "s1_scan_stats", "f2_filter_drop", "j4_order_preserving",
         "j_anti_join", "a1_bbox_agg", "a6_rolling_rate",
         "o3_grid_assign", "salt_hot_cells", "interval_join",
@@ -2731,6 +2748,46 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes n LEFT JOIN t ON t.dst = n.h
                    LEFT JOIN r2 ON r2.h = t.src GROUP BY n.h)
             SELECT h AS host, ROUND(r, 6) AS pr FROM r3
+        """,
+        # the SAME 2 L2-normalized HITS iterations hits() runs,
+        # half-step by half-step; norms are scalar subqueries over the
+        # previous CTE, zero-guarded like the engine's when(_n2 > 0)
+        "hits_hosts": """
+            WITH p AS (SELECT UNNEST(range(0, 600)) AS i),
+            e0 AS (
+              SELECT 'host' || (i % 37) || '.example.org' AS src,
+                     'host' || (((i % 37) + 1 + (i*3 + k*7) % 36) % 37)
+                       || '.example.org' AS dst
+              FROM p, UNNEST(range(0, 1 + i % 3)) AS u(k)
+            ),
+            ew AS (SELECT src, dst, COUNT(*)::DOUBLE AS w
+                   FROM e0 GROUP BY 1, 2),
+            nodes AS (SELECT DISTINCT src AS h FROM e0
+                      UNION SELECT DISTINCT dst FROM e0),
+            h0 AS (SELECT h, 1.0::DOUBLE AS v FROM nodes),
+            a1r AS (SELECT n.h, COALESCE(SUM(ew.w * h0.v), 0) AS v
+                    FROM nodes n LEFT JOIN ew ON ew.dst = n.h
+                    LEFT JOIN h0 ON h0.h = ew.src GROUP BY n.h),
+            a1 AS (SELECT h, CASE WHEN n2 > 0 THEN v / n2 ELSE 0 END AS v
+                   FROM a1r, (SELECT SQRT(SUM(v*v)) AS n2 FROM a1r)),
+            h1r AS (SELECT n.h, COALESCE(SUM(ew.w * a1.v), 0) AS v
+                    FROM nodes n LEFT JOIN ew ON ew.src = n.h
+                    LEFT JOIN a1 ON a1.h = ew.dst GROUP BY n.h),
+            h1 AS (SELECT h, CASE WHEN n2 > 0 THEN v / n2 ELSE 0 END AS v
+                   FROM h1r, (SELECT SQRT(SUM(v*v)) AS n2 FROM h1r)),
+            a2r AS (SELECT n.h, COALESCE(SUM(ew.w * h1.v), 0) AS v
+                    FROM nodes n LEFT JOIN ew ON ew.dst = n.h
+                    LEFT JOIN h1 ON h1.h = ew.src GROUP BY n.h),
+            a2 AS (SELECT h, CASE WHEN n2 > 0 THEN v / n2 ELSE 0 END AS v
+                   FROM a2r, (SELECT SQRT(SUM(v*v)) AS n2 FROM a2r)),
+            h2r AS (SELECT n.h, COALESCE(SUM(ew.w * a2.v), 0) AS v
+                    FROM nodes n LEFT JOIN ew ON ew.src = n.h
+                    LEFT JOIN a2 ON a2.h = ew.dst GROUP BY n.h),
+            h2 AS (SELECT h, CASE WHEN n2 > 0 THEN v / n2 ELSE 0 END AS v
+                   FROM h2r, (SELECT SQRT(SUM(v*v)) AS n2 FROM h2r))
+            SELECT a2.h AS host, ROUND(a2.v, 6) AS authority,
+                   ROUND(h2.v, 6) AS hub
+            FROM a2 JOIN h2 ON h2.h = a2.h
         """,
         # closed-form twin of synthetic_geotagged_pages +
         # geotag_points: pages i%3==2 carry no geo meta and i%21==6

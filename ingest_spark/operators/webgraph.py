@@ -1,4 +1,5 @@
-"""Web-graph layer: URL canonicalization, host link graph, PageRank.
+"""Web-graph layer: URL canonicalization, host link graph, PageRank,
+HITS.
 
 The back half of a Common-Crawl-style crawl pipeline that the WARC /
 HTML front half (`operators/webtext.py`) feeds: pages carry outbound
@@ -381,6 +382,99 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     if cached is not None:
         cached.unpersist()
     trans.unpersist()
+    nodes.unpersist()
+    ids.unpersist()
+    return result
+
+
+def hits(edges: DataFrame, iters: int = 2,
+         partitions: int | None = None) -> DataFrame:
+    """Kleinberg HITS (hubs & authorities) over the weighted host
+    graph, fixed iteration count with L2 normalization after every
+    half-step — deterministic, so the driver oracle can unroll the
+    same iterations in SQL.
+
+        auth(v) = Σ_{u→v} w(u,v) · hub(u)     (then a /= ‖a‖₂)
+        hub(u)  = Σ_{u→v} w(u,v) · auth(v)    (then h /= ‖h‖₂)
+
+    starting from hub ≡ 1. Hosts with no in-links score authority 0,
+    no out-links score hub 0 (the zero-union keeps them in the
+    output).
+
+    Scale design — the same skeleton as :func:`pagerank` (surrogate
+    long keys, edge side cached and co-partitioned, SHUFFLE_HASH with
+    the |V|-sized frame as build side, zero-stream union instead of a
+    per-step left join), with two adjacency caches because the two
+    half-steps traverse opposite directions: ``adj_s`` partitioned on
+    src feeds the authority update (join on src, groupBy dst) and
+    ``adj_d`` partitioned on dst feeds the hub update — each half-step
+    re-shuffles only the |V|-sized score frame plus the inherent
+    edge-cardinality groupBy. The L2 norm never touches the driver:
+    it is a 1-row aggregate cross-joined back as a broadcast, and each
+    raw score frame is checkpoint-materialized first so the norm pass
+    and the divide don't recompute the join."""
+    spark = edges.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ids = (
+        edges.select(F.col("src_host").alias("host"))
+        .union(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .repartition(partitions, "host")
+        .withColumn("hid", F.monotonically_increasing_id())
+        .persist()
+    )
+    ids.count()  # pins the id assignment in the cache
+    enc = (
+        edges.join(ids.select(F.col("host").alias("src_host"),
+                              F.col("hid").alias("src")), "src_host")
+        .join(ids.select(F.col("host").alias("dst_host"),
+                         F.col("hid").alias("dst")), "dst_host")
+        .select("src", "dst", F.col("weight").cast("double").alias("w"))
+    )
+    adj_s = enc.repartition(partitions, "src").persist()
+    adj_d = enc.repartition(partitions, "dst").persist()
+    nodes = (
+        ids.select(F.col("hid").alias("nid"))
+        .repartition(partitions, "nid")
+        .persist()
+    )
+    zeros = nodes.select("nid", F.lit(0.0).alias("s"))
+
+    def _half_step(adj, score, score_col, join_key, out_key, out_col):
+        """One SpMV half-step + L2 normalization, edge side unshuffled."""
+        raw = (
+            adj.join(score.select(F.col("nid").alias(join_key), score_col)
+                     .hint("shuffle_hash"), join_key)
+            .select(F.col(out_key).alias("nid"),
+                    (F.col("w") * F.col(score_col)).alias("s"))
+            .unionByName(zeros)
+            .groupBy("nid")
+            .agg(F.sum("s").alias(out_col))
+            .repartition(partitions, "nid")
+            .localCheckpoint(eager=True)  # norm pass + divide share it
+        )
+        norm = raw.agg(F.sqrt(F.sum(F.col(out_col) * F.col(out_col)))
+                       .alias("_n2"))
+        return raw.crossJoin(F.broadcast(norm)).select(
+            "nid",
+            F.when(F.col("_n2") > 0, F.col(out_col) / F.col("_n2"))
+            .otherwise(F.lit(0.0)).alias(out_col),
+        )
+
+    hub = nodes.select("nid", F.lit(1.0).alias("hub"))
+    auth = None
+    for _ in range(iters):
+        auth = _half_step(adj_s, hub, "hub", "src", "dst", "auth")
+        hub = _half_step(adj_d, auth, "auth", "dst", "src", "hub")
+    result = (
+        auth.join(hub, "nid")
+        .join(ids, F.col("nid") == F.col("hid"))
+        .select("host", F.col("auth").alias("authority"), "hub")
+        .localCheckpoint(eager=True)
+    )
+    adj_s.unpersist()
+    adj_d.unpersist()
     nodes.unpersist()
     ids.unpersist()
     return result

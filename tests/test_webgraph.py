@@ -146,3 +146,62 @@ class TestPagerank:
             [("a", "sink", 1), ("b", "sink", 1), ("a", "b", 1)], iters=2)
         for h in want:
             assert got[h] == pytest.approx(want[h], abs=1e-12)
+
+
+class TestHits:
+    def _numpy_hits(self, edges, iters):
+        hosts = sorted({e[0] for e in edges} | {e[1] for e in edges})
+        idx = {h: i for i, h in enumerate(hosts)}
+        n = len(hosts)
+        w = np.zeros((n, n))
+        for s, t, ww in edges:
+            w[idx[s], idx[t]] += ww
+
+        def _norm(v):
+            nn = np.sqrt((v * v).sum())
+            return v / nn if nn > 0 else v
+
+        h = np.ones(n)
+        a = np.zeros(n)
+        for _ in range(iters):
+            a = _norm(w.T @ h)
+            h = _norm(w @ a)
+        return {host: (a[idx[host]], h[idx[host]]) for host in hosts}
+
+    def test_two_pointers_one_target(self, spark):
+        """a→c, b→c: c is the sole authority (score 1), a and b are
+        equal hubs at 1/√2, and the off-role scores are exactly 0 —
+        the closed-form fixed point HITS reaches in one step."""
+        edges = spark.createDataFrame(
+            [("a", "c", 1), ("b", "c", 1)],
+            ["src_host", "dst_host", "weight"])
+        got = {r["host"]: (r["authority"], r["hub"])
+               for r in wg.hits(edges, iters=2).collect()}
+        assert got["c"][0] == pytest.approx(1.0, abs=1e-12)
+        assert got["c"][1] == pytest.approx(0.0, abs=1e-12)
+        for h in ("a", "b"):
+            assert got[h][0] == pytest.approx(0.0, abs=1e-12)
+            assert got[h][1] == pytest.approx(2 ** -0.5, abs=1e-12)
+
+    def test_matches_numpy_reference(self, spark):
+        pages = wg.synthetic_linked_pages(spark, 90, 7)
+        edges_df = wg.host_edges(wg.extract_links(pages))
+        edges = [(r["src_host"], r["dst_host"], r["weight"])
+                 for r in edges_df.collect()]
+        want = self._numpy_hits(edges, iters=3)
+        got = {r["host"]: (r["authority"], r["hub"])
+               for r in wg.hits(edges_df, iters=3).collect()}
+        assert set(got) == set(want)
+        for h in want:
+            assert got[h][0] == pytest.approx(want[h][0], abs=1e-9)
+            assert got[h][1] == pytest.approx(want[h][1], abs=1e-9)
+
+    def test_l2_invariant(self, spark):
+        """Both score vectors leave every iteration L2-normalized."""
+        pages = wg.synthetic_linked_pages(spark, 60, 7)
+        res = wg.hits(wg.host_edges(wg.extract_links(pages)), iters=2)
+        norms = res.agg(
+            F.sum(F.col("authority") * F.col("authority")).alias("a2"),
+            F.sum(F.col("hub") * F.col("hub")).alias("h2")).first()
+        assert norms["a2"] == pytest.approx(1.0, abs=1e-9)
+        assert norms["h2"] == pytest.approx(1.0, abs=1e-9)
