@@ -1704,6 +1704,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round("hub", 6).alias("hub"))
     q["hits_hosts"] = hits_hosts_q
 
+    def anchor_terms_q(spark, sf):
+        # Anchor-text rollup (round 6): visible <a> text from the
+        # real HTML tokenizer → per-destination-host top-3 terms,
+        # cross-host links only (rank deterministic: count desc, term
+        # asc). Oracle re-derives the anchors ("t{k}") and targets in
+        # closed form — a tokenizer drift, a leaked same-host link,
+        # or a tie-break change all shift the rows.
+        _ensure_shipped(spark)
+        from ingest_spark.operators import webgraph as wg
+        links = wg.extract_links(wg.synthetic_linked_pages(spark))
+        return wg.anchor_terms(links, top_k=3)
+    q["anchor_terms"] = anchor_terms_q
+
     def geotag_cells_q(spark, sf):
         # Webtext→geospatial bridge (round 6): pages carrying
         # geo.position / ICBM meta tags (real HTML meta extraction,
@@ -2053,6 +2066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5ish",  # r5-green; tailed for geotag_cells
         "simhash_dups",  # r5-green; tailed for tile_pyramid
         "dup_components_distributed",  # r5-green; tailed for hits_hosts
+        "retile_incremental",  # r5-green; tailed for anchor_terms
         "s1_scan_stats", "f2_filter_drop", "j4_order_preserving",
         "j_anti_join", "a1_bbox_agg", "a6_rolling_rate",
         "o3_grid_assign", "salt_hot_cells", "interval_join",
@@ -2788,6 +2802,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT a2.h AS host, ROUND(a2.v, 6) AS authority,
                    ROUND(h2.v, 6) AS hub
             FROM a2 JOIN h2 ON h2.h = a2.h
+        """,
+        # closed-form twin of the anchor rollup: page i's k-th
+        # cross-host link carries anchor 't'||k; the same-host /local
+        # links (i%6==0) are NOT in the k-loop, mirroring the
+        # engine's cross-host filter
+        "anchor_terms": """
+            WITH p AS (SELECT UNNEST(range(0, 600)) AS i),
+            l AS (
+              SELECT 'host' || (((i % 37) + 1 + (i*3 + k*7) % 36) % 37)
+                       || '.example.org' AS dst_host,
+                     't' || k AS term
+              FROM p, UNNEST(range(0, 1 + i % 3)) AS u(k)
+            ),
+            c AS (SELECT dst_host, term, COUNT(*) AS n
+                  FROM l GROUP BY 1, 2),
+            r AS (SELECT dst_host, term, n,
+                         ROW_NUMBER() OVER (PARTITION BY dst_host
+                                            ORDER BY n DESC, term)
+                           AS rank
+                  FROM c)
+            SELECT dst_host, term, n::BIGINT AS n, rank::INT AS rank
+            FROM r WHERE rank <= 3
         """,
         # closed-form twin of synthetic_geotagged_pages +
         # geotag_points: pages i%3==2 carry no geo meta and i%21==6

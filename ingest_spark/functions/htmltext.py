@@ -37,9 +37,17 @@ class _Extractor(HTMLParser):
         self.parts: "list[str]" = []
         self.title_parts: "list[str]" = []
         self.links: "list[str]" = []
+        self.anchors: "list[str]" = []  # parallel to links
         self.meta: "dict[str, str]" = {}
         self._skip = 0
         self._in_title = False
+        self._anchor_parts: "list[str] | None" = None
+
+    def _flush_anchor(self):
+        if self._anchor_parts is not None:
+            self.anchors.append(" ".join(
+                "".join(self._anchor_parts).split()))
+            self._anchor_parts = None
 
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP_CONTENT:
@@ -47,9 +55,11 @@ class _Extractor(HTMLParser):
         elif tag == "title":
             self._in_title = True
         elif tag == "a":
+            self._flush_anchor()  # hostile HTML: <a> inside <a>
             href = dict(attrs).get("href")
             if href:
                 self.links.append(href)
+                self._anchor_parts = []
         elif tag == "meta":
             d = dict(attrs)
             if d.get("name") and d.get("content") is not None:
@@ -62,6 +72,8 @@ class _Extractor(HTMLParser):
             self._skip -= 1
         elif tag == "title":
             self._in_title = False
+        elif tag == "a":
+            self._flush_anchor()
         if tag in _BLOCK:
             self.parts.append("\n")
 
@@ -75,6 +87,8 @@ class _Extractor(HTMLParser):
         if self._in_title:
             self.title_parts.append(data)
         else:
+            if self._anchor_parts is not None:
+                self._anchor_parts.append(data)
             self.parts.append(data)
 
 
@@ -89,6 +103,7 @@ def extract(html_str: str) -> "dict[str, object]":
         p.close()
     except Exception:
         pass  # salvage what was parsed — crawled HTML is hostile
+    p._flush_anchor()  # unclosed trailing <a> still yields its text
     lines = []
     for chunk in "".join(p.parts).split("\n"):
         w = " ".join(chunk.split())
@@ -99,6 +114,7 @@ def extract(html_str: str) -> "dict[str, object]":
         "title": " ".join("".join(p.title_parts).split()),
         "text": text,
         "links": p.links,
+        "anchors": p.anchors,  # parallel to links (visible <a> text)
         "meta": p.meta,
         "n_words": len(text.split()),
     }

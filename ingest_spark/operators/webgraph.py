@@ -191,25 +191,33 @@ LINKS_SCHEMA = StructType([
     StructField("page_id", LongType(), False),
     StructField("url", StringType(), False),
     StructField("link", StringType(), False),
+    StructField("anchor", StringType(), True),
 ])
 
 
 def extract_links(pages: DataFrame) -> DataFrame:
     """(page_id, url, html) → one row per ``<a href>`` via the real
     HTML tokenizer (`functions/htmltext.py`) — the same extractor the
-    WARC path uses, so script/comment hrefs never leak in."""
+    WARC path uses, so script/comment hrefs never leak in. ``anchor``
+    carries the link's visible text (whitespace-collapsed)."""
 
     def _ex(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = {"page_id": [], "url": [], "link": []}
+            rows = {"page_id": [], "url": [], "link": [], "anchor": []}
             for pid, url, html in zip(
                 pdf["page_id"].to_numpy(), pdf["url"].to_numpy(),
                 pdf["html"].to_numpy(),
             ):
-                for href in _htmltext.extract(str(html))["links"]:
+                d = _htmltext.extract(str(html))
+                # anchors is links-parallel by construction; pad
+                # defensively so hostile HTML can never DROP a link
+                texts = list(d["anchors"]) + [""] * (
+                    len(d["links"]) - len(d["anchors"]))
+                for href, text in zip(d["links"], texts):
                     rows["page_id"].append(int(pid))
                     rows["url"].append(str(url))
                     rows["link"].append(str(href))
+                    rows["anchor"].append(str(text))
             yield pd.DataFrame(rows)
 
     return pages.mapInPandas(_ex, LINKS_SCHEMA)
@@ -257,6 +265,41 @@ def host_degrees(edges: DataFrame) -> DataFrame:
             F.coalesce("in_hosts", F.lit(0)).alias("in_hosts"),
         )
     )
+
+
+def anchor_terms(links: DataFrame, top_k: int = 5) -> DataFrame:
+    """Per destination host: the ``top_k`` most frequent anchor-text
+    terms pointing AT it — the classic anchor-text signal (how the
+    web describes a host, a standard search/quality feature). Rows:
+    (dst_host, term, n, rank), rank deterministic (count desc, term
+    asc). Cross-host links only: intra-host anchors are navigation
+    boilerplate ("home", "next"), so they are dropped by the same
+    rule `host_edges` applies to self-loops.
+
+    Scale: tokenization is JVM codegen (lower + \\s+ split +
+    explode); the (dst_host, term) groupBy map-side-combines, so the
+    shuffle carries distinct pairs, not raw tokens. The top-k
+    row_number window shuffles once on dst_host — bounded because
+    its input is already per-(host, term) aggregated; a hot host with
+    millions of DISTINCT terms sorts within one partition, the
+    standard windowed-top-k trade (cap vocabulary upstream if a
+    corpus ever exhibits that)."""
+    from pyspark.sql.window import Window
+    terms = (
+        links.select(
+            url_host(F.col("url")).alias("src_host"),
+            resolve_link_host(F.col("url"), F.col("link"))
+            .alias("dst_host"),
+            F.explode(F.split(F.lower(F.col("anchor")), r"\s+"))
+            .alias("term"))
+        .filter((F.col("src_host") != F.col("dst_host"))
+                & (F.col("term") != ""))
+    )
+    counts = terms.groupBy("dst_host", "term").agg(
+        F.count("*").alias("n"))
+    w = Window.partitionBy("dst_host").orderBy(F.desc("n"), F.asc("term"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k))
 
 
 # ----------------------------------------------------------- rank

@@ -105,6 +105,25 @@ class TestHtmlExtract:
         assert d["meta"]["description"] == "desc here"
         assert d["n_words"] == 1
 
+    def test_anchor_text_captured(self):
+        d = htmltext.extract(
+            '<p><a href="/x">go <b>here</b> now</a> mid '
+            '<a href="/y"></a><a>nohref</a><a href="/z">tail')
+        assert d["links"] == ["/x", "/y", "/z"]
+        # empty <a>, href-less <a>, and an unclosed trailing <a> all
+        # keep the anchors list links-parallel
+        assert d["anchors"] == ["go here now", "", "tail"]
+
+    def test_nested_anchor_splits(self):
+        d = htmltext.extract('<a href="/a">one<a href="/b">two</a>x')
+        assert d["links"] == ["/a", "/b"]
+        assert d["anchors"] == ["one", "two"]
+
+    def test_anchor_text_still_counts_as_body_text(self):
+        d = htmltext.extract('<p>pre <a href="/x">mid</a> post</p>')
+        assert d["text"] == "pre mid post"
+        assert d["anchors"] == ["mid"]
+
     def test_hostile_html_no_crash(self):
         for bad in ["<p><a href=", "<<<>>>", "<b>" * 500, "&#xZZ; <p",
                     "<script>never closed", ""]:

@@ -83,6 +83,34 @@ class TestHostEdges:
         assert [r["h"] for r in rows] == ["a.org", "b.org"]
 
 
+class TestAnchorTerms:
+    def test_matches_closed_form(self, spark):
+        """Per-destination-host anchor term counts + deterministic
+        top-k rank match a Python twin of the closed-form link rule
+        (local links must vanish via the cross-host filter)."""
+        from collections import Counter
+        n_pages, n_hosts, k = 120, 7, 3
+        pages = wg.synthetic_linked_pages(spark, n_pages, n_hosts)
+        got = {(r["dst_host"], r["term"]): (r["n"], r["rank"])
+               for r in wg.anchor_terms(wg.extract_links(pages),
+                                        top_k=k).collect()}
+        cnt = Counter()
+        for i in range(n_pages):
+            h = i % n_hosts
+            for j, (t, _href) in enumerate(
+                    wg.link_targets(i, n_hosts, n_pages)):
+                if t != h:
+                    cnt[(f"host{t}.example.org", f"t{j}")] += 1
+        want = {}
+        per_host = {}
+        for (host, term), n in cnt.items():
+            per_host.setdefault(host, []).append((-n, term))
+        for host, lst in per_host.items():
+            for rank, (negn, term) in enumerate(sorted(lst)[:k], 1):
+                want[(host, term)] = (-negn, rank)
+        assert got == want
+
+
 class TestPagerank:
     def _numpy_pagerank(self, edges, iters, d=0.85):
         hosts = sorted({e[0] for e in edges} | {e[1] for e in edges})
