@@ -1717,6 +1717,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wg.anchor_terms(links, top_k=3)
     q["anchor_terms"] = anchor_terms_q
 
+    def host_graph_delta_q(spark, sf):
+        # Incremental host-graph maintenance (round 6): remove pages
+        # [100, 200), add pages [600, 660), merge signed link deltas
+        # into the standing edge table. The oracle rebuilds the graph
+        # from scratch over the surviving page set in closed form —
+        # the incremental path must be indistinguishable, including
+        # pairs whose weight reaches 0 and must vanish.
+        _ensure_shipped(spark)
+        from ingest_spark.operators import webgraph as wg
+        base = wg.synthetic_linked_pages(spark)
+        edges = wg.host_edges(wg.extract_links(base))
+        removed = base.filter((F.col("page_id") >= 100)
+                              & (F.col("page_id") < 200))
+        big = wg.synthetic_linked_pages(spark, 660)
+        added = big.filter(F.col("page_id") >= 600)
+        return wg.host_edges_delta(edges, removed, added)
+    q["host_graph_delta"] = host_graph_delta_q
+
     def geotag_cells_q(spark, sf):
         # Webtext→geospatial bridge (round 6): pages carrying
         # geo.position / ICBM meta tags (real HTML meta extraction,
@@ -2067,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dups",  # r5-green; tailed for tile_pyramid
         "dup_components_distributed",  # r5-green; tailed for hits_hosts
         "retile_incremental",  # r5-green; tailed for anchor_terms
+        "raster_tiles",  # r5-green; tailed for host_graph_delta
         "s1_scan_stats", "f2_filter_drop", "j4_order_preserving",
         "j_anti_join", "a1_bbox_agg", "a6_rolling_rate",
         "o3_grid_assign", "salt_hot_cells", "interval_join",
@@ -2824,6 +2843,24 @@ def oracle_sql() -> dict[str, str]:
                   FROM c)
             SELECT dst_host, term, n::BIGINT AS n, rank::INT AS rank
             FROM r WHERE rank <= 3
+        """,
+        # from-scratch rebuild over the surviving page set
+        # ([0,600) minus [100,200), plus [600,660)) — what the
+        # engine's incremental merge must be indistinguishable from.
+        # Host targets depend only on (i, k), never on the corpus
+        # size, so one closed form covers base and added pages
+        "host_graph_delta": """
+            WITH p AS (SELECT UNNEST(range(0, 660)) AS i),
+            keep AS (SELECT i FROM p WHERE i < 100 OR i >= 200),
+            e0 AS (
+              SELECT 'host' || (i % 37) || '.example.org' AS src,
+                     'host' || (((i % 37) + 1 + (i*3 + k*7) % 36) % 37)
+                       || '.example.org' AS dst
+              FROM keep, UNNEST(range(0, 1 + i % 3)) AS u(k)
+            )
+            SELECT src AS src_host, dst AS dst_host,
+                   COUNT(*)::BIGINT AS weight
+            FROM e0 GROUP BY 1, 2
         """,
         # closed-form twin of synthetic_geotagged_pages +
         # geotag_points: pages i%3==2 carry no geo meta and i%21==6

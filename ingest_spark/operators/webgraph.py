@@ -245,6 +245,45 @@ def host_edges(links: DataFrame) -> DataFrame:
         F.count("*").alias("weight"))
 
 
+def host_edges_delta(edges: DataFrame, removed_pages: DataFrame,
+                     added_pages: DataFrame) -> DataFrame:
+    """Maintain the weighted host graph under a page changeset
+    WITHOUT rescanning the corpus: tokenize links from only the
+    removed and added pages, aggregate signed per-(src, dst) weight
+    deltas, and merge them into the existing edge table (full-outer
+    join + sum; pairs whose weight reaches 0 drop out — identical to
+    a from-scratch rebuild over the surviving corpus, which the
+    driver oracle and tests assert).
+
+    Scale: extraction cost is O(|Δ pages|), the delta aggregate is
+    host-pair-sized over only the AFFECTED pairs, and the single wide
+    op against the old graph is one co-partitionable full-outer merge
+    on (src_host, dst_host) — the same shape `retile_incremental`
+    uses for tiles, and what an Iceberg MERGE INTO would plan. A page
+    UPDATE is modeled as remove(old revision) + add(new revision),
+    so one operator covers the whole changeset algebra."""
+    minus = (
+        host_edges(extract_links(removed_pages))
+        .select("src_host", "dst_host",
+                (-F.col("weight")).alias("weight"))
+    )
+    plus = host_edges(extract_links(added_pages))
+    delta = (
+        minus.unionByName(plus)
+        .groupBy("src_host", "dst_host")
+        .agg(F.sum("weight").alias("d"))
+    )
+    return (
+        edges.join(delta, ["src_host", "dst_host"], "full_outer")
+        .select(
+            "src_host", "dst_host",
+            (F.coalesce("weight", F.lit(0))
+             + F.coalesce("d", F.lit(0))).alias("weight"),
+        )
+        .filter(F.col("weight") > 0)
+    )
+
+
 def host_degrees(edges: DataFrame) -> DataFrame:
     """Per-host degree stats over the weighted edge list: total link
     weight and distinct peer-host counts, both directions. Two

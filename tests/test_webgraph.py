@@ -83,6 +83,33 @@ class TestHostEdges:
         assert [r["h"] for r in rows] == ["a.org", "b.org"]
 
 
+class TestHostEdgesDelta:
+    def test_matches_full_recompute(self, spark):
+        """Incremental maintenance (remove a page range, add new
+        pages) must equal a from-scratch rebuild over the surviving
+        corpus — including pairs whose weight hits 0 and drops."""
+        base = wg.synthetic_linked_pages(spark, 120, 7)
+        edges = wg.host_edges(wg.extract_links(base))
+        removed = base.filter((F.col("page_id") >= 20)
+                              & (F.col("page_id") < 40))
+        big = wg.synthetic_linked_pages(spark, 140, 7)
+        added = big.filter(F.col("page_id") >= 120)
+        inc = wg.host_edges_delta(edges, removed, added)
+        survivors = big.filter(((F.col("page_id") < 20)
+                                | (F.col("page_id") >= 40))
+                               & (F.col("page_id") < 140))
+        full = wg.host_edges(wg.extract_links(survivors))
+        key = lambda r: (r["src_host"], r["dst_host"], r["weight"])
+        assert sorted(map(key, inc.collect())) == \
+            sorted(map(key, full.collect()))
+
+    def test_remove_everything_empties_graph(self, spark):
+        base = wg.synthetic_linked_pages(spark, 30, 5)
+        edges = wg.host_edges(wg.extract_links(base))
+        none_added = base.filter(F.lit(False))
+        assert wg.host_edges_delta(edges, base, none_added).count() == 0
+
+
 class TestAnchorTerms:
     def test_matches_closed_form(self, spark):
         """Per-destination-host anchor term counts + deterministic
