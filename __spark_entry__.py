@@ -1735,6 +1735,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wg.host_edges_delta(edges, removed, added)
     q["host_graph_delta"] = host_graph_delta_q
 
+    def cocitation_pairs_q(spark, sf):
+        # Co-citation similarity (round 6): host pairs linked by >= 2
+        # common source hosts, per-src self-join over the DISTINCT
+        # edge table (hub sources above the out-degree cap are
+        # dropped — not triggered by this corpus, asserted by the cap
+        # pytest). Integer-exact.
+        _ensure_shipped(spark)
+        from ingest_spark.operators import webgraph as wg
+        edges = wg.host_edges(wg.extract_links(
+            wg.synthetic_linked_pages(spark)))
+        return wg.cocitation(edges, min_cocite=2)
+    q["cocitation_pairs"] = cocitation_pairs_q
+
     def geotag_cells_q(spark, sf):
         # Webtext→geospatial bridge (round 6): pages carrying
         # geo.position / ICBM meta tags (real HTML meta extraction,
@@ -2086,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components_distributed",  # r5-green; tailed for hits_hosts
         "retile_incremental",  # r5-green; tailed for anchor_terms
         "raster_tiles",  # r5-green; tailed for host_graph_delta
+        "vector_tiles",  # r5-green; tailed for cocitation_pairs
         "s1_scan_stats", "f2_filter_drop", "j4_order_preserving",
         "j_anti_join", "a1_bbox_agg", "a6_rolling_rate",
         "o3_grid_assign", "salt_hot_cells", "interval_join",
@@ -2861,6 +2875,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT src AS src_host, dst AS dst_host,
                    COUNT(*)::BIGINT AS weight
             FROM e0 GROUP BY 1, 2
+        """,
+        # co-citation over the DISTINCT closed-form host edges:
+        # canonical host_a < host_b pairs sharing >= 2 citing hosts
+        "cocitation_pairs": """
+            WITH p AS (SELECT UNNEST(range(0, 600)) AS i),
+            e0 AS (
+              SELECT DISTINCT 'host' || (i % 37) || '.example.org' AS src,
+                     'host' || (((i % 37) + 1 + (i*3 + k*7) % 36) % 37)
+                       || '.example.org' AS dst
+              FROM p, UNNEST(range(0, 1 + i % 3)) AS u(k)
+            )
+            SELECT a.dst AS host_a, b.dst AS host_b,
+                   COUNT(*)::BIGINT AS n
+            FROM e0 a JOIN e0 b ON a.src = b.src AND a.dst < b.dst
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
         """,
         # closed-form twin of synthetic_geotagged_pages +
         # geotag_points: pages i%3==2 carry no geo meta and i%21==6

@@ -306,6 +306,39 @@ def host_degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+def cocitation(edges: DataFrame, min_cocite: int = 2,
+               max_out: int = 10_000) -> DataFrame:
+    """Co-citation pairs: (host_a, host_b, n) where ``n`` source
+    hosts link to BOTH — the classic link-based similarity signal
+    (two hosts the web repeatedly cites together are topically
+    related). Pairs are canonicalized host_a < host_b; only pairs
+    with ``n >= min_cocite`` emit (a single shared citer is noise and
+    at web scale the n=1 tail dominates the output).
+
+    Scale: the pair join is per-src (self-join on src over the
+    DISTINCT host-pair edge table — never a global cross join), so
+    a source's cost is out-degree². Hub pages citing everything are
+    the skew killer, so sources with out-degree > ``max_out`` are
+    dropped first (same guard-ladder discipline as the simhash
+    hot-block cap: a 10k-outlink directory page contributes 10^8
+    pairs and no signal). The degree prefilter is one aggregate +
+    semi-join; the cap is a documented, queryable knob, not a silent
+    truncation."""
+    e = edges.select("src_host", "dst_host")
+    deg = e.groupBy("src_host").agg(F.count("*").alias("_outd"))
+    kept = e.join(deg.filter(F.col("_outd") <= max_out),
+                  "src_host", "left_semi")
+    a = kept.select("src_host", F.col("dst_host").alias("host_a"))
+    b = kept.select("src_host", F.col("dst_host").alias("host_b"))
+    return (
+        a.join(b, "src_host")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_cocite)
+    )
+
+
 def anchor_terms(links: DataFrame, top_k: int = 5) -> DataFrame:
     """Per destination host: the ``top_k`` most frequent anchor-text
     terms pointing AT it — the classic anchor-text signal (how the

@@ -110,6 +110,45 @@ class TestHostEdgesDelta:
         assert wg.host_edges_delta(edges, base, none_added).count() == 0
 
 
+class TestCocitation:
+    def test_matches_closed_form(self, spark):
+        from collections import Counter
+        n_pages, n_hosts = 120, 7
+        pages = wg.synthetic_linked_pages(spark, n_pages, n_hosts)
+        edges = wg.host_edges(wg.extract_links(pages))
+        got = {(r["host_a"], r["host_b"]): r["n"]
+               for r in wg.cocitation(edges, min_cocite=2).collect()}
+        outsets: "dict[str, set]" = {}
+        for i in range(n_pages):
+            h = i % n_hosts
+            src = f"host{h}.example.org"
+            for t, _href in wg.link_targets(i, n_hosts, n_pages):
+                if t != h:
+                    outsets.setdefault(src, set()).add(
+                        f"host{t}.example.org")
+        cnt = Counter()
+        for dsts in outsets.values():
+            ds = sorted(dsts)
+            for x in range(len(ds)):
+                for y in range(x + 1, len(ds)):
+                    cnt[(ds[x], ds[y])] += 1
+        want = {p: n for p, n in cnt.items() if n >= 2}
+        assert got == want
+
+    def test_hub_sources_capped(self, spark):
+        """A directory-page host above the out-degree cap contributes
+        no pairs (the skew guard), while normal sources still do."""
+        rows = [("hub", f"d{i}", 1) for i in range(30)]
+        rows += [("s1", "x", 1), ("s1", "y", 1),
+                 ("s2", "x", 1), ("s2", "y", 1)]
+        edges = spark.createDataFrame(
+            rows, ["src_host", "dst_host", "weight"])
+        got = {(r["host_a"], r["host_b"]): r["n"]
+               for r in wg.cocitation(edges, min_cocite=2,
+                                      max_out=10).collect()}
+        assert got == {("x", "y"): 2}
+
+
 class TestAnchorTerms:
     def test_matches_closed_form(self, spark):
         """Per-destination-host anchor term counts + deterministic
