@@ -1748,6 +1748,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return wg.cocitation(edges, min_cocite=2)
     q["cocitation_pairs"] = cocitation_pairs_q
 
+    def pagerank_dangling_q(spark, sf):
+        # Canonical PageRank (round 6): hosts 35/36 are made dangling
+        # by dropping their out-edges; dangling mass is redistributed
+        # uniformly each iteration (mass conserved). Oracle unrolls
+        # the same 3 iterations with the dangling-mass scalar as a
+        # subquery per step, mirroring the engine's FP association
+        # (base + d·Σc + (d·m)/N); 6-dp rounding both sides.
+        _ensure_shipped(spark)
+        from ingest_spark.operators import webgraph as wg
+        edges = wg.host_edges(wg.extract_links(
+            wg.synthetic_linked_pages(spark)))
+        edges = edges.filter(~F.col("src_host").isin(
+            "host35.example.org", "host36.example.org"))
+        pr = wg.pagerank(edges, iters=3, damping=0.85,
+                         dangling="redistribute")
+        return pr.select("host", F.round("pr", 6).alias("pr"))
+    q["pagerank_dangling"] = pagerank_dangling_q
+
     def geotag_cells_q(spark, sf):
         # Webtext→geospatial bridge (round 6): pages carrying
         # geo.position / ICBM meta tags (real HTML meta extraction,
@@ -2100,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retile_incremental",  # r5-green; tailed for anchor_terms
         "raster_tiles",  # r5-green; tailed for host_graph_delta
         "vector_tiles",  # r5-green; tailed for cocitation_pairs
+        "multimodal_frames",  # r5-green; tailed for pagerank_dangling
         "s1_scan_stats", "f2_filter_drop", "j4_order_preserving",
         "j_anti_join", "a1_bbox_agg", "a6_rolling_rate",
         "o3_grid_assign", "salt_hot_cells", "interval_join",
@@ -2890,6 +2909,56 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n
             FROM e0 a JOIN e0 b ON a.src = b.src AND a.dst < b.dst
             GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        """,
+        # canonical (mass-conserving) PageRank: hosts 35/36 dangling,
+        # per-iteration dangling mass dm_t redistributed as
+        # 0.85·dm/N — the term order mirrors the engine's
+        # (base + d·Σc) + (d·dm)/N association exactly
+        "pagerank_dangling": """
+            WITH p AS (SELECT UNNEST(range(0, 600)) AS i),
+            e0 AS (
+              SELECT 'host' || (i % 37) || '.example.org' AS src,
+                     'host' || (((i % 37) + 1 + (i*3 + k*7) % 36) % 37)
+                       || '.example.org' AS dst
+              FROM p, UNNEST(range(0, 1 + i % 3)) AS u(k)
+              WHERE (i % 37) NOT IN (35, 36)
+            ),
+            ew AS (SELECT src, dst, COUNT(*) AS w FROM e0 GROUP BY 1, 2),
+            ow AS (SELECT src, SUM(w) AS ow FROM ew GROUP BY 1),
+            t AS (SELECT ew.src, ew.dst,
+                         ew.w::DOUBLE / ow.ow::DOUBLE AS pp
+                  FROM ew JOIN ow USING (src)),
+            nodes AS (SELECT DISTINCT src AS h FROM e0
+                      UNION SELECT DISTINCT dst FROM e0),
+            nn AS (SELECT COUNT(*)::DOUBLE AS n FROM nodes),
+            srcs AS (SELECT DISTINCT src AS h FROM ew),
+            r0 AS (SELECT h, 1.0::DOUBLE / (SELECT n FROM nn) AS r
+                   FROM nodes),
+            d0 AS (SELECT COALESCE(SUM(r), 0)::DOUBLE AS dm FROM r0
+                   WHERE h NOT IN (SELECT h FROM srcs)),
+            r1 AS (SELECT n.h, 0.15::DOUBLE / (SELECT n FROM nn)
+                         + 0.85::DOUBLE * COALESCE(SUM(r0.r * t.pp), 0)
+                         + 0.85::DOUBLE * (SELECT dm FROM d0)
+                           / (SELECT n FROM nn) AS r
+                   FROM nodes n LEFT JOIN t ON t.dst = n.h
+                   LEFT JOIN r0 ON r0.h = t.src GROUP BY n.h),
+            d1 AS (SELECT COALESCE(SUM(r), 0)::DOUBLE AS dm FROM r1
+                   WHERE h NOT IN (SELECT h FROM srcs)),
+            r2 AS (SELECT n.h, 0.15::DOUBLE / (SELECT n FROM nn)
+                         + 0.85::DOUBLE * COALESCE(SUM(r1.r * t.pp), 0)
+                         + 0.85::DOUBLE * (SELECT dm FROM d1)
+                           / (SELECT n FROM nn) AS r
+                   FROM nodes n LEFT JOIN t ON t.dst = n.h
+                   LEFT JOIN r1 ON r1.h = t.src GROUP BY n.h),
+            d2 AS (SELECT COALESCE(SUM(r), 0)::DOUBLE AS dm FROM r2
+                   WHERE h NOT IN (SELECT h FROM srcs)),
+            r3 AS (SELECT n.h, 0.15::DOUBLE / (SELECT n FROM nn)
+                         + 0.85::DOUBLE * COALESCE(SUM(r2.r * t.pp), 0)
+                         + 0.85::DOUBLE * (SELECT dm FROM d2)
+                           / (SELECT n FROM nn) AS r
+                   FROM nodes n LEFT JOIN t ON t.dst = n.h
+                   LEFT JOIN r2 ON r2.h = t.src GROUP BY n.h)
+            SELECT h AS host, ROUND(r, 6) AS pr FROM r3
         """,
         # closed-form twin of synthetic_geotagged_pages +
         # geotag_points: pages i%3==2 carry no geo meta and i%21==6

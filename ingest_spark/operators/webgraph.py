@@ -378,17 +378,27 @@ def anchor_terms(links: DataFrame, top_k: int = 5) -> DataFrame:
 
 def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
              checkpoint_every: int = 8,
-             partitions: int | None = None) -> DataFrame:
+             partitions: int | None = None,
+             dangling: str = "keep") -> DataFrame:
     """Standard damped PageRank over the weighted host graph, fixed
     iteration count (deterministic — no convergence test, so the
     driver oracle can unroll the same iterations in SQL).
 
     rank'(v) = (1-d)/N + d * Σ_{u→v} rank(u) · w(u,v) / outw(u)
 
-    Hosts with no outbound links keep their (1-d)/N floor but their
-    mass is NOT redistributed (the convention of the classic Spark /
-    Pregel examples; total mass then dips below 1 in graphs with
-    dangling hosts — document, don't hide).
+    ``dangling`` picks the sink convention:
+
+    * ``"keep"`` (default): hosts with no outbound links keep their
+      (1-d)/N floor but their mass is NOT redistributed (the
+      convention of the classic Spark / Pregel examples; total mass
+      then dips below 1 in graphs with dangling hosts — document,
+      don't hide).
+    * ``"redistribute"``: canonical PageRank — each iteration adds
+      d·m/N to every host, where m is the total rank sitting on
+      dangling hosts, so mass is conserved exactly. Costs one extra
+      |V|-sized reduce per iteration (the dangling-mass scalar,
+      computed in-plan and applied via a 1-row broadcast cross-join —
+      never a driver value).
 
     Scale design (each choice measured on the 4→16 window,
     jobs/webgraph_scale.py):
@@ -462,6 +472,13 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
 
     zeros = nodes.select(F.col("src").alias("dst"),
                          F.lit(0.0).alias("c"))
+    dang = None
+    if dangling == "redistribute":
+        # hosts with no out-edges, as a persisted id set (built once)
+        dang = nodes.join(trans.select("src").distinct(), "src",
+                          "left_anti").persist()
+    elif dangling != "keep":
+        raise ValueError(f"dangling must be keep|redistribute: {dangling}")
     ranks = nodes.select("src", F.lit(1.0 / n).alias("pr"))
     cached = None  # the persisted frame backing `ranks`, if any
     for it in range(iters):
@@ -472,8 +489,19 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
             .groupBy("dst")
             .agg((F.lit(base) + F.lit(damping) * F.sum("c")).alias("pr"))
             .select(F.col("dst").alias("src"), "pr")
-            .repartition(partitions, "src")
         )
+        if dang is not None:
+            # dangling mass this iteration, as a 1-row broadcast —
+            # SUM over an empty set is NULL, hence the coalesce
+            dm = (ranks.join(dang, "src", "left_semi")
+                  .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("_dm")))
+            new_ranks = new_ranks.crossJoin(F.broadcast(dm)).select(
+                "src",
+                (F.col("pr")
+                 + F.lit(damping) * F.col("_dm") / F.lit(float(n))
+                 ).alias("pr"),
+            )
+        new_ranks = new_ranks.repartition(partitions, "src")
         # materialize eagerly (localCheckpoint also truncates lineage)
         # so the PREVIOUS iteration's cache can release immediately —
         # one tiny host-sized job per iteration, which keeps exactly
@@ -496,6 +524,8 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     )
     if cached is not None:
         cached.unpersist()
+    if dang is not None:
+        dang.unpersist()
     trans.unpersist()
     nodes.unpersist()
     ids.unpersist()

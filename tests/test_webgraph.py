@@ -242,6 +242,67 @@ class TestPagerank:
             assert got[h] == pytest.approx(want[h], abs=1e-12)
 
 
+class TestPagerankRedistribute:
+    def _numpy_redist(self, edges, iters, d=0.85):
+        hosts = sorted({e[0] for e in edges} | {e[1] for e in edges})
+        idx = {h: i for i, h in enumerate(hosts)}
+        n = len(hosts)
+        w = np.zeros((n, n))
+        for s, t, ww in edges:
+            w[idx[s], idx[t]] += ww
+        outw = w.sum(axis=1)
+        r = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            dm = r[outw == 0].sum()
+            contrib = np.zeros(n)
+            for s in range(n):
+                if outw[s] > 0:
+                    contrib += r[s] * w[s] / outw[s]
+            r = (1 - d) / n + d * contrib + d * dm / n
+        return {h: r[idx[h]] for h in hosts}
+
+    def test_matches_numpy_reference(self, spark):
+        edges = [("a", "sink", 1), ("b", "sink", 2), ("a", "b", 1),
+                 ("c", "a", 1), ("b", "c", 1)]
+        df = spark.createDataFrame(
+            edges, ["src_host", "dst_host", "weight"])
+        got = {r["host"]: r["pr"]
+               for r in wg.pagerank(df, iters=3,
+                                    dangling="redistribute").collect()}
+        want = self._numpy_redist(edges, iters=3)
+        assert set(got) == set(want)
+        for h in want:
+            assert got[h] == pytest.approx(want[h], abs=1e-12)
+
+    def test_mass_conserved_with_dangling(self, spark):
+        """With redistribution, total mass stays exactly 1 even when
+        sinks exist — the defining property of the canonical mode."""
+        df = spark.createDataFrame(
+            [("a", "sink", 1), ("b", "sink", 1), ("a", "b", 3)],
+            ["src_host", "dst_host", "weight"])
+        pr = wg.pagerank(df, iters=4, dangling="redistribute")
+        mass = pr.agg(F.sum("pr")).first()[0]
+        assert mass == pytest.approx(1.0, abs=1e-9)
+
+    def test_no_dangling_matches_keep_mode(self, spark):
+        """On a graph with no sinks the two conventions coincide."""
+        pages = wg.synthetic_linked_pages(spark, 60, 7)
+        edges = wg.host_edges(wg.extract_links(pages))
+        keep = {r["host"]: r["pr"]
+                for r in wg.pagerank(edges, iters=2).collect()}
+        red = {r["host"]: r["pr"]
+               for r in wg.pagerank(edges, iters=2,
+                                    dangling="redistribute").collect()}
+        for h in keep:
+            assert red[h] == pytest.approx(keep[h], abs=1e-12)
+
+    def test_bad_mode_raises(self, spark):
+        df = spark.createDataFrame(
+            [("a", "b", 1)], ["src_host", "dst_host", "weight"])
+        with pytest.raises(ValueError):
+            wg.pagerank(df, iters=1, dangling="bogus")
+
+
 class TestHits:
     def _numpy_hits(self, edges, iters):
         hosts = sorted({e[0] for e in edges} | {e[1] for e in edges})
