@@ -556,8 +556,12 @@ def hits(edges: DataFrame, iters: int = 2,
     re-shuffles only the |V|-sized score frame plus the inherent
     edge-cardinality groupBy. The L2 norm never touches the driver:
     it is a 1-row aggregate cross-joined back as a broadcast, and each
-    raw score frame is checkpoint-materialized first so the norm pass
-    and the divide don't recompute the join."""
+    raw score frame is persist-materialized first so the norm pass
+    and the divide don't recompute the join — with at most the last
+    TWO half-step snapshots cached at any iteration count (the older
+    ones unpersist as soon as nothing references them), so a
+    50-iteration run holds the same executor memory as a 2-iteration
+    one."""
     spark = edges.sparkSession
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -585,6 +589,7 @@ def hits(edges: DataFrame, iters: int = 2,
         .persist()
     )
     zeros = nodes.select("nid", F.lit(0.0).alias("s"))
+    live: "list[DataFrame]" = []  # persisted raw half-step frames
 
     def _half_step(adj, score, score_col, join_key, out_key, out_col):
         """One SpMV half-step + L2 normalization, edge side unshuffled."""
@@ -597,8 +602,16 @@ def hits(edges: DataFrame, iters: int = 2,
             .groupBy("nid")
             .agg(F.sum("s").alias(out_col))
             .repartition(partitions, "nid")
-            .localCheckpoint(eager=True)  # norm pass + divide share it
+            .persist()
         )
+        raw.count()  # materialize: norm pass + divide + next step share it
+        live.append(raw)
+        # bounded state: the raw from two half-steps back is no longer
+        # referenced (its normalized view was consumed by the PREVIOUS
+        # materialization) — at most two |V|-sized snapshots stay cached
+        # at any iteration count, mirroring pagerank's persist ladder
+        while len(live) > 2:
+            live.pop(0).unpersist()
         norm = raw.agg(F.sqrt(F.sum(F.col(out_col) * F.col(out_col)))
                        .alias("_n2"))
         return raw.crossJoin(F.broadcast(norm)).select(
@@ -618,6 +631,8 @@ def hits(edges: DataFrame, iters: int = 2,
         .select("host", F.col("auth").alias("authority"), "hub")
         .localCheckpoint(eager=True)
     )
+    for df in live:
+        df.unpersist()
     adj_s.unpersist()
     adj_d.unpersist()
     nodes.unpersist()
