@@ -1640,6 +1640,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("page_id", "url", "status", "title", "n_links", "n_words")
     q["webtext_extract"] = webtext_extract_q
 
+    def webtext_charset_q(spark, sf):
+        # Charset-aware decode (round 7): the synthetic corpus cycles
+        # through eight charset scenarios — header-declared utf-8 /
+        # windows-1252, meta-only shift_jis, a lying header beaten by
+        # a utf-16 BOM, the WHATWG latin-1→cp1252 rule with 0x93/0x94
+        # curly quotes plus a header-vs-meta conflict, an undeclared
+        # ASCII default, an invalid-byte utf-8 page (decode_ok=0,
+        # U+FFFD in the text), and a bogus header label that must fall
+        # through to the default. The oracle re-derives the decoded
+        # text, charset name, cascade stage, and strict-decode flag in
+        # closed form — blind-utf-8 decoding (the pre-round-7
+        # behavior) mojibakes four of the eight variants and breaks
+        # the hash.
+        _ensure_shipped(spark)
+        from ingest_spark.operators.webtext import (
+            extract_webtext, parse_warc, synthetic_charset_warc,
+        )
+        return extract_webtext(
+            parse_warc(synthetic_charset_warc(spark, n_files=8))
+        ).select(
+            "page_id", "url", "charset", "charset_source",
+            F.col("decode_ok").cast("int").alias("decode_ok"),
+            "title", "n_words", "text",
+        )
+    q["webtext_charset"] = webtext_charset_q
+
     def url_canonical_q(spark, sf):
         # URL canonicalization (round 6 web-graph layer): pure column
         # expressions (regexp + array lambdas, JVM-side) lower-case
@@ -2739,6 +2765,43 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN p.pid % 7 = 3 THEN 2
                          ELSE 2 + p.pid % 5 + para.pw END)::INT AS n_words
             FROM p JOIN para ON para.pid = p.pid
+        """,
+        # closed-form twin of charset_page + the decode cascade: eight
+        # scenarios keyed by pid % 8 (see _CS_MARKS). chr(8220)/(8221)
+        # are the cp1252 0x93/0x94 curly quotes; chr(65533) is the
+        # U+FFFD the strict-decode failure substitutes. n_words =
+        # marker words + 2 ("page" + the id).
+        "webtext_charset": """
+            WITH p AS (SELECT UNNEST(range(0, 64)) AS pid),
+            m AS (
+              SELECT pid, pid % 8 AS v,
+                     CASE pid % 8
+                       WHEN 0 THEN 'café über'
+                       WHEN 1 THEN 'café déjà'
+                       WHEN 2 THEN '日本語 テスト'
+                       WHEN 3 THEN 'Ünïcøde'
+                       WHEN 4 THEN chr(8220) || 'naïve' || chr(8221)
+                       WHEN 5 THEN 'plain ascii'
+                       WHEN 6 THEN 'bad' || chr(65533) || 'byte'
+                       ELSE 'mystery bytes' END AS marker
+              FROM p
+            )
+            SELECT pid AS page_id,
+                   'https://intl.example.org/doc/' || pid AS url,
+                   CASE v WHEN 1 THEN 'windows-1252'
+                          WHEN 2 THEN 'shift_jis'
+                          WHEN 3 THEN 'utf-16le'
+                          WHEN 4 THEN 'windows-1252'
+                          ELSE 'utf-8' END AS charset,
+                   CASE v WHEN 2 THEN 'meta' WHEN 3 THEN 'bom'
+                          WHEN 5 THEN 'default' WHEN 7 THEN 'default'
+                          ELSE 'header' END AS charset_source,
+                   (CASE WHEN v = 6 THEN 0 ELSE 1 END)::INT AS decode_ok,
+                   'C' || pid AS title,
+                   (length(marker) - length(replace(marker, ' ', ''))
+                    + 3)::INT AS n_words,
+                   marker || ' page ' || pid AS text
+            FROM m
         """,
         # closed-form twin of webgraph._raw_url / canonical_url: the
         # messy synthetic urls canonicalize to exactly this arithmetic

@@ -99,19 +99,23 @@ def _iter_gzip_members(data: bytes):
         pos += consumed
 
 
-def _parse_one(raw: bytes, offset: int) -> "tuple[WarcRecord, int]":
-    """Parse one record from ``raw``; returns (record, bytes_consumed)."""
-    end = raw.find(_CRLF + _CRLF)
-    if not raw.startswith(b"WARC/") or end < 0:
+def _parse_one(data: bytes, start: int,
+               offset: int) -> "tuple[WarcRecord, int]":
+    """Parse one record from ``data`` beginning at absolute index
+    ``start``; returns (record, next_start). Absolute indexing — no
+    tail re-slice per record, so walking a plain .warc is O(n) bytes
+    touched, not O(n²) copied."""
+    end = data.find(_CRLF + _CRLF, start)
+    if data[start:start + 5] != b"WARC/" or end < 0:
         raise ValueError("not a WARC record")
-    lines = raw[:end].split(_CRLF)
+    lines = data[start:end].split(_CRLF)
     headers: "dict[str, str]" = {}
     for line in lines[1:]:
         k, _, v = line.decode("utf-8", "replace").partition(":")
         headers[k.strip()] = v.strip()
     clen = int(headers.get("Content-Length", "0"))
     body_start = end + 4
-    payload = raw[body_start: body_start + clen]
+    payload = data[body_start: body_start + clen]
     if len(payload) != clen:
         raise ValueError("warc: truncated payload")
     rec = WarcRecord(
@@ -129,14 +133,13 @@ def parse(data: bytes) -> "list[WarcRecord]":
     records = []
     if data[:2] == b"\x1f\x8b":
         for off, raw in _iter_gzip_members(data):
-            rec, _ = _parse_one(raw, off)
+            rec, _ = _parse_one(raw, 0, off)
             records.append(rec)
     else:
         pos = 0
         while pos < len(data):
-            rec, used = _parse_one(data[pos:], pos)
+            rec, pos = _parse_one(data, pos, pos)
             records.append(rec)
-            pos += used
     return records
 
 

@@ -27,15 +27,17 @@ driver-side loops.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
-    BinaryType, DoubleType, IntegerType, LongType, StringType, StructField,
-    StructType,
+    BinaryType, BooleanType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
+from ingest_spark.functions import charset as _charset
 from ingest_spark.functions import htmltext as _htmltext
 from ingest_spark.functions import warc as _warc
 
@@ -148,6 +150,9 @@ WARC_RECORDS_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("status", IntegerType(), False),
     StructField("mime", StringType(), False),
+    # full Content-Type header value — the charset= parameter feeds
+    # the decode cascade in extract_webtext (functions/charset.py)
+    StructField("content_type", StringType(), False),
     StructField("body", BinaryType(), False),
 ])
 
@@ -166,11 +171,12 @@ def parse_warc(files: DataFrame) -> DataFrame:
             ):
                 for i, rec in enumerate(_warc.parse(bytes(content))):
                     _warc.parse_http(rec)
-                    mime = (
-                        rec.http_headers.get("content-type", "").split(";")[0]
+                    ctype = (
+                        rec.http_headers.get("content-type", "")
                         if rec.warc_type == "response"
                         else rec.headers.get("Content-Type", "")
                     )
+                    mime = ctype.split(";")[0]
                     rows["warc_file"].append(str(fname))
                     rows["rec_idx"].append(i)
                     rows["member_offset"].append(rec.offset)
@@ -181,6 +187,7 @@ def parse_warc(files: DataFrame) -> DataFrame:
                         rec.headers.get("WARC-Target-URI", ""))
                     rows["status"].append(rec.http_status)
                     rows["mime"].append(mime)
+                    rows["content_type"].append(ctype)
                     rows["body"].append(
                         rec.http_body if rec.warc_type == "response"
                         else rec.payload)
@@ -209,35 +216,161 @@ WEBTEXT_SCHEMA = StructType([
     StructField("title", StringType(), False),
     StructField("n_links", IntegerType(), False),
     StructField("n_words", IntegerType(), False),
+    # decode provenance (functions/charset.py): which encoding was
+    # used, which cascade stage chose it, and whether a strict decode
+    # succeeded (False = replacement chars — fidelity lost)
+    StructField("charset", StringType(), False),
+    StructField("charset_source", StringType(), False),
+    StructField("decode_ok", BooleanType(), False),
     StructField("text", StringType(), False),
 ])
 
 
+def page_id_of(url: str) -> int:
+    """Deterministic page id for a url. Numeric-tail fast path (the
+    synthetic corpora put the id in the last path segment); any other
+    url — i.e. essentially all real archives — gets a stable 63-bit
+    MD5 surrogate instead of raising and killing the task."""
+    tail = url.rsplit("/", 1)[-1]
+    try:
+        return int(tail)
+    except ValueError:
+        h = hashlib.md5(url.encode("utf-8", "replace")).digest()
+        return int.from_bytes(h[:8], "big") >> 1
+
+
 def extract_webtext(records: DataFrame) -> DataFrame:
     """response records → visible text via the real HTML tokenizer:
-    title, link count, word count, and the extracted text itself.
-    script/style/comment content contributes nothing (the oracle's
-    closed-form word counts would catch leakage)."""
+    title, link count, word count, decode provenance, and the
+    extracted text itself. script/style/comment content contributes
+    nothing (the oracle's closed-form word counts would catch
+    leakage). Bodies are decoded via the charset cascade
+    (BOM > Content-Type header > meta prescan > UTF-8) — not blind
+    UTF-8 — so windows-1252 / shift_jis / utf-16 pages survive with
+    their text intact and `decode_ok` records strict-decode success.
+    """
     resp = records.filter(F.col("warc_type") == "response")
+    has_ct = "content_type" in resp.columns
 
     def _extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = {k.name: [] for k in WEBTEXT_SCHEMA}
-            for url, status, body in zip(
+            ctypes = (pdf["content_type"].to_numpy() if has_ct
+                      else pdf["mime"].to_numpy())
+            for url, status, ctype, body in zip(
                 pdf["url"].to_numpy(), pdf["status"].to_numpy(),
-                pdf["body"].to_numpy(),
+                ctypes, pdf["body"].to_numpy(),
             ):
-                d = _htmltext.extract(bytes(body).decode("utf-8", "replace"))
-                rows["page_id"].append(int(str(url).rsplit("/", 1)[-1]))
+                text, cname, csource, ok = _charset.decode_html(
+                    bytes(body), str(ctype))
+                d = _htmltext.extract(text)
+                rows["page_id"].append(page_id_of(str(url)))
                 rows["url"].append(str(url))
                 rows["status"].append(int(status))
                 rows["title"].append(d["title"])
                 rows["n_links"].append(len(d["links"]))
                 rows["n_words"].append(d["n_words"])
+                rows["charset"].append(cname)
+                rows["charset_source"].append(csource)
+                rows["decode_ok"].append(ok)
                 rows["text"].append(d["text"])
             yield pd.DataFrame(rows)
 
     return resp.mapInPandas(_extract, WEBTEXT_SCHEMA)
+
+
+# ------------------------------------------- multi-charset corpus
+
+# one charset scenario per pid % 8 — each exercises a distinct stage
+# (or stage-conflict) of the decode cascade; every expected fact is
+# closed-form in pid so the DuckDB oracle re-derives it exactly
+_CS_MARKS = {
+    0: "café über",        # utf-8, declared in the header
+    1: "café déjà",        # windows-1252, declared in the header
+    2: "日本語 テスト",      # shift_jis, declared ONLY in <meta>
+    3: "Ünïcøde",          # utf-16le BOM; header LIES (says utf-8)
+    4: "“naïve”",  # header says iso-8859-1 → cp1252 rule;
+                            # 0x93/0x94 curly quotes only cp1252 has;
+                            # meta says utf-8 and must LOSE to header
+    5: "plain ascii",      # nothing declared anywhere → default
+    6: "bad�byte",    # header says utf-8, body has a raw 0xFF →
+                            # strict decode fails, decode_ok=False
+    7: "mystery bytes",    # header charset is bogus → fall to default
+}
+
+
+def charset_page(page_id: int) -> "tuple[str, bytes]":
+    """Deterministic multi-charset page → (content_type, body bytes).
+    The page text is ``{marker} page {page_id}`` under the variant's
+    encoding; see `_CS_MARKS` for the scenario each variant covers."""
+    v = page_id % 8
+    meta = {2: '<meta charset="shift_jis">',
+            4: '<meta charset="utf-8">'}.get(v, "")
+    marker = _CS_MARKS[v] if v != 6 else "bad&byte"  # placeholder, below
+    html = (f"<html><head>{meta}<title>C{page_id}</title></head>"
+            f"<body><p>{marker} page {page_id}</p></body></html>")
+    if v == 0:
+        return "text/html; charset=utf-8", html.encode("utf-8")
+    if v == 1:
+        return "text/html; charset=windows-1252", html.encode("cp1252")
+    if v == 2:
+        return "text/html", html.encode("cp932")
+    if v == 3:
+        return ("text/html; charset=utf-8",
+                b"\xff\xfe" + html.encode("utf-16-le"))
+    if v == 4:
+        return "text/html; charset=ISO-8859-1", html.encode("cp1252")
+    if v == 5:
+        return "text/html", html.encode("ascii")
+    if v == 6:  # raw 0xFF spliced into otherwise-valid utf-8
+        head, _, tail = html.partition("bad&byte")
+        body = head.encode() + b"bad\xffbyte" + tail.encode()
+        return "text/html; charset=utf-8", body
+    return "text/html; charset=x-bogus-enc", html.encode("ascii")
+
+
+def build_charset_warc_file(file_idx: int,
+                            pages_per_file: int = PAGES_PER_FILE) -> bytes:
+    """A valid .warc.gz whose response bodies cycle through the eight
+    charset scenarios — the corpus behind the `webtext_charset`
+    contract query."""
+    out = []
+    for k in range(pages_per_file):
+        pid = file_idx * pages_per_file + k
+        ctype, body = charset_page(pid)
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+        out.append(_warc.gzip_member(_warc.build_record(
+            "response", http,
+            {
+                "WARC-Target-URI": f"https://intl.example.org/doc/{pid}",
+                "Content-Type": "application/http; msgtype=response",
+            },
+            rec_id_seed=f"cs-{pid}",
+        )))
+    return b"".join(out)
+
+
+def synthetic_charset_warc(spark: SparkSession, n_files: int = 8,
+                           pages_per_file: int = PAGES_PER_FILE) -> DataFrame:
+    """Deterministic multi-charset .warc.gz table (same shape as
+    `synthetic_warc`)."""
+    df = spark.range(0, n_files).withColumnRenamed("id", "file_idx")
+
+    @F.pandas_udf(BinaryType())
+    def _payload(fi: pd.Series) -> pd.Series:
+        return pd.Series(
+            [build_charset_warc_file(int(f), pages_per_file) for f in fi])
+
+    from ingest_spark.operators.partitioning import spread_for_kernel
+    df = spread_for_kernel(df)
+    return df.select(
+        "file_idx",
+        F.format_string("wcs-%05d", F.col("file_idx")).alias("warc_file"),
+        _payload(F.col("file_idx")).alias("content"),
+    )
 
 
 # ------------------------------------------------------ geotagging
