@@ -1863,16 +1863,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             md = b.current_metadata(path)
             current_n = b.read(spark, path).count()
+            # round 7: manifest column stats — per snapshot, decode
+            # the live entries' lower/upper bounds for k (spec
+            # Appendix-D binary single-values) and sum the
+            # value_counts map; plus a stats-PRUNED read at the
+            # current snapshot (k >= 100 must see exactly the two
+            # merge-inserted rows). Every value is closed-form and
+            # partition-count invariant, so the oracle pins bounds
+            # serialization, stats collection, and pruned-read
+            # semantics end-to-end.
+            fields = b._top_level_fields(md)
+            n_ge100 = b.read_where(spark, path, [("k", ">=", 100)]).count()
             rows = []
             for i, snap in enumerate(md["snapshots"]):
-                n = b.read_snapshot(
-                    spark, path, snap["snapshot-id"]).count()
-                rows.append((i, snap["summary"]["operation"], n, current_n))
+                sid = snap["snapshot-id"]
+                n = b.read_snapshot(spark, path, sid).count()
+                entries = b._live_entries(md, sid)
+                bounds = [b._entry_bounds(e, "k", fields)
+                          for e in entries]
+                kid = fields["k"][0]
+                sum_vc = sum(
+                    kv["value"]
+                    for e in entries
+                    for kv in e["data_file"]["value_counts"] or []
+                    if kv["key"] == kid)
+                rows.append((
+                    i, snap["summary"]["operation"], n, current_n,
+                    min(lo for lo, _ in bounds),
+                    max(hi for _, hi in bounds),
+                    sum_vc, n_ge100,
+                ))
         finally:
             shutil.rmtree(root, ignore_errors=True)
         return spark.createDataFrame(
             rows, "ordinal int, operation string, n_rows bigint, "
-                  "n_current bigint")
+                  "n_current bigint, min_k bigint, max_k bigint, "
+                  "sum_vc bigint, n_ge100 bigint")
     q["iceberg_snapshots"] = iceberg_snapshots_q
 
     def retile_incremental_q(spark, sf):
@@ -3072,12 +3098,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         # closed-form: snap0 append 10 rows; snap1 append 15 (carry);
         # snap2 overwrite 15 − 5 deleted evens + 2 inserted = 12
+        # closed-form chain facts: snapshot live sets are 0..9 /
+        # 0..14 / {odds<10} ∪ 10..14 ∪ {100,101}; min/max come from
+        # decoded manifest bounds, sum_vc from the value_counts maps
+        # (== live rows), and n_ge100 from the stats-pruned read of
+        # the current snapshot (the two merge-inserted rows)
         "iceberg_snapshots": """
             SELECT * FROM (VALUES
-                (0, 'append',    10::BIGINT, 12::BIGINT),
-                (1, 'append',    15::BIGINT, 12::BIGINT),
-                (2, 'overwrite', 12::BIGINT, 12::BIGINT)
-            ) AS t(ordinal, operation, n_rows, n_current)
+                (0, 'append',    10::BIGINT, 12::BIGINT,
+                 0::BIGINT,  9::BIGINT, 10::BIGINT, 2::BIGINT),
+                (1, 'append',    15::BIGINT, 12::BIGINT,
+                 0::BIGINT, 14::BIGINT, 15::BIGINT, 2::BIGINT),
+                (2, 'overwrite', 12::BIGINT, 12::BIGINT,
+                 1::BIGINT, 101::BIGINT, 12::BIGINT, 2::BIGINT)
+            ) AS t(ordinal, operation, n_rows, n_current,
+                   min_k, max_k, sum_vc, n_ge100)
         """,
         "retile_incremental": f"""
             WITH base AS (SELECT id, lon, lat FROM {_POINTS_SQL} p),

@@ -31,14 +31,25 @@ manifest list → manifests → live data files, so snapshot isolation
 and time travel (``read_snapshot``) come from the metadata chain
 itself, exactly as on a real cluster catalog.
 
-The deliberate deviations from a jar-backed deployment, documented
-rather than hidden: manifests use the null Avro codec (spec-legal;
-real writers usually deflate), optional column-stats fields are
-omitted (spec-optional), and `merge_overwrite` is a whole-table
-copy-on-write "overwrite" commit (the engine's MERGE granularity —
-a file-level overwrite would need the row-group stats we don't
-collect). Reference analog: the scan-resume story this feeds is
-src/bin.rs:55-142 (SURVEY §3.2).
+Manifests carry the spec's per-column stats maps (``value_counts``,
+``null_value_counts``, ``lower_bounds``/``upper_bounds`` with the
+Appendix-D single-value binary serialization, keyed by field id) —
+collected from the parquet footers at staging time. They drive two
+scale-critical paths: `plan_scan`/`read_where` prune files whose
+bounds prove a predicate empty (the reference ScanTable's per-blob
+min/max intervals, src/par_scan.rs:60-85 / src/denorm.rs:122-150, at
+catalog granularity), and `merge_overwrite` is FILE-LEVEL
+copy-on-write — only files whose key bounds intersect the changeset
+are rewritten; everything else carries over as EXISTING entries with
+byte-identical paths. At 100 TB that turns an incremental MERGE from
+a full-table rewrite into touching a handful of files.
+
+The remaining deliberate deviation from a jar-backed deployment,
+documented rather than hidden: manifests use the null Avro codec
+(spec-legal; real writers usually deflate), and bounds are omitted
+for timestamp/decimal/nested columns (spec-optional; pruning then
+falls back to "cannot skip"). Reference analog: the scan-resume
+story this feeds is src/bin.rs:55-142 (SURVEY §3.2).
 """
 
 from __future__ import annotations
@@ -47,6 +58,7 @@ import glob
 import json
 import os
 import shutil
+import struct as _struct
 import time
 import uuid as _uuid
 
@@ -157,6 +169,27 @@ STATUS_EXISTING, STATUS_ADDED, STATUS_DELETED = 0, 1, 2
 CONTENT_DATA = 0
 
 
+def _kv_map(name: str, fid: int, key_id: int, value_id: int,
+            value_type: str) -> dict:
+    """The spec's map<int, …> stats fields as Avro key/value record
+    arrays (the array-with-logicalType-map encoding real manifests
+    use — Avro maps only take string keys)."""
+    return {
+        "name": name, "field-id": fid, "default": None,
+        "type": ["null", {
+            "type": "array", "logicalType": "map",
+            "items": {
+                "type": "record", "name": f"k{key_id}_v{value_id}",
+                "fields": [
+                    {"name": "key", "type": "int", "field-id": key_id},
+                    {"name": "value", "type": value_type,
+                     "field-id": value_id},
+                ],
+            },
+        }],
+    }
+
+
 def _manifest_entry_schema(partition_fields: list) -> dict:
     part_schema = {
         "type": "record", "name": "r102",
@@ -170,6 +203,12 @@ def _manifest_entry_schema(partition_fields: list) -> dict:
             {"name": "partition", "type": part_schema, "field-id": 102},
             _field("record_count", "long", 103),
             _field("file_size_in_bytes", "long", 104),
+            # per-column stats (spec field ids) — what file-level
+            # pruning and file-level MERGE granularity run on
+            _kv_map("value_counts", 109, 119, 120, "long"),
+            _kv_map("null_value_counts", 110, 121, 122, "long"),
+            _kv_map("lower_bounds", 125, 126, 127, "bytes"),
+            _kv_map("upper_bounds", 128, 129, 130, "bytes"),
         ],
     }
     return {
@@ -189,6 +228,45 @@ _PART_AVRO = {"long": "long", "int": "int", "string": "string",
 
 class CommitConflict(Exception):
     """Another writer published this metadata version first."""
+
+
+class ConcurrentRewrite(Exception):
+    """A replace/merge was computed against a live file set another
+    commit changed before publication; the staged rewrite is stale."""
+
+
+# Iceberg single-value binary serialization (spec Appendix D) for the
+# lower_bounds/upper_bounds maps. Types we don't serialize bounds for
+# (timestamps, decimals, nested) simply omit the entry — spec-legal,
+# pruning falls back to "cannot skip".
+_BOUND_PACK = {"int": "<i", "date": "<i", "long": "<q",
+               "float": "<f", "double": "<d"}
+
+
+def bound_to_bytes(value, iceberg_type: str) -> "bytes | None":
+    fmt = _BOUND_PACK.get(iceberg_type)
+    if fmt:
+        return _struct.pack(fmt, value)
+    if iceberg_type == "boolean":
+        return b"\x01" if value else b"\x00"
+    if iceberg_type == "string":
+        return str(value).encode("utf-8")
+    if iceberg_type == "binary":
+        return bytes(value)
+    return None
+
+
+def bound_from_bytes(raw: bytes, iceberg_type: str):
+    fmt = _BOUND_PACK.get(iceberg_type)
+    if fmt:
+        return _struct.unpack(fmt, raw)[0]
+    if iceberg_type == "boolean":
+        return raw != b"\x00"
+    if iceberg_type == "string":
+        return raw.decode("utf-8")
+    if iceberg_type == "binary":
+        return bytes(raw)
+    return None
 
 
 class IcebergMetadataBackend(SnapshotBackend):
@@ -287,11 +365,53 @@ class IcebergMetadataBackend(SnapshotBackend):
 
     # ------------------------------------------------ data staging
 
+    @staticmethod
+    def _column_stats(pq_meta) -> dict:
+        """Per-top-level-column stats from a parquet footer:
+        {name: {value_count, null_count, min, max}}. ``null_count``
+        is None when any chunk omitted it; min/max are None when any
+        chunk lacks usable bounds (the manifest then simply omits the
+        entry and pruning can't skip on that column — spec-legal)."""
+        stats: "dict[str, dict]" = {}
+        for rg in range(pq_meta.num_row_groups):
+            g = pq_meta.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if "." in name:  # nested — stats cover top level only
+                    continue
+                s = stats.setdefault(name, {
+                    "value_count": 0, "null_count": 0,
+                    "min": None, "max": None, "_bounds_ok": True,
+                })
+                s["value_count"] += g.num_rows
+                cs = col.statistics
+                if cs is None or not cs.has_null_count:
+                    s["null_count"] = None
+                elif s["null_count"] is not None:
+                    s["null_count"] += cs.null_count
+                if cs is None or not cs.has_min_max:
+                    # all-null chunks have no bounds but don't poison
+                    # the file bounds (no non-null value to cover)
+                    if not (cs is not None and cs.has_null_count
+                            and cs.null_count == g.num_rows):
+                        s["_bounds_ok"] = False
+                    continue
+                if s["min"] is None or cs.min < s["min"]:
+                    s["min"] = cs.min
+                if s["max"] is None or cs.max > s["max"]:
+                    s["max"] = cs.max
+        for s in stats.values():
+            if not s.pop("_bounds_ok"):
+                s["min"] = s["max"] = None
+        return stats
+
     def _stage_data_files(self, df: DataFrame, path: str,
                           partition_by) -> "list[dict]":
         """Write df via Spark into an immutable staging dir under
         data/, then describe every parquet file (path, rows, bytes,
-        partition tuple)."""
+        partition tuple, per-column footer stats — the min/max that
+        become manifest bounds)."""
         import pyarrow.parquet as pq
 
         token = _uuid.uuid4().hex[:12]
@@ -311,13 +431,58 @@ class IcebergMetadataBackend(SnapshotBackend):
                 if "=" in seg:
                     k, v = seg.split("=", 1)
                     part[k] = v
+            meta = pq.ParquetFile(p).metadata
+            if meta.num_rows == 0:
+                # empty task output — real Iceberg writers never
+                # commit 0-row data files (and they carry no bounds,
+                # which would defeat pruning)
+                os.remove(p)
+                continue
             files.append({
                 "file_path": os.path.abspath(p),
-                "record_count": pq.ParquetFile(p).metadata.num_rows,
+                "record_count": meta.num_rows,
                 "file_size_in_bytes": os.path.getsize(p),
                 "partition": part,
+                "stats": self._column_stats(meta),
             })
         return files
+
+    @staticmethod
+    def _top_level_fields(md: dict) -> "dict[str, tuple[int, str]]":
+        """{column name: (iceberg field id, primitive type)} for the
+        current schema's top-level primitive columns — the columns
+        stats maps are keyed on."""
+        cur = md["schemas"][md["current-schema-id"]]
+        return {f["name"]: (f["id"], f["type"]) for f in cur["fields"]
+                if isinstance(f["type"], str)}
+
+    @staticmethod
+    def _stats_maps(stats: "dict | None",
+                    fields: "dict[str, tuple[int, str]]") -> dict:
+        """Footer stats → the four spec stats maps (key/value record
+        lists keyed by field id); absent stats yield None fields."""
+        if not stats:
+            return {"value_counts": None, "null_value_counts": None,
+                    "lower_bounds": None, "upper_bounds": None}
+        vc, nc, lb, ub = [], [], [], []
+        for name in sorted(stats):
+            if name not in fields:
+                continue
+            fid, typ = fields[name]
+            st = stats[name]
+            vc.append({"key": fid, "value": st["value_count"]})
+            if st["null_count"] is not None:
+                nc.append({"key": fid, "value": st["null_count"]})
+            lo = (bound_to_bytes(st["min"], typ)
+                  if st["min"] is not None else None)
+            hi = (bound_to_bytes(st["max"], typ)
+                  if st["max"] is not None else None)
+            if lo is not None and hi is not None:
+                lb.append({"key": fid, "value": lo})
+                ub.append({"key": fid, "value": hi})
+        return {"value_counts": vc or None,
+                "null_value_counts": nc or None,
+                "lower_bounds": lb or None, "upper_bounds": ub or None}
 
     def _partition_avro_fields(self, md: dict) -> list:
         spec = md["partition-specs"][md["default-spec-id"]]["fields"]
@@ -354,6 +519,7 @@ class IcebergMetadataBackend(SnapshotBackend):
         part_fields = self._partition_avro_fields(md)
         entry_schema = _manifest_entry_schema(part_fields)
         spec_cols = [f["name"] for f in part_fields]
+        top_fields = self._top_level_fields(md)
         entries = []
         for prev in carry_entries or []:
             entries.append({**prev, "status": STATUS_EXISTING})
@@ -383,6 +549,7 @@ class IcebergMetadataBackend(SnapshotBackend):
                     "partition": part_rec,
                     "record_count": fdesc["record_count"],
                     "file_size_in_bytes": fdesc["file_size_in_bytes"],
+                    **self._stats_maps(fdesc.get("stats"), top_fields),
                 },
             })
         manifest_path = os.path.join(meta, f"{commit_uuid}-m0.avro")
@@ -642,65 +809,239 @@ class IcebergMetadataBackend(SnapshotBackend):
         md = self.current_metadata(path)
         return md is not None and md["current-snapshot-id"] != -1
 
+    # ------------------------------------------------ pruned scans
+
+    def _entry_bounds(self, e: dict, name: str,
+                      fields: "dict[str, tuple[int, str]]"):
+        """(lo, hi) for column ``name`` in a manifest entry, or
+        (None, None) when unknowable. Identity-partition values are
+        exact (lo == hi); otherwise the column's manifest bounds."""
+        df_ = e["data_file"]
+        part = df_.get("partition") or {}
+        if name in part and part[name] is not None:
+            return part[name], part[name]
+        if name not in fields:
+            return None, None
+        fid, typ = fields[name]
+        lbs = {kv["key"]: kv["value"]
+               for kv in df_.get("lower_bounds") or []}
+        ubs = {kv["key"]: kv["value"]
+               for kv in df_.get("upper_bounds") or []}
+        if fid in lbs and fid in ubs:
+            return (bound_from_bytes(lbs[fid], typ),
+                    bound_from_bytes(ubs[fid], typ))
+        return None, None
+
+    @staticmethod
+    def _bounds_exclude(lo, hi, op: str, v) -> bool:
+        """True iff [lo, hi] proves no row in the file satisfies
+        ``col <op> v`` (nulls never satisfy a comparison, so
+        bounds-only logic is sound even with nulls present)."""
+        if lo is None or hi is None:
+            return False
+        if op == "=":
+            return v < lo or v > hi
+        if op == "<":
+            return lo >= v
+        if op == "<=":
+            return lo > v
+        if op == ">":
+            return hi <= v
+        if op == ">=":
+            return hi < v
+        raise ValueError(f"unsupported op {op!r}")
+
+    def plan_scan(self, path: str, filters=None,
+                  snapshot_id: "int | None" = None):
+        """File-level pruning: split the live file set into (kept,
+        skipped) manifest entries using column bounds and identity
+        partition values — the ScanTable min/max-interval idea
+        (reference src/par_scan.rs:60-85) at catalog granularity.
+        ``filters`` is a list of (column, op, literal) with op in
+        = < <= > >=; a file is skipped only when its bounds PROVE
+        emptiness, so missing stats never lose rows."""
+        md = self.current_metadata(path)
+        if md is None:
+            raise FileNotFoundError(path)
+        entries = self._live_entries(md, snapshot_id)
+        fields = self._top_level_fields(md)
+        kept, skipped = [], []
+        for e in entries:
+            skip = any(
+                self._bounds_exclude(
+                    *self._entry_bounds(e, col, fields), op, v)
+                for col, op, v in (filters or []))
+            (skipped if skip else kept).append(e)
+        return kept, skipped
+
+    def read_where(self, spark: SparkSession, path: str,
+                   filters) -> DataFrame:
+        """Stats-pruned read: open only files whose bounds may match,
+        then apply the residual row filter. At 100 TB this is the
+        difference between a full-table scan and touching the handful
+        of files a key-range query needs."""
+        md = self.current_metadata(path)
+        kept, _ = self.plan_scan(path, filters)
+        df = self._read_files(
+            spark, md, [e["data_file"]["file_path"] for e in kept])
+        for col, op, v in filters or []:
+            c = F.col(col)
+            df = df.filter({"=": c == v, "<": c < v, "<=": c <= v,
+                            ">": c > v, ">=": c >= v}[op])
+        return df
+
+    # ------------------------------------------------ MERGE
+
+    #: above this many distinct delete keys the merge intersects file
+    #: bounds against the keys' [min, max] range instead of collecting
+    #: the key set to the driver (changesets are metadata-sized; this
+    #: is the same explicit-threshold pattern as dedup.py's
+    #: driver-union-find gate)
+    MERGE_EXACT_KEYS_MAX = 100_000
+
     def merge_overwrite(self, spark, path, delete_keys, insert_rows,
                         key: str = "id") -> DataFrame:
-        """MERGE as a copy-on-write overwrite commit: reads snapshot N,
-        publishes N+1; readers of N are never disturbed."""
-        target = self.read(spark, path)
-        merged = target.join(
-            delete_keys.select(key), key, "left_anti"
-        ).unionByName(insert_rows.select(*target.columns))
-        self.commit(merged, path)
-        return self.read(spark, path)
+        """MERGE as a FILE-LEVEL copy-on-write commit: only files whose
+        ``key`` bounds intersect the delete-key set are rewritten; all
+        other live files carry over as EXISTING entries with their
+        paths (and bytes) untouched. Readers of snapshot N are never
+        disturbed; the commit revalidates against fresh metadata on
+        version conflicts and re-derives the rewrite, so a racing
+        append is never silently dropped (the RewriteFiles validation
+        real Iceberg does)."""
+        dk = delete_keys.select(key).distinct().localCheckpoint()
+        n_keys = dk.count()
+        keyset = None
+        kmin = kmax = None
+        if 0 < n_keys <= self.MERGE_EXACT_KEYS_MAX:
+            keyset = sorted(r[0] for r in dk.collect())
+            kmin, kmax = keyset[0], keyset[-1]
+        elif n_keys:
+            row = dk.agg(F.min(key), F.max(key)).first()
+            kmin, kmax = row[0], row[1]
+
+        import bisect
+
+        def intersects(lo, hi):
+            if n_keys == 0:
+                return False
+            if lo is None or hi is None:
+                return True  # no stats → must assume overlap
+            if hi < kmin or lo > kmax:
+                return False
+            if keyset is None:
+                return True  # range mode: overlap is decisive
+            i = bisect.bisect_left(keyset, lo)
+            return i < len(keyset) and keyset[i] <= hi
+
+        for _attempt in range(self.max_retries):
+            md = self.current_metadata(path)
+            if md is None or md["current-snapshot-id"] == -1:
+                raise FileNotFoundError(f"no committed snapshot at {path}")
+            fields = self._top_level_fields(md)
+            if key not in fields:
+                raise ValueError(f"merge key {key!r} not a top-level "
+                                 "primitive column")
+            entries = self._live_entries(md)
+            touched, untouched = [], []
+            for e in entries:
+                lo, hi = self._entry_bounds(e, key, fields)
+                (touched if intersects(lo, hi) else untouched).append(e)
+            schema = T.StructType.fromJson(
+                json.loads(md["properties"]["spark.schema"]))
+            cols = [f.name for f in schema.fields]
+            survivors = None
+            if touched:
+                survivors = self._read_files(
+                    spark, md,
+                    [e["data_file"]["file_path"] for e in touched]
+                ).join(dk, key, "left_anti")
+            new_df = insert_rows.select(*cols)
+            if survivors is not None:
+                new_df = survivors.select(*cols).unionByName(new_df)
+            spec = md["partition-specs"][md["default-spec-id"]]["fields"]
+            partition_by = [f["name"] for f in spec] or None
+            staged = self._stage_data_files(new_df, path, partition_by)
+            md2 = self._write_snapshot(
+                path, md, staged, "overwrite",
+                carry_entries=untouched, deleted_entries=touched,
+                extra_summary={
+                    "rewritten-data-files": str(len(touched)),
+                    "carried-data-files": str(len(untouched)),
+                })
+            try:
+                self._publish(path, md2)
+                return self.read(spark, path)
+            except CommitConflict:
+                # a racer won the version: the rewrite above was
+                # computed against stale metadata — loop re-reads,
+                # re-splits, and re-stages against the fresh live set
+                # (staged files of the lost attempt are unreferenced
+                # orphans; expire_snapshots prunes empty staging dirs)
+                continue
+        raise CommitConflict(
+            f"merge lost {self.max_retries} races at {path}")
 
     # ------------------------------------------------ maintenance
 
     def expire_snapshots(self, path: str, keep: int = 1) -> int:
-        """Drop all but the newest ``keep`` snapshots from metadata and
-        delete data/manifest files only they referenced. Publishing the
-        trimmed metadata is itself a version commit."""
-        md = self.current_metadata(path)
-        if md is None:
-            return 0
-        snaps = md["snapshots"]
-        if len(snaps) <= keep:
-            return 0
-        keep_snaps = snaps[-keep:]
-        if not any(s["snapshot-id"] == md["current-snapshot-id"]
-                   for s in keep_snaps):
-            raise ValueError("refusing to expire the current snapshot")
-        victims = snaps[:-keep]
-        keep_files = set()
-        for s in keep_snaps:
-            keep_files.update(self._live_files(md, s["snapshot-id"]))
-        removed = 0
-        for s in victims:
-            _, manifests = avro.read_ocf(s["manifest-list"])
-            for m in manifests:
-                _, entries = avro.read_ocf(m["manifest_path"])
-                for e in entries:
-                    fp = e["data_file"]["file_path"]
-                    if fp not in keep_files and os.path.exists(fp):
-                        os.remove(fp)
-                if os.path.exists(m["manifest_path"]):
-                    os.remove(m["manifest_path"])
-            os.remove(s["manifest-list"])
-            removed += 1
-        keep_ids = {s["snapshot-id"] for s in keep_snaps}
-        md = dict(md)
-        md["snapshots"] = keep_snaps
-        md["snapshot-log"] = [
-            e for e in md["snapshot-log"] if e["snapshot-id"] in keep_ids
-        ]
-        self._publish(path, md)
-        # prune now-empty staging dirs
-        for d in glob.glob(os.path.join(path, "data", "*")):
-            if os.path.isdir(d) and not any(
-                glob.glob(os.path.join(d, "**", "*.parquet"),
-                          recursive=True)
-            ):
-                shutil.rmtree(d)
-        return removed
+        """Drop all but the newest ``keep`` snapshots. Ordering is the
+        real HadoopTableOperations one: the trimmed metadata is
+        PUBLISHED FIRST (with the same conflict-retry loop as
+        commit/append), and only once it is durably the current
+        version are the now-unreachable data/manifest files deleted —
+        a crash or lost race between the two steps leaves only
+        harmless orphans, never current metadata pointing at deleted
+        files."""
+        for _attempt in range(self.max_retries):
+            md = self.current_metadata(path)
+            if md is None:
+                return 0
+            snaps = md["snapshots"]
+            if len(snaps) <= keep:
+                return 0
+            keep_snaps = snaps[-keep:]
+            if not any(s["snapshot-id"] == md["current-snapshot-id"]
+                       for s in keep_snaps):
+                raise ValueError("refusing to expire the current snapshot")
+            victims = snaps[:-keep]
+            keep_files = set()
+            for s in keep_snaps:
+                keep_files.update(self._live_files(md, s["snapshot-id"]))
+            keep_ids = {s["snapshot-id"] for s in keep_snaps}
+            md2 = dict(md)
+            md2["snapshots"] = keep_snaps
+            md2["snapshot-log"] = [
+                e for e in md2["snapshot-log"]
+                if e["snapshot-id"] in keep_ids
+            ]
+            try:
+                self._publish(path, md2)
+            except CommitConflict:
+                continue  # recompute victims against fresh metadata
+            # metadata is current — GC the unreachable files
+            for s in victims:
+                _, manifests = avro.read_ocf(s["manifest-list"])
+                for m in manifests:
+                    _, entries = avro.read_ocf(m["manifest_path"])
+                    for e in entries:
+                        fp = e["data_file"]["file_path"]
+                        if fp not in keep_files and os.path.exists(fp):
+                            os.remove(fp)
+                    if os.path.exists(m["manifest_path"]):
+                        os.remove(m["manifest_path"])
+                if os.path.exists(s["manifest-list"]):
+                    os.remove(s["manifest-list"])
+            # prune now-empty staging dirs
+            for d in glob.glob(os.path.join(path, "data", "*")):
+                if os.path.isdir(d) and not any(
+                    glob.glob(os.path.join(d, "**", "*.parquet"),
+                              recursive=True)
+                ):
+                    shutil.rmtree(d)
+            return len(victims)
+        raise CommitConflict(
+            f"expire lost {self.max_retries} races at {path}")
 
     def compact_data_files(self, path: str, spark: SparkSession,
                            target_file_size_bytes: int = 128 << 20) -> dict:
@@ -725,10 +1066,19 @@ class IcebergMetadataBackend(SnapshotBackend):
         if not partition_by:
             df = df.repartition(int(n_out))
         staged = self._stage_data_files(df, path, partition_by)
+        compacted = set(files)
         for _attempt in range(self.max_retries):
             md = self.current_metadata(path)
+            live_now = self._live_entries(md)
+            if {e["data_file"]["file_path"] for e in live_now} != compacted:
+                # RewriteFiles validation: a concurrent commit changed
+                # the live set after we read it — publishing the staged
+                # replacement would silently drop the racer's rows
+                raise ConcurrentRewrite(
+                    "live file set changed during compaction; "
+                    "staged rewrite is stale — rerun compaction")
             md2 = self._write_snapshot(path, md, staged, "replace",
-                                       deleted_entries=self._live_entries(md))
+                                       deleted_entries=live_now)
             try:
                 self._publish(path, md2)
                 return {"rewritten_files": len(files),

@@ -429,11 +429,15 @@ class TestChangelog:
         add, rem = b.changes_between(spark, path, s1, s2)
         assert {r.id for r in add.collect()} == {3}
         assert rem.count() == 0
-        # window s2 -> s3 (the merge): copy-on-write file granularity —
-        # the rewrite adds the merged content, removes the old files
+        # window s2 -> s3 (the merge): FILE-level copy-on-write — only
+        # files whose key bounds intersect the delete key {1} are
+        # rewritten. The id-3 file (bounds [3,3]) must be untouched;
+        # id 2 appears only if it shared a file with id 1.
         add, rem = b.changes_between(spark, path, s2, s3)
-        assert {r.id for r in add.collect()} == {2, 3, 4}
-        assert {r.id for r in rem.collect()} == {1, 2, 3}
+        rem_ids = {r.id for r in rem.collect()}
+        add_ids = {r.id for r in add.collect()}
+        assert 1 in rem_ids and 3 not in rem_ids
+        assert add_ids == (rem_ids - {1}) | {4}
         # full history nets to the live table
         add, rem = b.changes_between(spark, path, None, s3)
         assert {r.id for r in add.collect()} == {2, 3, 4}
@@ -474,3 +478,213 @@ if HAVE_HYPOTHESIS:
             avro.write_ocf(p, _REC_SCHEMA, recs)
             schema, got = avro.read_ocf(p)
             assert schema == _REC_SCHEMA and got == recs
+
+
+def _ranged(spark, n=1000, buckets=8):
+    """n rows in ``buckets`` files with DISJOINT key ranges — the
+    layout stats pruning and file-level MERGE are designed for."""
+    from pyspark.sql import functions as F
+    return (spark.range(0, n).withColumnRenamed("id", "k")
+            .withColumn("s", F.format_string("s%04d", F.col("k")))
+            .repartitionByRange(buckets, "k"))
+
+
+class TestColumnStats:
+    """Round 7: manifest column stats (spec ids 109/110/125/128) and
+    the reads/merges they make file-level."""
+
+    def test_manifest_entries_carry_stats(self, spark, tmp_path):
+        b = IcebergMetadataBackend()
+        path = str(tmp_path / "tbl")
+        b.commit(_ranged(spark, 100, 4), path)
+        md = b.current_metadata(path)
+        fields = b._top_level_fields(md)
+        kid, _ = fields["k"]
+        entries = b._live_entries(md)
+        assert entries
+        los, his = [], []
+        for e in entries:
+            d = e["data_file"]
+            vc = {kv["key"]: kv["value"] for kv in d["value_counts"]}
+            nc = {kv["key"]: kv["value"] for kv in d["null_value_counts"]}
+            assert vc[kid] == d["record_count"]
+            assert nc[kid] == 0
+            lo, hi = b._entry_bounds(e, "k", fields)
+            assert lo is not None and lo <= hi
+            los.append(lo)
+            his.append(hi)
+        assert min(los) == 0 and max(his) == 99
+        # string bounds round-trip through the binary serialization
+        slo, shi = b._entry_bounds(entries[0], "s", fields)
+        assert isinstance(slo, str) and slo.startswith("s") and slo <= shi
+
+    def test_null_counts_recorded(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        b = IcebergMetadataBackend()
+        path = str(tmp_path / "tbl")
+        df = spark.range(0, 10).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 2 == 0, F.col("id")).alias("maybe"),
+        ).coalesce(1)
+        b.commit(df, path)
+        md = b.current_metadata(path)
+        fields = b._top_level_fields(md)
+        mid, _ = fields["maybe"]
+        (entry,) = b._live_entries(md)
+        nc = {kv["key"]: kv["value"]
+              for kv in entry["data_file"]["null_value_counts"]}
+        assert nc[mid] == 5
+        lo, hi = b._entry_bounds(entry, "maybe", fields)
+        assert (lo, hi) == (0, 8)  # bounds ignore nulls
+
+    def test_read_where_prunes_files(self, spark, tmp_path):
+        b = IcebergMetadataBackend()
+        path = str(tmp_path / "tbl")
+        b.commit(_ranged(spark, 1000, 8), path)
+        n_files = len(b._live_entries(b.current_metadata(path)))
+        assert n_files >= 4
+        kept, skipped = b.plan_scan(path, [("k", ">=", 900)])
+        assert skipped and len(kept) < n_files
+        got = b.read_where(spark, path, [("k", ">=", 900)])
+        assert got.count() == 100
+        assert got.agg({"k": "min"}).first()[0] == 900
+        # point lookup keeps a single file
+        kept, skipped = b.plan_scan(path, [("k", "=", 5)])
+        assert len(kept) == 1 and len(skipped) == n_files - 1
+        assert b.read_where(spark, path, [("k", "=", 5)]).count() == 1
+        # contradiction prunes everything but still returns a frame
+        kept, _ = b.plan_scan(path, [("k", "<", 0)])
+        assert not kept
+        assert b.read_where(spark, path, [("k", "<", 0)]).count() == 0
+
+    def test_string_bounds_prune(self, spark, tmp_path):
+        b = IcebergMetadataBackend()
+        path = str(tmp_path / "tbl")
+        b.commit(_ranged(spark, 400, 4), path)
+        kept, skipped = b.plan_scan(path, [("s", ">=", "s0350")])
+        assert skipped
+        assert b.read_where(
+            spark, path, [("s", ">=", "s0350")]).count() == 50
+
+
+class TestFileLevelMerge:
+    def test_nonintersecting_files_byte_identical(self, spark, tmp_path):
+        import hashlib
+
+        b = IcebergMetadataBackend()
+        path = str(tmp_path / "tbl")
+        b.commit(_ranged(spark, 1000, 8), path)
+        before = {
+            e["data_file"]["file_path"]
+            for e in b._live_entries(b.current_metadata(path))
+        }
+        digest = {p: hashlib.md5(open(p, "rb").read()).hexdigest()
+                  for p in before}
+        dk = spark.createDataFrame([(10,), (20,)], "k long")
+        ins = spark.createDataFrame([(5000, "s5000")], "k long, s string")
+        out = b.merge_overwrite(spark, path, dk, ins, key="k")
+        assert out.count() == 999  # 1000 - 2 + 1
+        md = b.current_metadata(path)
+        after = {e["data_file"]["file_path"]: e
+                 for e in b._live_entries(md)}
+        carried = before & set(after)
+        rewritten = before - set(after)
+        # 10 and 20 share one range file → exactly one file rewritten
+        assert len(rewritten) == 1
+        assert md["snapshots"][-1]["summary"]["rewritten-data-files"] == "1"
+        for p in carried:  # untouched files: same path, same bytes
+            assert hashlib.md5(
+                open(p, "rb").read()).hexdigest() == digest[p]
+
+    def test_range_mode_above_key_gate(self, spark, tmp_path):
+        class TinyGate(IcebergMetadataBackend):
+            MERGE_EXACT_KEYS_MAX = 1
+        b = TinyGate()
+        path = str(tmp_path / "tbl")
+        b.commit(_ranged(spark, 1000, 8), path)
+        dk = spark.createDataFrame([(10,), (990,)], "k long")
+        ins = spark.createDataFrame([], "k long, s string")
+        out = b.merge_overwrite(spark, path, dk, ins, key="k")
+        # range mode rewrites every file overlapping [10, 990] —
+        # conservative but never loses rows
+        assert out.count() == 998
+        assert {r.k for r in out.filter("k in (10, 990)").collect()} == set()
+
+    def test_merge_revalidates_after_lost_race(self, spark, tmp_path):
+        outer_spark = spark
+
+        class RaceOnce(IcebergMetadataBackend):
+            raced = False
+
+            def _publish(self, path, md):
+                if not RaceOnce.raced:
+                    RaceOnce.raced = True
+                    IcebergMetadataBackend().append(
+                        _df(outer_spark, [(777, "racer")])
+                        .withColumnRenamed("id", "k")
+                        .withColumnRenamed("v", "s"), path)
+                    raise CommitConflict("lost the version race")
+                return super()._publish(path, md)
+
+        b = RaceOnce()
+        path = str(tmp_path / "tbl")
+        IcebergMetadataBackend().commit(_ranged(spark, 100, 4), path)
+        dk = spark.createDataFrame([(10,)], "k long")
+        ins = spark.createDataFrame([(5000, "s5000")], "k long, s string")
+        out = b.merge_overwrite(spark, path, dk, ins, key="k")
+        got = {r.k for r in out.collect()}
+        # the racer's append happened between our read and publish —
+        # the retry must re-derive and keep its row
+        assert 777 in got and 5000 in got and 10 not in got
+        assert len(got) == 100 - 1 + 1 + 1
+
+
+class TestMaintenanceOrdering:
+    def test_expire_publishes_before_gc(self, spark, tmp_path):
+        class StuckPublish(IcebergMetadataBackend):
+            def _publish(self, path, md):
+                raise CommitConflict("always")
+
+        base = IcebergMetadataBackend()
+        path = str(tmp_path / "tbl")
+        base.commit(_df(spark, [(1, "a")]), path)
+        base.commit(_df(spark, [(2, "b")]), path)
+        md = base.current_metadata(path)
+        all_files = []
+        for s in md["snapshots"]:
+            _, manifests = avro.read_ocf(s["manifest-list"])
+            all_files.append(s["manifest-list"])
+            for m in manifests:
+                all_files.append(m["manifest_path"])
+                _, entries = avro.read_ocf(m["manifest_path"])
+                all_files += [e["data_file"]["file_path"] for e in entries]
+        with pytest.raises(CommitConflict):
+            StuckPublish(max_retries=2).expire_snapshots(path, keep=1)
+        # publication never succeeded → NOTHING may have been deleted
+        for p in all_files:
+            assert os.path.exists(p), p
+        assert {r.id for r in base.read(spark, path).collect()} == {2}
+
+    def test_compact_aborts_when_live_set_changes(self, spark, tmp_path):
+        from ingest_spark.plans.iceberg import ConcurrentRewrite
+        outer_spark = spark
+
+        class RacedCompact(IcebergMetadataBackend):
+            def _publish(self, path, md):
+                # a concurrent append lands JUST before our publish
+                IcebergMetadataBackend().append(
+                    _df(outer_spark, [(777, "racer")]), path)
+                raise CommitConflict("lost")
+
+        base = IcebergMetadataBackend()
+        path = str(tmp_path / "tbl")
+        base.commit(
+            spark.createDataFrame(
+                [(i, "x") for i in range(8)], "id long, v string"
+            ).repartition(8), path)
+        with pytest.raises(ConcurrentRewrite):
+            RacedCompact().compact_data_files(
+                path, spark, target_file_size_bytes=1 << 30)
+        # the racer's row survived; nothing was replaced
+        got = {r.id for r in base.read(spark, path).collect()}
+        assert got == set(range(8)) | {777}
