@@ -38,7 +38,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
-    LongType, StringType, StructField, StructType,
+    DoubleType, LongType, StringType, StructField, StructType,
 )
 
 from ingest_spark.functions import htmltext as _htmltext
@@ -339,7 +339,8 @@ def cocitation(edges: DataFrame, min_cocite: int = 2,
     )
 
 
-def anchor_terms(links: DataFrame, top_k: int = 5) -> DataFrame:
+def anchor_terms(links: DataFrame, top_k: int = 5,
+                 max_terms_per_host: int = 1_000_000) -> DataFrame:
     """Per destination host: the ``top_k`` most frequent anchor-text
     terms pointing AT it — the classic anchor-text signal (how the
     web describes a host, a standard search/quality feature). Rows:
@@ -352,10 +353,15 @@ def anchor_terms(links: DataFrame, top_k: int = 5) -> DataFrame:
     explode); the (dst_host, term) groupBy map-side-combines, so the
     shuffle carries distinct pairs, not raw tokens. The top-k
     row_number window shuffles once on dst_host — bounded because
-    its input is already per-(host, term) aggregated; a hot host with
-    millions of DISTINCT terms sorts within one partition, the
-    standard windowed-top-k trade (cap vocabulary upstream if a
-    corpus ever exhibits that)."""
+    its input is already per-(host, term) aggregated AND capped:
+    hosts whose distinct-term vocabulary exceeds
+    ``max_terms_per_host`` are dropped before the window (same
+    guard-ladder discipline as `cocitation`'s ``max_out`` — a
+    spam-bombed host with tens of millions of distinct anchor terms
+    would otherwise sort inside ONE window partition, and its top-k
+    is pure noise anyway). The degree prefilter is one aggregate +
+    semi-join; the cap is a documented, queryable knob, not a silent
+    truncation — results are identical for every under-cap host."""
     from pyspark.sql.window import Window
     terms = (
         links.select(
@@ -369,6 +375,10 @@ def anchor_terms(links: DataFrame, top_k: int = 5) -> DataFrame:
     )
     counts = terms.groupBy("dst_host", "term").agg(
         F.count("*").alias("n"))
+    vocab = counts.groupBy("dst_host").agg(F.count("*").alias("_nt"))
+    counts = counts.join(
+        vocab.filter(F.col("_nt") <= max_terms_per_host),
+        "dst_host", "left_semi")
     w = Window.partitionBy("dst_host").orderBy(F.desc("n"), F.asc("term"))
     return (counts.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= top_k))
@@ -451,6 +461,15 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
         .persist()
     )
     n = ids.count()  # scalar — pins the id assignment in the cache
+    if n == 0:
+        # empty graph is a legal input (hits() already handles it):
+        # an empty (host, pr) frame, not a ZeroDivisionError
+        ids.unpersist()
+        return spark.createDataFrame(
+            [], StructType([
+                StructField("host", StringType()),
+                StructField("pr", DoubleType()),
+            ]))
     outw = edges.groupBy("src_host").agg(F.sum("weight").alias("outw"))
     trans = (
         edges.join(outw, "src_host")

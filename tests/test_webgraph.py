@@ -176,6 +176,39 @@ class TestAnchorTerms:
                 want[(host, term)] = (-negn, rank)
         assert got == want
 
+    def test_vocab_cap_drops_hot_host_only(self, spark):
+        """A synthetic spam-bombed host whose distinct-term count
+        exceeds max_terms_per_host vanishes from the output (bounding
+        the window-partition input), while every under-cap host's
+        rows are IDENTICAL to the uncapped run."""
+        # host0 gets 50 distinct anchor terms; host1 gets 3
+        rows = (
+            [(f"https://src{i}.example.org/p", "https://hot.example.org/",
+              f"spam{i}") for i in range(50)]
+            + [(f"https://src{i}.example.org/p",
+                "https://cool.example.org/", f"t{i % 3}")
+               for i in range(12)]
+        )
+        links = spark.createDataFrame(
+            rows, "url string, link string, anchor string")
+        uncapped = wg.anchor_terms(links, top_k=3)
+        capped = wg.anchor_terms(links, top_k=3, max_terms_per_host=10)
+        hosts = {r["dst_host"] for r in capped.collect()}
+        assert "hot.example.org" not in hosts          # over cap: dropped
+        cool_cap = sorted(map(tuple, capped.filter(
+            "dst_host = 'cool.example.org'").collect()))
+        cool_un = sorted(map(tuple, uncapped.filter(
+            "dst_host = 'cool.example.org'").collect()))
+        assert cool_cap == cool_un and len(cool_cap) == 3
+
+    def test_default_cap_is_inert_on_corpus(self, spark):
+        pages = wg.synthetic_linked_pages(spark, 60, 7)
+        links = wg.extract_links(pages)
+        a = sorted(map(tuple, wg.anchor_terms(links, top_k=3).collect()))
+        b = sorted(map(tuple, wg.anchor_terms(
+            links, top_k=3, max_terms_per_host=10**9).collect()))
+        assert a == b
+
 
 class TestPagerank:
     def _numpy_pagerank(self, edges, iters, d=0.85):
@@ -240,6 +273,20 @@ class TestPagerank:
             [("a", "sink", 1), ("b", "sink", 1), ("a", "b", 1)], iters=2)
         for h in want:
             assert got[h] == pytest.approx(want[h], abs=1e-12)
+
+
+class TestPagerankEmptyGraph:
+    def test_empty_edges_yield_empty_frame(self, spark):
+        """ADVICE r6: pagerank on a legal-but-empty edge frame must
+        return an empty (host, pr) frame like hits() does, not raise
+        ZeroDivisionError."""
+        edges = spark.createDataFrame(
+            [], "src_host string, dst_host string, weight long")
+        out = wg.pagerank(edges, iters=2)
+        assert out.columns == ["host", "pr"]
+        assert out.count() == 0
+        out2 = wg.pagerank(edges, iters=2, dangling="redistribute")
+        assert out2.count() == 0
 
 
 class TestPagerankRedistribute:
