@@ -21,6 +21,8 @@ scalar coordinates ⇒ minx==maxx (Coord::Scalar), intervals otherwise.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
@@ -113,6 +115,32 @@ def way_is_area_col(tags_col: Column, refs_col: Column) -> Column:
 def relation_is_area_col(tags_col: Column, n_members_col: Column) -> Column:
     """F5 (reference src/lib.rs:325-326)."""
     return (n_members_col > 0) & tags_col.getItem("type").isin("multipolygon", "boundary")
+
+
+# fixed-column variants of the predicates above, memoized: Columns are
+# immutable unresolved trees, reusable across plans, and the F6 rule
+# chain alone costs ~0.1 s of py4j chatter per build (round-7 profile
+# — the pipeline re-plans per run and way_is_area_col dominated the
+# way branch's planning wall)
+
+@lru_cache(maxsize=None)
+def _way_area_col_cached() -> Column:
+    return way_is_area_col(F.col("tags"), F.col("refs"))
+
+
+@lru_cache(maxsize=None)
+def _rel_area_col_cached() -> Column:
+    return relation_is_area_col(F.col("tags"), F.size("members"))
+
+
+@lru_cache(maxsize=None)
+def _kv_exprs() -> "dict[str, Column]":
+    key = _first_priority_key(F.col("tags"))
+    return {
+        "_k": key,
+        "_v": F.element_at("tags", F.coalesce(key, F.lit("\u0000"))),
+        "_nm": F.element_at("tags", F.lit("name")),
+    }
 
 
 # ------------------------------------------------- E1-E3 (fused F1/F2)
@@ -337,16 +365,13 @@ def _kv_cols(df: DataFrame) -> DataFrame:
     """JVM-side half of F1: first priority key + its value + name, so
     the Arrow boundary carries 3 small strings instead of the tags map
     (map→dict materialization measured as the dominant UDF cost)."""
-    key = _first_priority_key(F.col("tags"))
     # ONE projection (withColumns), not a withColumn chain: every
     # chained withColumn re-analyzes the whole plan, and at small SF
     # the pipeline is driver-planning-bound (round-5 profile: ~2 s of
-    # the 4 s wall was inter-job Catalyst time)
-    return df.withColumns({
-        "_k": key,
-        "_v": F.element_at("tags", F.coalesce(key, F.lit("\u0000"))),
-        "_nm": F.element_at("tags", F.lit("name")),
-    })
+    # the 4 s wall was inter-job Catalyst time). The expression dict
+    # is memoized (unaliased Columns — no exprId concerns) and shared
+    # by all three branches.
+    return df.withColumns(_kv_exprs())
 
 
 def node_features(nodes: DataFrame, spark: SparkSession) -> DataFrame:
@@ -386,7 +411,7 @@ def way_features(ways: DataFrame, nodes: DataFrame, spark: SparkSession) -> Data
             # closure from the resolved sequence (assemble_ways), NOT
             # raw refs: an unresolved closing ref must not strip a
             # genuine last vertex before earcut
-            "way_id", way_is_area_col(F.col("tags"), F.col("refs")),
+            "way_id", _way_area_col_cached(),
             "resolved_closed",
             "xs", "ys", "_k", "_v", "_nm",
         ),
@@ -409,9 +434,7 @@ def relation_features(
 ) -> DataFrame:
     """Relation path (reference src/lib.rs:273-397): F5 area gate + F7
     member filter → two-hop assembly → F4 → fused classify/encode."""
-    rels = relations.where(
-        relation_is_area_col(F.col("tags"), F.size("members"))
-    )
+    rels = relations.where(_rel_area_col_cached())
     asm = assemble_relations(rels, ways, nodes)
     df = asm.where(F.col("n_nodes") >= 2)  # F4 (src/lib.rs:356)
     df = _kv_cols(df).withColumn(
