@@ -2145,37 +2145,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the tail so the 13 entries that have never had a driver row —
     # including the two flagship reference-fidelity queries
     # georender_features / georender_changeset — sit inside the window.
-    # round-6 ROTATION: the 16 rows tailed in round 5 come back inside
-    # the 50-entry window (fresh driver rows this round) and 16
-    # r5-driver-green stable rows rotate out; the union of consecutive
-    # rounds covers all 66 (tests/test_counts.py asserts the tails are
-    # disjoint round-over-round, and that the georender flagships and
-    # the current round's touched queries stay inside).
+    # round-7 ROTATION: the 34 rows tailed in round 6 come back inside
+    # the 50-entry window (fresh driver rows this round), joined by the
+    # new webtext_charset (never driver-rowed); 35 r6-driver-green
+    # stable rows rotate out.  The union of consecutive rounds covers
+    # all 85 (tests/test_counts.py asserts the tails are disjoint
+    # round-over-round, and that the georender flagships stay inside).
+    # Kept inside the window besides the comebacks: the flagships
+    # (georender_features/changeset — also cover the round-7 memoized
+    # assemble/features planners) and every r7-touched surface:
+    # iceberg_snapshots (manifest stats + file-level MERGE),
+    # pagerank_hosts/pagerank_dangling/hits_hosts (lazy-chained
+    # iteration, AQE-off loop), anchor_terms (vocab cap),
+    # webtext_extract/warc_records/geotag_cells (charset cascade +
+    # content_type schema + page_id fallback), url_canonical /
+    # host_graph_degrees / host_graph_delta / cocitation_pairs
+    # (webgraph module neighbors), mvt_points_tiles (byte-certified
+    # flagship of the tiling layer).
     tail = [
-        "a5_counts",  # r5-green; tailed to keep the window at 50 when
-                      # multimodal_compressed_decode (round 6) joined it
-        "s11_bbox_query",  # r5-green; tailed for iceberg_snapshots
-        "j3_semi_join",  # r5-green; tailed for multimodal_audio_codecs
-        "asof_join",  # r5-green; tailed for multimodal_mjpeg_decode
-        "pip_grid_join",  # r5-green; tailed for multimodal_flac_decode
-        "minhash_incremental",  # r5-green; tailed for warc_records
-        "embedding_cosine",  # r5-green; tailed for webtext_extract
-        "h3_rollup",  # r5-green; tailed for mvt_points_tiles
-        "subquery_in",  # r5-green; tailed for url_canonical
-        "sessionize",  # r5-green; tailed for host_graph_degrees
-        "event_windows",  # r5-green; tailed for pagerank_hosts
-        "tpch_q5ish",  # r5-green; tailed for geotag_cells
-        "simhash_dups",  # r5-green; tailed for tile_pyramid
-        "dup_components_distributed",  # r5-green; tailed for hits_hosts
-        "retile_incremental",  # r5-green; tailed for anchor_terms
-        "raster_tiles",  # r5-green; tailed for host_graph_delta
-        "vector_tiles",  # r5-green; tailed for cocitation_pairs
-        "multimodal_frames",  # r5-green; tailed for pagerank_dangling
-        "s1_scan_stats", "f2_filter_drop", "j4_order_preserving",
-        "j_anti_join", "a1_bbox_agg", "a6_rolling_rate",
-        "o3_grid_assign", "salt_hot_cells", "interval_join",
-        "tpch_q1", "tpch_q3_topk", "window_running_sum",
-        "set_ops", "rollup_agg", "having_filter", "pivot_case",
+        "s5_projected_scan", "f1_tag_classify", "j2_hash_join",
+        "j6_two_hop", "a7_distinct", "o5_sorted_topk",
+        "pip_polygon_join", "sample_det", "sample_per_group",
+        "sample_stratified", "knn_ring_expansion", "knn_h3_rings",
+        "h3_boundary_check", "tile_xyz", "cells_hex_s2", "dedup_exact",
+        "ngram_jaccard", "token_counts", "text_quality", "lang_id",
+        "fingerprint_md5", "fingerprint_rolling", "minhash_lsh",
+        "dup_components", "ann_topk", "ann_lsh_topk",
+        "multimodal_decode_shapes", "multimodal_decode_pixels",
+        "multimodal_audio_decode", "multimodal_video_decode",
+        "multimodal_compressed_decode", "multimodal_audio_codecs",
+        "multimodal_mjpeg_decode", "multimodal_flac_decode",
+        "tile_pyramid",
     ]
     assert all(t in q for t in tail)
     ordered = {k: v for k, v in q.items() if k not in tail}

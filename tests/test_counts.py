@@ -35,6 +35,26 @@ def test_documented_query_count_matches_contract():
             )
             if m.group(2):
                 assert int(m.group(2)) == n, (doc, m.group(0), n)
+        # round-6 VERDICT: "… query has one — N/N)" phrasings slipped
+        # the pattern above (the count FOLLOWS the word). Any N/N on a
+        # line that mentions queries is an oracle-twin claim and must
+        # equal the contract size.
+        for line in text.splitlines():
+            if not re.search(r"quer", line, re.IGNORECASE):
+                continue
+            for m in re.finditer(r"(\d+)/(\d+)", line):
+                a, b = int(m.group(1)), int(m.group(2))
+                if a == b:  # unequal pairs are fractions, not counts
+                    assert a == n, (
+                        f"{doc}: {m.group(0)!r} on a query-count line "
+                        f"but queries() has {n}")
+
+
+def test_oracle_twin_count_equals_contract():
+    """The '— N/N' claim in COVERAGE.md means every queries() entry
+    has a DuckDB oracle twin; derive it rather than trust it."""
+    q, osql = _queries()
+    assert len([k for k in q if k in osql]) == len(q)
 
 
 def test_no_exact_test_count_documented():
@@ -69,12 +89,18 @@ def test_driver_window_covers_flagship_queries():
 # then guarantees every query gets a driver row at least once per two
 # consecutive rounds (round-5 VERDICT item 6)
 PREVIOUS_ROUND_TAIL = {
-    "s5_projected_scan", "a7_distinct", "o5_sorted_topk",
-    "sample_det", "sample_per_group", "sample_stratified",
-    "token_counts", "text_quality", "lang_id",
-    "fingerprint_md5", "fingerprint_rolling",
-    "dedup_exact", "cells_hex_s2",
-    "f1_tag_classify", "j2_hash_join", "j6_two_hop",
+    # the round-6 tail (34 rows outside CORRECTNESS_r06's window)
+    "a5_counts", "s11_bbox_query", "j3_semi_join", "asof_join",
+    "pip_grid_join", "minhash_incremental", "embedding_cosine",
+    "h3_rollup", "subquery_in", "sessionize", "event_windows",
+    "tpch_q5ish", "simhash_dups", "dup_components_distributed",
+    "retile_incremental", "raster_tiles", "vector_tiles",
+    "multimodal_frames",
+    "s1_scan_stats", "f2_filter_drop", "j4_order_preserving",
+    "j_anti_join", "a1_bbox_agg", "a6_rolling_rate",
+    "o3_grid_assign", "salt_hot_cells", "interval_join",
+    "tpch_q1", "tpch_q3_topk", "window_running_sum",
+    "set_ops", "rollup_agg", "having_filter", "pivot_case",
 }
 
 
