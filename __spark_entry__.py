@@ -1555,6 +1555,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decode_compressed_stats(synthetic_compressed_media(spark, n=120))
     q["multimodal_compressed_decode"] = multimodal_compressed_decode
 
+    def multimodal_webp_decode(spark, sf):
+        # REAL WebP-lossless payloads (round 7): synthetic_webp_media
+        # emits spec-conformant VP8L streams rotating every decoder
+        # path — canonical/simple prefix codes, color cache, LZ77 with
+        # the 120-entry distance map, subtract-green, all 14 predictor
+        # modes, cross-color, color-indexing with sub-byte bundling,
+        # and VP8X-wrapped containers; decode_compressed_stats routes
+        # them by magic bytes and compares to the closed-form source.
+        # VP8L is lossless, so lossless_exact must be TRUE on every
+        # row — the oracle re-derives all facts in SQL and any
+        # bitstream bug flips a boolean and breaks the hash.
+        _ensure_shipped(spark)
+        from ingest_spark.operators.multimodal import (
+            decode_compressed_stats, synthetic_webp_media,
+        )
+        return decode_compressed_stats(synthetic_webp_media(spark, n=96))
+    q["multimodal_webp_decode"] = multimodal_webp_decode
+
     def multimodal_audio_codecs(spark, sf):
         # REAL compressed-audio codecs (round 6): synthetic_codec_audio
         # emits valid WAV payloads rotating G.711 mu-law / A-law
@@ -2147,10 +2165,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # georender_features / georender_changeset — sit inside the window.
     # round-7 ROTATION: the 34 rows tailed in round 6 come back inside
     # the 50-entry window (fresh driver rows this round), joined by the
-    # new webtext_charset (never driver-rowed); 35 r6-driver-green
-    # stable rows rotate out.  The union of consecutive rounds covers
-    # all 85 (tests/test_counts.py asserts the tails are disjoint
-    # round-over-round, and that the georender flagships stay inside).
+    # new webtext_charset and multimodal_webp_decode (never
+    # driver-rowed); 36 r6-driver-green stable rows rotate out.  The
+    # union of consecutive rounds covers all 86 (tests/test_counts.py
+    # asserts the tails are disjoint round-over-round, and that the
+    # georender flagships stay inside).
     # Kept inside the window besides the comebacks: the flagships
     # (georender_features/changeset — also cover the round-7 memoized
     # assemble/features planners) and every r7-touched surface:
@@ -2159,9 +2178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # iteration, AQE-off loop), anchor_terms (vocab cap),
     # webtext_extract/warc_records/geotag_cells (charset cascade +
     # content_type schema + page_id fallback), url_canonical /
-    # host_graph_degrees / host_graph_delta / cocitation_pairs
-    # (webgraph module neighbors), mvt_points_tiles (byte-certified
-    # flagship of the tiling layer).
+    # host_graph_degrees / host_graph_delta (webgraph module
+    # neighbors), mvt_points_tiles (byte-certified flagship of the
+    # tiling layer).
     tail = [
         "s5_projected_scan", "f1_tag_classify", "j2_hash_join",
         "j6_two_hop", "a7_distinct", "o5_sorted_topk",
@@ -2175,7 +2194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_decode", "multimodal_video_decode",
         "multimodal_compressed_decode", "multimodal_audio_codecs",
         "multimodal_mjpeg_decode", "multimodal_flac_decode",
-        "tile_pyramid",
+        "tile_pyramid", "cocitation_pairs",
     ]
     assert all(t in q for t in tail)
     ordered = {k: v for k, v in q.items() if k not in tail}
@@ -2671,6 +2690,18 @@ def oracle_sql() -> dict[str, str]:
                    (i % 3 <> 0) AS lossless_exact,
                    TRUE AS within_tol
             FROM (SELECT UNNEST(range(0, 120)) AS i)
+        """,
+        # closed-form twin of synthetic_webp_media: dims are direct
+        # formulas; VP8L is lossless so both verdicts are TRUE
+        "multimodal_webp_decode": """
+            SELECT i AS media_id,
+                   'webp' AS fmt,
+                   (9 + (i * 3) % 13)::INT AS height,
+                   (10 + i % 11)::INT AS width,
+                   ((9 + (i * 3) % 13) * (10 + i % 11) * 3)::INT AS n_px,
+                   TRUE AS lossless_exact,
+                   TRUE AS within_tol
+            FROM (SELECT UNNEST(range(0, 96)) AS i)
         """,
         # closed-form twin of synthetic_codec_audio: n_samples per
         # codec family; payload_bytes pins the exact RIFF layout —

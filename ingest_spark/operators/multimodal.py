@@ -98,6 +98,7 @@ except ImportError:
 
 from ingest_spark.functions import gif as _gif
 from ingest_spark.functions import jpeg as _jpeg
+from ingest_spark.functions import webp as _webp
 
 
 # --------------------------------------------------- pure-numpy codecs
@@ -679,6 +680,10 @@ def _decode_rgb(content: bytes, fake: bool, w: int, h: int) -> np.ndarray:
         return _jpeg.decode(content).astype(np.float32) / 255.0
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return _gif.decode(content).astype(np.float32) / 255.0
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        # lossless VP8L decodes natively; lossy VP8 raises inside
+        # (perceptual DSP — environmental, like MP3/H.264)
+        return _webp.decode(content).astype(np.float32) / 255.0
     if HAVE_PIL:  # pragma: no cover — PIL absent in this container
         import io
         return np.asarray(
@@ -688,8 +693,8 @@ def _decode_rgb(content: bytes, fake: bool, w: int, h: int) -> np.ndarray:
         return _fake_pixels(content, w, h)
     raise NotImplementedError(
         "unrecognized image format requires PIL (absent here); "
-        "BMP/PPM/PNG/JPEG/GIF decode natively — pass fake=True to "
-        "pseudo-decode other formats"
+        "BMP/PPM/PNG/JPEG/GIF/WebP-lossless decode natively — pass "
+        "fake=True to pseudo-decode other formats"
     )
 
 
@@ -951,6 +956,13 @@ def synthetic_compressed_pixels(media_id: int, fmt: str, w: int, h: int) -> np.n
         return np.stack([r, g, b], axis=2).astype(np.uint8)
     if fmt == "gif":
         return _GIF_PALETTE[(x + 3 * y + media_id) % 16]
+    if fmt == "webp":
+        # palette rows (media_id % 4 == 1) reuse the 16-color pattern
+        # so the color-indexing transform (with pixel bundling) is the
+        # natural encoding; other rows use the sawtooth
+        if media_id % 4 == 1:
+            return _GIF_PALETTE[(x + 3 * y + media_id) % 16]
+        return synthetic_pixels(media_id, w, h)
     return synthetic_pixels(media_id, w, h)
 
 
@@ -995,6 +1007,68 @@ def synthetic_compressed_media(spark: SparkSession, n: int = 120) -> DataFrame:
     payload = _payload(i, fmt, width, height)
     return df.select(
         "media_id", fmt.alias("fmt"), width.alias("width"),
+        height.alias("height"), payload.alias("content"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def synthetic_webp_media(spark: SparkSession, n: int = 96) -> DataFrame:
+    """Deterministic table of REAL lossless-WebP (VP8L) payloads.
+
+    Encoder config cycles by ``media_id % 4`` so every decoder path is
+    exercised by spec-conformant streams: 0 = subtract-green + color
+    cache + LZ77; 1 = color-indexing transform over the 16-color
+    pattern (sub-byte pixel bundling); 2 = fixed-mode predictor
+    transform (all 14 modes across the corpus) stacked on
+    subtract-green; 3 = cross-color transform + cache. Every fourth
+    config-3 row additionally wraps the stream in a VP8X extended
+    container (chunk-walk coverage). Dims are closed-form so the
+    `multimodal_webp_decode` oracle re-derives every fact in SQL;
+    VP8L is lossless, so `lossless_exact` must read TRUE on all rows
+    — any prefix-code, LZ77-distance-map, cache, bundling, predictor,
+    or cross-color bug flips it and breaks the driver hash."""
+    df = spark.range(0, n).withColumnRenamed("id", "media_id")
+    i = F.col("media_id")
+    width = (10 + i % 11).cast("int")
+    height = (9 + (i * 3) % 13).cast("int")
+
+    @F.pandas_udf(BinaryType())
+    def _payload(mid: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+        out = []
+        for m, ww, hh in zip(mid, w, h):
+            m, ww, hh = int(m), int(ww), int(hh)
+            px = synthetic_compressed_pixels(m, "webp", ww, hh)
+            cfg = m % 4
+            if cfg == 0:
+                data = _webp.encode(px, subtract_green=True,
+                                    cache_bits=6)
+            elif cfg == 1:
+                data = _webp.encode(px, palette=True)
+            elif cfg == 2:
+                data = _webp.encode(px, predictor_mode=(m // 4) % 14,
+                                    subtract_green=True)
+            else:
+                data = _webp.encode(
+                    px, cache_bits=4,
+                    color_transform=((m * 37) % 256, (m * 91) % 256,
+                                     (m * 53) % 256))
+                if (m // 4) % 4 == 3:
+                    # re-wrap in a VP8X extended container
+                    vp8l = data[12:]
+                    vp8x = struct.pack("<I", 0) \
+                        + struct.pack("<I", ww - 1)[:3] \
+                        + struct.pack("<I", hh - 1)[:3]
+                    body = b"WEBP" + b"VP8X" \
+                        + struct.pack("<I", len(vp8x)) + vp8x + vp8l
+                    data = b"RIFF" + struct.pack("<I", len(body)) + body
+            out.append(data)
+        return pd.Series(out)
+
+    from ingest_spark.operators.partitioning import spread_for_kernel
+    df = spread_for_kernel(df)
+    payload = _payload(i, width, height)
+    return df.select(
+        "media_id", F.lit("webp").alias("fmt"), width.alias("width"),
         height.alias("height"), payload.alias("content"),
         F.length(payload).cast("long").alias("n_bytes"),
     )
