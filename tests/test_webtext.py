@@ -404,14 +404,14 @@ class TestSimilarity:
 
 class TestMultimodal:
     def test_unknown_format_requires_lib_or_fake(self, spark):
-        """BMP/PPM/PNG/JPEG/GIF decode natively; unrecognized magic
-        (e.g. WebP) without PIL must raise rather than silently
-        produce wrong pixels."""
+        """BMP/PPM/PNG/JPEG/GIF/WebP-lossless decode natively;
+        unrecognized magic (e.g. AVIF) without PIL must raise rather
+        than silently produce wrong pixels."""
         if multimodal.HAVE_PIL:
             pytest.skip("PIL present: unknown formats decode for real")
-        webp = b"RIFF\x00\x01\x00\x00WEBP" + b"\x00" * 64
+        avif = b"\x00\x00\x00\x1cftypavif" + b"\x00" * 64
         media = spark.createDataFrame(
-            [(1, "image", webp, "image/webp", 16, 16, None, len(webp))],
+            [(1, "image", avif, "image/avif", 16, 16, None, len(avif))],
             multimodal.MEDIA_SCHEMA,
         )
         with pytest.raises(Exception, match="PIL"):
@@ -419,6 +419,31 @@ class TestMultimodal:
         # fake=True pseudo-decodes it instead
         rows = multimodal.decode_image(media, fake=True).collect()
         assert len(rows) == 1 and len(rows[0].pixels) == 16 * 16 * 3
+
+    def test_webp_routes_natively_and_corrupt_raises(self, spark):
+        """WebP now routes to the native VP8L decoder (round 7) —
+        valid payloads decode without PIL; a RIFF/WEBP container with
+        no VP8L chunk raises rather than pseudo-decoding, even with
+        fake=True (a recognized container that fails to parse is
+        corrupt data, not an unknown format)."""
+        from ingest_spark.functions import webp as webp_codec
+        import numpy as np
+        rgb = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+        good = webp_codec.encode(rgb, subtract_green=True)
+        media = spark.createDataFrame(
+            [(1, "image", good, "image/webp", 8, 8, None, len(good))],
+            multimodal.MEDIA_SCHEMA,
+        )
+        rows = multimodal.decode_image(media, fake=False).collect()
+        got = np.array(rows[0].pixels).reshape(8, 8, 3)
+        assert (np.round(got * 255).astype(np.uint8) == rgb).all()
+        bad = b"RIFF\x00\x01\x00\x00WEBP" + b"\x00" * 64
+        media_bad = spark.createDataFrame(
+            [(2, "image", bad, "image/webp", 16, 16, None, len(bad))],
+            multimodal.MEDIA_SCHEMA,
+        )
+        with pytest.raises(Exception, match="VP8L|truncated"):
+            multimodal.decode_image(media_bad, fake=True).collect()
 
     def test_png_codec_roundtrip_all_filters(self):
         import numpy as np
