@@ -565,8 +565,10 @@ def _inverse_predictor(img: np.ndarray, size_bits: int,
                 elif mode == 10:
                     pred = avg2(avg2(L, TL), avg2(T, TR))
                 elif mode == 11:
+                    # spec Select: pL = sum|T-TL| (= |p-L|), pT =
+                    # sum|L-TL| (= |p-T|); TIES return T, not L
                     p = L + T - TL
-                    pred = L if int(np.abs(p - L).sum()) <= \
+                    pred = L if int(np.abs(p - L).sum()) < \
                         int(np.abs(p - T).sum()) else T
                 elif mode == 12:
                     pred = np.clip(L + T - TL, 0, 255)
@@ -647,6 +649,11 @@ def decode(data: bytes) -> np.ndarray:
             raise NotImplementedError(
                 "lossy VP8 requires perceptual DSP (environmental, "
                 "like MP3/H.264) — only lossless VP8L decodes natively"
+            )
+        if fourcc in (b"ANIM", b"ANMF"):
+            raise NotImplementedError(
+                "animated WebP (ANIM/ANMF frames) is not decoded "
+                "natively — single-frame lossless VP8L only"
             )
         pos += 8 + size + (size & 1)  # chunks pad to even
     raise ValueError("no VP8L chunk in WebP container")
@@ -1031,7 +1038,7 @@ def _predictor_residuals(img: np.ndarray, size_bits: int,
                     pred = avg2(avg2(L, TL), avg2(T, TR))
                 elif m == 11:
                     p = L + T - TL
-                    pred = L if int(np.abs(p - L).sum()) <= \
+                    pred = L if int(np.abs(p - L).sum()) < \
                         int(np.abs(p - T).sum()) else T
                 elif m == 12:
                     pred = np.clip(L + T - TL, 0, 255)

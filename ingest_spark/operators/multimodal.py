@@ -681,9 +681,18 @@ def _decode_rgb(content: bytes, fake: bool, w: int, h: int) -> np.ndarray:
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return _gif.decode(content).astype(np.float32) / 255.0
     if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
-        # lossless VP8L decodes natively; lossy VP8 raises inside
-        # (perceptual DSP — environmental, like MP3/H.264)
-        return _webp.decode(content).astype(np.float32) / 255.0
+        # lossless VP8L decodes natively. Lossy VP8 / animated raise
+        # NotImplementedError inside (perceptual DSP — environmental,
+        # like MP3/H.264): with fake=True those fall through to the
+        # pseudo-decoder like any other unsupported codec family —
+        # but a CORRUPT container (ValueError) never does, the same
+        # recognized-but-broken rule as the other native formats.
+        try:
+            return _webp.decode(content).astype(np.float32) / 255.0
+        except NotImplementedError:
+            if fake:
+                return _fake_pixels(content, w, h)
+            raise
     if HAVE_PIL:  # pragma: no cover — PIL absent in this container
         import io
         return np.asarray(

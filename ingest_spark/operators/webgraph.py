@@ -33,6 +33,7 @@ into the page scan — no extra job, no Python worker).
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Iterator
 
 import pandas as pd
@@ -42,6 +43,10 @@ from pyspark.sql.types import (
 )
 
 from ingest_spark.functions import htmltext as _htmltext
+
+#: guards the session-wide AQE flip in `pagerank` (see its docstring)
+_AQE_LOCK = threading.RLock()
+_AQE_STATE = {"depth": 0, "prev": "true"}
 
 # --------------------------------------------- URL canonicalization
 
@@ -461,14 +466,27 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     # cores). Restored in `finally`; pagerank is fully eager (the
     # result is localCheckpoint'ed inside), so no lazy frame escapes
     # with the flipped conf.
+    # RuntimeConfig is SESSION-wide, not thread-scoped: serialize the
+    # flip under a reentrant guard so two concurrent pagerank calls
+    # cannot interleave save/restore and leave AQE permanently off
+    # (the second caller would otherwise save "false" as its
+    # "previous" value). Unrelated queries another thread runs during
+    # the loop still see AQE off — inherent to session configs; run
+    # them in a separate session if that matters.
     aqe_key = "spark.sql.adaptive.enabled"
-    aqe_prev = spark.conf.get(aqe_key)
-    spark.conf.set(aqe_key, "false")
+    with _AQE_LOCK:
+        _AQE_STATE["depth"] += 1
+        if _AQE_STATE["depth"] == 1:
+            _AQE_STATE["prev"] = spark.conf.get(aqe_key)
+            spark.conf.set(aqe_key, "false")
     try:
         return _pagerank_impl(edges, iters, damping, checkpoint_every,
                               partitions, dangling, spark)
     finally:
-        spark.conf.set(aqe_key, aqe_prev)
+        with _AQE_LOCK:
+            _AQE_STATE["depth"] -= 1
+            if _AQE_STATE["depth"] == 0:
+                spark.conf.set(aqe_key, _AQE_STATE["prev"])
 
 
 def _pagerank_impl(edges: DataFrame, iters: int, damping: float,

@@ -233,10 +233,16 @@ def page_id_of(url: str) -> int:
     MD5 surrogate instead of raising and killing the task."""
     tail = url.rsplit("/", 1)[-1]
     try:
-        return int(tail)
+        pid = int(tail)
+        # Python ints are unbounded but the page_id column is int64 —
+        # a >19-digit numeric tail (timestamp+id concatenations) must
+        # take the surrogate path, not overflow the Arrow conversion
+        if -(2 ** 63) <= pid < 2 ** 63:
+            return pid
     except ValueError:
-        h = hashlib.md5(url.encode("utf-8", "replace")).digest()
-        return int.from_bytes(h[:8], "big") >> 1
+        pass
+    h = hashlib.md5(url.encode("utf-8", "replace")).digest()
+    return int.from_bytes(h[:8], "big") >> 1
 
 
 def extract_webtext(records: DataFrame) -> DataFrame:

@@ -61,6 +61,7 @@ import shutil
 import struct as _struct
 import time
 import uuid as _uuid
+from urllib.parse import unquote as _unquote
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
@@ -430,7 +431,12 @@ class IcebergMetadataBackend(SnapshotBackend):
             for seg in rel.split(os.sep)[:-1]:
                 if "=" in seg:
                     k, v = seg.split("=", 1)
-                    part[k] = v
+                    # Spark writes Hive-escaped dir names (':' →
+                    # '%3A' …) and a sentinel for nulls; store the
+                    # TRUE value or None, or every bounds comparison
+                    # against the real value silently mis-prunes
+                    part[k] = (None if v == "__HIVE_DEFAULT_PARTITION__"
+                               else _unquote(v))
             meta = pq.ParquetFile(p).metadata
             if meta.num_rows == 0:
                 # empty task output — real Iceberg writers never
@@ -769,14 +775,33 @@ class IcebergMetadataBackend(SnapshotBackend):
         if spec:
             # partition columns live in the dir names: basePath makes
             # Spark re-derive them, then we normalize dtypes from the
-            # stored schema (partition-dir inference widens types)
-            base = os.path.commonpath(
-                [os.path.dirname(os.path.dirname(f)) for f in files]
-            )
-            df = reader.option("basePath", base).parquet(*files)
-            return df.select(
-                *[F.col(f.name).cast(f.dataType) for f in schema.fields]
-            )
+            # stored schema (partition-dir inference widens types).
+            # Live files span one staging dir PER COMMIT (append /
+            # file-level merge), so group by staging dir — a single
+            # commonpath basePath would put the token dirs themselves
+            # in the discovered layout ("conflicting directory
+            # structures"). A handful of unioned scans per table;
+            # AQE coalesces them.
+            groups: "dict[str, list[str]]" = {}
+            for f in files:
+                d = os.path.dirname(f)
+                while "=" in os.path.basename(d):
+                    d = os.path.dirname(d)
+                groups.setdefault(d, []).append(f)
+            parts = []
+            for base in sorted(groups):
+                df = reader.option("basePath", base).parquet(
+                    *groups[base])
+                have = set(df.columns)
+                parts.append(df.select(*[
+                    (F.col(f.name).cast(f.dataType) if f.name in have
+                     else F.lit(None).cast(f.dataType)).alias(f.name)
+                    for f in schema.fields
+                ]))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
         df = reader.parquet(*files)
         if evolved:
             have = set(df.columns)
@@ -852,15 +877,20 @@ class IcebergMetadataBackend(SnapshotBackend):
         raise ValueError(f"unsupported op {op!r}")
 
     def plan_scan(self, path: str, filters=None,
-                  snapshot_id: "int | None" = None):
+                  snapshot_id: "int | None" = None,
+                  md: "dict | None" = None):
         """File-level pruning: split the live file set into (kept,
         skipped) manifest entries using column bounds and identity
         partition values — the ScanTable min/max-interval idea
         (reference src/par_scan.rs:60-85) at catalog granularity.
         ``filters`` is a list of (column, op, literal) with op in
         = < <= > >=; a file is skipped only when its bounds PROVE
-        emptiness, so missing stats never lose rows."""
-        md = self.current_metadata(path)
+        emptiness, so missing stats never lose rows. Pass ``md`` to
+        plan against already-loaded metadata (one snapshot — a commit
+        landing between two metadata reads must not mix file lists
+        and schemas from different versions)."""
+        if md is None:
+            md = self.current_metadata(path)
         if md is None:
             raise FileNotFoundError(path)
         entries = self._live_entries(md, snapshot_id)
@@ -881,7 +911,7 @@ class IcebergMetadataBackend(SnapshotBackend):
         difference between a full-table scan and touching the handful
         of files a key-range query needs."""
         md = self.current_metadata(path)
-        kept, _ = self.plan_scan(path, filters)
+        kept, _ = self.plan_scan(path, filters, md=md)
         df = self._read_files(
             spark, md, [e["data_file"]["file_path"] for e in kept])
         for col, op, v in filters or []:
@@ -909,7 +939,12 @@ class IcebergMetadataBackend(SnapshotBackend):
         version conflicts and re-derives the rewrite, so a racing
         append is never silently dropped (the RewriteFiles validation
         real Iceberg does)."""
-        dk = delete_keys.select(key).distinct().localCheckpoint()
+        # null keys match nothing under left_anti semantics (NULL =
+        # NULL is not true) — drop them before they poison the sorted
+        # key set / min-max range with None comparisons
+        dk = (delete_keys.select(key)
+              .filter(F.col(key).isNotNull())
+              .distinct().localCheckpoint())
         n_keys = dk.count()
         keyset = None
         kmin = kmax = None

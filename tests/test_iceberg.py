@@ -688,3 +688,89 @@ class TestMaintenanceOrdering:
         # the racer's row survived; nothing was replaced
         got = {r.id for r in base.read(spark, path).collect()}
         assert got == set(range(8)) | {777}
+
+
+class TestPartitionValueFidelity:
+    """Round 7 review fixes: Hive-escaped partition dir values, null
+    partitions, null MERGE keys, and single-snapshot read planning."""
+
+    def test_escaped_string_partition_value_not_mispruned(
+            self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        b = IcebergMetadataBackend()
+        path = str(tmp_path / "tbl")
+        df = spark.createDataFrame(
+            [(1, "a:b"), (2, "plain"), (3, "x y=z")],
+            "id long, s string")
+        b.commit(df, path, partition_by=["s"])
+        # the staged partition values must be the TRUE strings
+        md = b.current_metadata(path)
+        vals = {e["data_file"]["partition"]["s"]
+                for e in b._live_entries(md)}
+        assert vals == {"a:b", "plain", "x y=z"}
+        # stats/partition pruning must keep the escaped-value file
+        out = b.read_where(spark, path, [("s", "=", "a:b")]).collect()
+        assert [r.id for r in out] == [1]
+        kept, skipped = b.plan_scan(path, [("s", "=", "a:b")])
+        assert len(kept) == 1 and len(skipped) == 2
+        # and file-level MERGE must rewrite it, not skip it
+        b.merge_overwrite(
+            spark,
+            path,
+            delete_keys=spark.createDataFrame([("a:b",)], "s string"),
+            insert_rows=spark.createDataFrame([(9, "a:b")],
+                                              "id long, s string"),
+            key="s",
+        )
+        rows = {(r.id, r.s) for r in b.read(spark, path).collect()}
+        assert rows == {(9, "a:b"), (2, "plain"), (3, "x y=z")}
+
+    def test_null_partition_value_survives(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        b = IcebergMetadataBackend()
+        path = str(tmp_path / "tbl")
+        df = spark.createDataFrame(
+            [(1, "x"), (2, None)], "id long, s string")
+        b.commit(df, path, partition_by=["s"])
+        md = b.current_metadata(path)
+        parts = sorted(
+            (e["data_file"]["partition"]["s"] is None)
+            for e in b._live_entries(md))
+        assert parts == [False, True]  # one real, one null partition
+        # a filter on s must not prune the null file incorrectly, and
+        # the row filter drops the null row (SQL comparison semantics)
+        out = b.read_where(spark, path, [("s", "=", "x")]).collect()
+        assert [r.id for r in out] == [1]
+        # the null row is still readable in a full scan
+        assert {r.id for r in b.read(spark, path).collect()} == {1, 2}
+
+    def test_null_int_partition_value_commit(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        b = IcebergMetadataBackend()
+        path = str(tmp_path / "tbl")
+        df = spark.range(0, 4).select(
+            F.col("id"),
+            F.when(F.col("id") < 2, F.col("id") % 2).alias("p"))
+        b.commit(df, path, partition_by=["p"])  # must not raise
+        assert b.read(spark, path).count() == 4
+
+    def test_merge_with_null_delete_keys(self, spark, tmp_path):
+        b = IcebergMetadataBackend()
+        path = str(tmp_path / "tbl")
+        b.commit(spark.createDataFrame([(1, "a"), (2, "b")],
+                                       "id long, v string"), path)
+        dk = spark.createDataFrame([(1,), (None,)], "id long")
+        ins = spark.createDataFrame([(1, "a2")], "id long, v string")
+        b.merge_overwrite(spark, path, dk, ins, key="id")
+        rows = {(r.id, r.v) for r in b.read(spark, path).collect()}
+        assert rows == {(1, "a2"), (2, "b")}  # null key matched nothing
+
+    def test_plan_scan_accepts_preloaded_metadata(self, spark, tmp_path):
+        b = IcebergMetadataBackend()
+        path = str(tmp_path / "tbl")
+        b.commit(_ranged(spark, 100, 4), path)
+        md = b.current_metadata(path)
+        kept_a, _ = b.plan_scan(path, [("k", "<", 10)])
+        kept_b, _ = b.plan_scan(path, [("k", "<", 10)], md=md)
+        assert [e["data_file"]["file_path"] for e in kept_a] == \
+            [e["data_file"]["file_path"] for e in kept_b]

@@ -320,3 +320,54 @@ class TestRouterIntegration:
         pal_row = synthetic_compressed_pixels(9, "webp", 14, 11)
         colors = np.unique(pal_row.reshape(-1, 3), axis=0)
         assert len(colors) <= 16
+
+
+class TestReviewFixes:
+    """Round-7 self-review regressions."""
+
+    def test_select_tie_returns_top(self):
+        """Spec Select: pL < pT → L, TIES → T (libwebp
+        pa_minus_pb <= 0 → top). L=(255,10,0,0), T=(255,0,10,0),
+        TL=black gives pL == pT == 10 with L != T."""
+        import numpy as np
+        from ingest_spark.functions.webp import _inverse_predictor
+        res = np.zeros((2, 2), dtype=np.int64)
+        res[0, 0] = 0xFF000000                      # TL = black
+        res[0, 1] = (10) << 8                       # T = a255 g10 (L-rule row)
+        res[1, 0] = (10) << 16                      # L = a255 r10 (T-rule col)
+        res[1, 1] = 0                               # zero residual: pure pred
+        modes = np.full(1, 0xFF000000 | (11 << 8), dtype=np.int64)
+        out = _inverse_predictor(res, 4, modes)
+        T = int(out[0, 1])
+        assert int(out[1, 1]) == T  # tie resolves to TOP, not left
+
+    def test_animated_raises_not_implemented(self):
+        import struct
+        body = b"WEBP" + b"ANIM" + struct.pack("<I", 6) + b"\0" * 6
+        data = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(NotImplementedError, match="animated"):
+            webp.decode(data)
+
+    def test_fake_mode_pseudo_decodes_lossy_webp(self):
+        import struct
+        import numpy as np
+        from ingest_spark.operators.multimodal import _decode_rgb
+        body = b"WEBP" + b"VP8 " + struct.pack("<I", 4) + b"\0\0\0\0"
+        data = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(NotImplementedError):
+            _decode_rgb(data, False, 8, 8)
+        px = _decode_rgb(data, True, 8, 8)  # falls through to fake
+        assert px.shape == (8, 8, 3)
+        # corrupt container still raises even in fake mode
+        bad = b"RIFF\x00\x01\x00\x00WEBP" + b"\x00" * 32
+        with pytest.raises(ValueError):
+            _decode_rgb(bad, True, 8, 8)
+
+    def test_page_id_overflow_takes_surrogate(self):
+        from ingest_spark.operators.webtext import page_id_of
+        big = "https://x.org/p/" + "9" * 25
+        pid = page_id_of(big)
+        assert 0 <= pid < 2 ** 63
+        assert pid != int("9" * 25)
+        assert page_id_of(big) == pid        # stable
+        assert page_id_of("https://x.org/p/41") == 41  # fast path kept
