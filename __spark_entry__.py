@@ -1702,6 +1702,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).drop("content_text")
     q["main_content"] = main_content_q
 
+    def wet_extract_q(spark, sf):
+        # WET ingestion (round 7): Common Crawl ships pre-extracted
+        # text as WARC `conversion` records (.warc.wet.gz) — a
+        # pipeline starting from WET skips the HTML stage entirely.
+        # synthetic_wet builds valid per-member-gzip WET files whose
+        # text is closed-form in the page id; parse_warc walks them
+        # with the same splittable member offsets, and extract_wet
+        # decodes + counts. The oracle re-derives chars/words/text
+        # exactly in SQL.
+        _ensure_shipped(spark)
+        from ingest_spark.operators.webtext import (
+            extract_wet, parse_warc, synthetic_wet,
+        )
+        return extract_wet(parse_warc(synthetic_wet(spark, n_files=12)))
+    q["wet_extract"] = wet_extract_q
+
     def url_canonical_q(spark, sf):
         # URL canonicalization (round 6 web-graph layer): pure column
         # expressions (regexp + array lambdas, JVM-side) lower-case
@@ -2183,9 +2199,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # georender_features / georender_changeset — sit inside the window.
     # round-7 ROTATION: the 34 rows tailed in round 6 come back inside
     # the 50-entry window (fresh driver rows this round), joined by the
-    # new webtext_charset, multimodal_webp_decode and main_content
-    # (never driver-rowed); 37 r6-driver-green stable rows rotate out.
-    # The union of consecutive rounds covers all 87
+    # new webtext_charset, multimodal_webp_decode, main_content and
+    # wet_extract (never driver-rowed); 38 r6-driver-green stable rows
+    # rotate out.  The union of consecutive rounds covers all 88
     # (tests/test_counts.py asserts the tails are disjoint
     # round-over-round, and that the georender flagships stay inside).
     # Kept inside the window besides the comebacks: the flagships
@@ -2195,9 +2211,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pagerank_hosts/pagerank_dangling/hits_hosts (lazy-chained
     # iteration, AQE-off loop), anchor_terms (vocab cap),
     # webtext_extract/warc_records/geotag_cells (charset cascade +
-    # content_type schema + page_id fallback), url_canonical /
-    # host_graph_degrees (webgraph module neighbors), mvt_points_tiles
-    # (byte-certified flagship of the tiling layer).
+    # content_type schema + page_id fallback), host_graph_degrees
+    # (webgraph module neighbor), mvt_points_tiles (byte-certified
+    # flagship of the tiling layer).
     tail = [
         "s5_projected_scan", "f1_tag_classify", "j2_hash_join",
         "j6_two_hop", "a7_distinct", "o5_sorted_topk",
@@ -2212,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_compressed_decode", "multimodal_audio_codecs",
         "multimodal_mjpeg_decode", "multimodal_flac_decode",
         "tile_pyramid", "cocitation_pairs", "host_graph_delta",
+        "url_canonical",
     ]
     assert all(t in q for t in tail)
     ordered = {k: v for k, v in q.items() if k not in tail}
@@ -2898,6 +2915,29 @@ def oracle_sql() -> dict[str, str]:
                     + 12 + 3)::INT AS n_words,
                    (3 + para_words)::INT AS n_content_words
             FROM cw
+        """,
+        # closed-form twin of wet_page_text over 12 files × 8 pages:
+        # text = 'Doc {i}\\n' + (4 + i%6) tokens 't{i}x{k}' + '\\n';
+        # with L = digits(i) and c = 4 + i%6 (k is single-digit),
+        # n_chars = 5 + L + c*(4 + L)
+        "wet_extract": """
+            WITH p AS (SELECT UNNEST(range(0, 96)) AS i),
+            w AS (
+              SELECT p.i,
+                     string_agg('t' || p.i || 'x' || j.j, ' '
+                                ORDER BY j.j) AS words
+              FROM p, (SELECT UNNEST(range(0, 10)) AS j) j
+              WHERE j.j < 4 + p.i % 6
+              GROUP BY p.i
+            )
+            SELECT i AS page_id,
+                   'https://example.org/doc/' || i AS url,
+                   (5 + length(i::VARCHAR)
+                      + (4 + i % 6) * (4 + length(i::VARCHAR)))::INT
+                     AS n_chars,
+                   (2 + 4 + i % 6)::INT AS n_words,
+                   'Doc ' || i || chr(10) || words || chr(10) AS text
+            FROM w
         """,
         # closed-form twin of webgraph._raw_url / canonical_url: the
         # messy synthetic urls canonicalize to exactly this arithmetic

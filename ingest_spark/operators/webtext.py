@@ -555,3 +555,97 @@ def extract_main_content(pages: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return pages.mapInPandas(_mc, MAIN_CONTENT_SCHEMA)
+
+
+# ------------------------------------------------- WET (extracted text)
+
+def wet_page_text(page_id: int) -> str:
+    """Closed-form plain-text payload of a WET ``conversion`` record:
+    a title line ("Doc {id}") then one line of ``4 + id % 6`` body
+    tokens — n_words = 2 + 4 + id % 6."""
+    words = " ".join(f"t{page_id}x{k}" for k in range(4 + page_id % 6))
+    return f"Doc {page_id}\n{words}\n"
+
+
+def build_wet_file(file_idx: int,
+                   pages_per_file: int = PAGES_PER_FILE) -> bytes:
+    """One valid .warc.wet.gz: a warcinfo record then one
+    ``conversion`` record (Content-Type text/plain, no HTTP framing —
+    the Common-Crawl WET layout) per page, every record its own gzip
+    member."""
+    out = [_warc.gzip_member(_warc.build_record(
+        "warcinfo",
+        b"software: ingest-spark synthetic text extractor\r\n",
+        {"Content-Type": "application/warc-fields"},
+        rec_id_seed=f"wetinfo-{file_idx}",
+    ))]
+    for k in range(pages_per_file):
+        pid = file_idx * pages_per_file + k
+        out.append(_warc.gzip_member(_warc.build_record(
+            "conversion",
+            wet_page_text(pid).encode(),
+            {
+                "WARC-Target-URI": f"https://example.org/doc/{pid}",
+                "Content-Type": "text/plain",
+            },
+            rec_id_seed=f"conv-{pid}",
+        )))
+    return b"".join(out)
+
+
+def synthetic_wet(spark: SparkSession, n_files: int = 12,
+                  pages_per_file: int = PAGES_PER_FILE) -> DataFrame:
+    """Deterministic table of VALID .warc.wet.gz payloads (the
+    pre-extracted-text sibling of `synthetic_warc`)."""
+    df = spark.range(0, n_files).withColumnRenamed("id", "file_idx")
+
+    @F.pandas_udf(BinaryType())
+    def _payload(fi: pd.Series) -> pd.Series:
+        return pd.Series(
+            [build_wet_file(int(f), pages_per_file) for f in fi])
+
+    from ingest_spark.operators.partitioning import spread_for_kernel
+    df = spread_for_kernel(df)
+    return df.select(
+        "file_idx",
+        F.format_string("wet-%05d", F.col("file_idx")).alias("warc_file"),
+        _payload(F.col("file_idx")).alias("content"),
+    )
+
+
+WET_SCHEMA = StructType([
+    StructField("page_id", LongType(), False),
+    StructField("url", StringType(), False),
+    StructField("n_chars", IntegerType(), False),
+    StructField("n_words", IntegerType(), False),
+    StructField("text", StringType(), False),
+])
+
+
+def extract_wet(records: DataFrame) -> DataFrame:
+    """``conversion`` records (WET — text already extracted upstream)
+    → (page_id, url, n_chars, n_words, text). The payload is plain
+    text, not HTML: only the charset cascade runs (BOM > header
+    charset > UTF-8; there is no meta prescan hit in plain text), no
+    tokenizer. Common Crawl ships WET alongside WARC; a pipeline that
+    starts from WET skips the extract stage and feeds this straight
+    into the token/quality/dedup layer."""
+    conv = records.filter(F.col("warc_type") == "conversion")
+
+    def _extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k.name: [] for k in WET_SCHEMA}
+            for url, ctype, body in zip(
+                pdf["url"].to_numpy(), pdf["content_type"].to_numpy(),
+                pdf["body"].to_numpy(),
+            ):
+                text, _cn, _cs, _ok = _charset.decode_html(
+                    bytes(body), str(ctype))
+                rows["page_id"].append(page_id_of(str(url)))
+                rows["url"].append(str(url))
+                rows["n_chars"].append(len(text))
+                rows["n_words"].append(len(text.split()))
+                rows["text"].append(text)
+            yield pd.DataFrame(rows)
+
+    return conv.mapInPandas(_extract, WET_SCHEMA)

@@ -255,3 +255,31 @@ class TestBoilerplateRemoval:
         assert len(rows) == 12
         assert rows[7].n_content_words == 66  # pinned closed form
         assert rows[0].content_text.startswith("Doc 0 Story\n")
+
+
+class TestWetIngestion:
+    """WET (.warc.wet.gz `conversion` records) — the pre-extracted
+    Common-Crawl text container."""
+
+    def test_wet_records_parse_as_conversion(self):
+        from ingest_spark.functions import warc as w
+        from ingest_spark.operators.webtext import build_wet_file
+        recs = w.parse(build_wet_file(0))
+        assert recs[0].warc_type == "warcinfo"
+        assert all(r.warc_type == "conversion" for r in recs[1:])
+        assert len(recs) == 9
+        # conversion payloads are plain text, no HTTP framing
+        assert recs[1].payload.startswith(b"Doc 0\n")
+
+    def test_extract_wet_closed_forms(self, spark):
+        from ingest_spark.operators.webtext import (
+            extract_wet, parse_warc, synthetic_wet, wet_page_text,
+        )
+        rows = (extract_wet(parse_warc(synthetic_wet(spark, n_files=2)))
+                .orderBy("page_id").collect())
+        assert len(rows) == 16
+        for r in rows:
+            exp = wet_page_text(r.page_id)
+            assert r.text == exp
+            assert r.n_words == 2 + 4 + r.page_id % 6
+            assert r.n_chars == len(exp)
