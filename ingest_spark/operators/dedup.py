@@ -100,6 +100,53 @@ def with_minhash(
     )
 
 
+def _minhash_sig_bands_udf(k: int, shingle: int, bands: int):
+    """Fused sketch+bands kernel: signatures AND their LSH band hashes
+    in ONE Arrow crossing (guide §4 — the band fold is a pure function
+    of the signature, so computing it downstream in a second pandas UDF
+    paid an extra Python stage per join side and re-shipped every
+    signature across the boundary; round-8 profile: two ~0.4-0.6 s
+    band-UDF stages per minhash_lsh run, both removed)."""
+    schema = T.StructType([
+        T.StructField("minhash", ArrayType(LongType())),
+        T.StructField("bands", ArrayType(LongType())),
+    ])
+
+    @F.pandas_udf(schema)
+    def _u(text: pd.Series) -> pd.DataFrame:
+        sh = [sk.char_shingles(t or "", shingle) for t in text]
+        sigs = sk.minhash_signatures_batch(sh, k)
+        bnds = sk.minhash_bands_batch(sigs, bands).view(np.int64)
+        return pd.DataFrame({
+            "minhash": list(sigs.view(np.int64)),
+            "bands": list(bnds),
+        })
+    return _u
+
+
+def with_minhash_bands(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, minhash, bands) with both computed in one kernel pass —
+    identical values to ``with_minhash`` + ``_bands_udf`` (parity-
+    tested); the LSH plans explode the stored ``bands`` column as pure
+    JVM work instead of a second Python stage."""
+    docs = spread_for_kernel(docs)
+    fused = _minhash_sig_bands_udf(
+        cfg.minhash_perms, cfg.shingle_size, cfg.minhash_bands
+    )
+    return docs.select(
+        F.col(id_col), fused(F.col(text_col)).alias("_mb")
+    ).select(
+        F.col(id_col),
+        F.col("_mb.minhash").alias("minhash"),
+        F.col("_mb.bands").alias("bands"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -125,13 +172,17 @@ def minhash_lsh_pairs(
     # joins (signatures are a pure function of text, so with genuinely
     # unique ids this is a no-op)
     sigs = (
-        with_minhash(docs, cfg, id_col, text_col)
+        with_minhash_bands(docs, cfg, id_col, text_col)
         .dropDuplicates([id_col])
         .localCheckpoint(eager=True)
     )
+    # band explode is pure JVM (Generate over the stored bands column):
+    # the fused kernel above computed bands alongside the signatures, so
+    # neither join side re-enters Python (round-8 fix; previously the
+    # band UDF executed once PER SIDE of the self-join)
     banded = sigs.select(
         F.col(id_col).alias("doc"),
-        F.posexplode(_bands_udf(cfg.minhash_bands)("minhash")).alias("band_idx", "band_hash"),
+        F.posexplode("bands").alias("band_idx", "band_hash"),
     )
     a = banded.select(F.col("doc").alias("doc_a"), "band_idx", "band_hash")
     b = banded.select(F.col("doc").alias("doc_b"), "band_idx", "band_hash")
@@ -141,14 +192,19 @@ def minhash_lsh_pairs(
     # coalesces a 100k-pair frame to 1-2 partitions, serializing the
     # verify on one core (round-6 profile: 0.56 s single-task stage at
     # sf0.1). Explicit repartition to core count is the right sizing
-    # for a compute-bound stage at any scale.
+    # for a compute-bound stage at any scale. The repartition runs
+    # BEFORE the dedupe so the aggregate reuses its partitioning (one
+    # exchange, not two) AND so the exchange is user-specified — an
+    # ENSURE_REQUIREMENTS exchange here gets AQE-coalesced back to 1-2
+    # partitions, silently re-serializing the verify (round-8 profile:
+    # a 0.67 s single-task verify stage in the old plan).
     par = docs.sparkSession.sparkContext.defaultParallelism
     pairs = (
         a.join(b, ["band_idx", "band_hash"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
         .repartition(par, "doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
         .join(sigs.select(F.col(id_col).alias("doc_a"), F.col("minhash").alias("sig_a")), "doc_a")
         .join(sigs.select(F.col(id_col).alias("doc_b"), F.col("minhash").alias("sig_b")), "doc_b")
     )
@@ -267,6 +323,7 @@ def connected_components(
     dst: str = "dst",
     max_rounds: int = 25,
     driver_threshold: int = 200_000,
+    tier_out: dict | None = None,
 ) -> DataFrame:
     """EXACT duplicate clustering: (node, component) where component =
     the minimum node id reachable over the (undirected) edge set — the
@@ -296,8 +353,14 @@ def connected_components(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     ).distinct().localCheckpoint(eager=True)
 
-    if driver_threshold and sym.count() <= driver_threshold:
-        rows = sym.collect()
+    # ONE action decides the tier AND fetches the edges: take(threshold+1)
+    # returns every row iff the graph is driver-sized (replacing the old
+    # count-then-collect pair of jobs); an over-threshold graph transfers
+    # at most threshold+1 metadata-sized rows before routing distributed.
+    rows = sym.take(driver_threshold + 1) if driver_threshold else None
+    if rows is not None and len(rows) <= driver_threshold:
+        if tier_out is not None:
+            tier_out["tier"] = "driver"
         parent: dict = {}
 
         def find(x):
@@ -317,14 +380,25 @@ def connected_components(
                 # union by MIN so the root IS the component id
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
-        out = [(n, find(n)) for n in parent]
         spark = edges.sparkSession
         node_t = edges.schema[src].dataType
         schema = T.StructType([
             T.StructField("node", node_t, False),
             T.StructField("component", node_t, False),
         ])
-        return spark.createDataFrame(out, schema)
+        # Arrow-path createDataFrame (pandas input): the tuple-list path
+        # ships pickled rows through a Python-worker scan — a ~0.5 s
+        # 32-task Python stage for a metadata-sized table (round-8
+        # profile); the Arrow conversion stays JVM-side at read time
+        nodes = list(parent)
+        if not nodes:
+            return spark.createDataFrame([], schema)
+        pdf = pd.DataFrame({
+            "node": nodes, "component": [find(n) for n in nodes]
+        })
+        return spark.createDataFrame(pdf, schema)
+    if tier_out is not None:
+        tier_out["tier"] = "distributed"
     # seed with the neighborhood minimum — equivalent to running the
     # first propagation round during init, so tiny-diameter clusters
     # (the web-dedup common case) converge one round earlier; LAZY
@@ -389,12 +463,21 @@ def duplicate_components(
     component. The exact replacement for the one-hop dedup rule:
     keep doc_id == component. ``driver_threshold`` passes through to
     connected_components (0 forces the distributed tier)."""
+    tier: dict = {}
     comp = connected_components(
-        pairs, src=pair_a, dst=pair_b, driver_threshold=driver_threshold
+        pairs, src=pair_a, dst=pair_b, driver_threshold=driver_threshold,
+        tier_out=tier,
     )
+    comp = comp.withColumnRenamed("node", id_col)
+    if tier.get("tier") == "driver":
+        # driver-tier components are ≤ threshold rows by construction —
+        # broadcast them so the corpus side never shuffles (guide §3.1);
+        # the distributed tier's table is corpus-sized and keeps the
+        # shuffle join
+        comp = F.broadcast(comp)
     return (
         docs.select(F.col(id_col))
-        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .join(comp, id_col, "left")
         .select(
             id_col,
             F.coalesce("component", F.col(id_col)).alias("component"),

@@ -242,3 +242,24 @@ class TestSimhashMany:
         from ingest_spark.functions import sketches as sk
 
         assert (sk.simhash_many(np.empty(0, np.uint64), np.zeros(3, np.int64)) == 0).all()
+
+
+class TestMinhashBandsBatch:
+    def test_parity_with_scalar(self):
+        import numpy as np
+
+        from ingest_spark.functions import sketches as sk
+
+        rng = np.random.default_rng(17)
+        sigs = rng.integers(0, 2**64, size=(40, 64), dtype=np.uint64)
+        got = sk.minhash_bands_batch(sigs, bands=16)
+        want = np.stack([sk.minhash_bands(s, bands=16) for s in sigs])
+        assert (got == want).all()
+
+    def test_empty(self):
+        import numpy as np
+
+        from ingest_spark.functions import sketches as sk
+
+        out = sk.minhash_bands_batch(np.empty((0, 64), np.uint64), bands=16)
+        assert out.shape == (0, 16)
