@@ -34,6 +34,17 @@ def _cosine(a, b):
     return dot / (na * nb)
 
 
+def _norm(c):
+    """Vector L2 norm — the exact fold ``_cosine`` uses, hoisted so it
+    can be computed once PER VECTOR before a join instead of once per
+    candidate pair (same op order ⇒ bit-identical cosine)."""
+    return F.sqrt(F.aggregate(c, F.lit(0.0), lambda s, v: s + v * v))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -44,15 +55,25 @@ def cosine_topk(
     query_vec: str = "embedding",
 ) -> DataFrame:
     """Exact top-k by cosine: (qid, vec_id, cosine, rank)."""
+    # norms are computed once per vector BEFORE the join (each pair
+    # then pays only the dot fold — 1/3 of the interpreted lambda work;
+    # identical op order per vector ⇒ bit-identical cosine)
     v = spread_for_kernel(vectors).select(
-        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_vn"),
     )
-    q = queries.select(F.col(query_id).alias("_qid"), F.col(query_vec).alias("_q"))
-    cos = _cosine("_q", "_v")
+    q = queries.select(
+        F.col(query_id).alias("_qid"), F.col(query_vec).alias("_q"),
+        _norm(F.col(query_vec)).alias("_qn"),
+    )
+    cos = _dot("_q", "_v") / (F.col("_qn") * F.col("_vn"))
     w = Window.partitionBy("_qid").orderBy(F.desc("cosine"), F.asc("_vid"))
+    # project to (qid, vid, cosine) BEFORE the window: its exchange
+    # then shuffles 3 scalars per row instead of both embedding arrays
+    # (guide §2.3 — project before the exchange)
     return (
         q.crossJoin(v)
-        .withColumn("cosine", cos)
+        .select("_qid", "_vid", cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(F.col("_qid").alias(query_id), F.col("_vid").alias(id_col), "cosine", "rank")
@@ -99,8 +120,11 @@ def ann_topk(
     (up to ``n_probe``). The big vector table shuffles once on
     (table, code); no cross join anywhere. Recall-vs-exact bounds in
     test_webtext.py. Probe-code fan-out is a JVM-side XOR expression."""
+    # norms once per vector, BEFORE the code explode/join (see
+    # cosine_topk) — candidates pay only the dot fold
     v = spread_for_kernel(vectors).select(
         F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col)).alias("_vn"),
         F.posexplode(_codes_udf(n_planes, n_tables)(F.col(vec_col))).alias("_tbl", "_code"),
     )
     probe_arr = F.array(
@@ -109,17 +133,26 @@ def ann_topk(
     q = (
         queries.select(
             F.col(query_id).alias("_qid"), F.col(query_vec).alias("_q"),
+            _norm(F.col(query_vec)).alias("_qn"),
             F.posexplode(_codes_udf(n_planes, n_tables)(F.col(query_vec))).alias("_tbl", "_c0"),
         )
         .withColumn("_code", F.explode(F.slice(probe_arr, 1, n_probe)))
         .drop("_c0")
     )
-    cos = _cosine("_q", "_v")
+    cos = _dot("_q", "_v") / (F.col("_qn") * F.col("_vn"))
     w = Window.partitionBy("_qid").orderBy(F.desc("cosine"), F.asc("_vid"))
+    # cosine is computed ON the candidate join output and the frame is
+    # immediately projected to (qid, vid, cosine): the old plan deduped
+    # FIRST, which shuffled both embedding arrays (~100× the bytes)
+    # through the dropDuplicates exchange and again into the window
+    # (guide §2.3). Duplicate candidates (multi-table/multi-probe
+    # collisions, fan-in ≤ n_tables·n_probe) recompute the cosine
+    # map-side — a deterministic function of the pair, so the surviving
+    # row set is identical.
     return (
         q.join(v, ["_tbl", "_code"])
+        .select("_qid", "_vid", cos.alias("cosine"))
         .dropDuplicates(["_qid", "_vid"])
-        .withColumn("cosine", cos)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(F.col("_qid").alias(query_id), F.col("_vid").alias(id_col), "cosine", "rank")

@@ -101,6 +101,30 @@ def _s2_udf(level: int):
     return _u
 
 
+def _hex_s2_udf(res: int, level: int):
+    """Both cell kernels in ONE Arrow crossing (guide §4): the H3 and
+    S2 assignments read the same (lon, lat) batch, so splitting them
+    into two pandas UDFs paid a second Python stage + a second
+    serialization of the coordinates per pipeline run. Values are
+    identical to the separate kernels (same numpy functions)."""
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([
+        StructField("hex_cell", LongType()),
+        StructField("s2_cell", LongType()),
+    ])
+
+    @F.pandas_udf(schema)
+    def _u(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        ln = lon.to_numpy()
+        lt = lat.to_numpy()
+        return pd.DataFrame({
+            "hex_cell": cell_fn.hex_cell(ln, lt, res),
+            "s2_cell": cell_fn.s2_cell_id(ln, lt, level),
+        })
+    return _u
+
+
 def with_cells(
     features: DataFrame,
     cfg: EngineConfig = DEFAULT,
@@ -122,6 +146,16 @@ def with_cells(
     # kernels instead of a 4-deep withColumn chain (each link costs a
     # full Catalyst re-analysis — measurable at small SF where the
     # pipeline is planning-bound)
+    if cell_fn.use_real_h3():
+        # default path: ONE fused pandas UDF for both kernels (one
+        # Python stage instead of two — round-8 guide §4 fix)
+        st = _hex_s2_udf(cfg.hex_res, cfg.s2_level)(lon, lat)
+        cols = features.columns
+        return features.withColumn("_hs", st).select(
+            *cols,
+            F.col("_hs.hex_cell").alias("hex_cell"),
+            F.col("_hs.s2_cell").alias("s2_cell"),
+        )
     return features.withColumns({
         "hex_cell": _hex_col(lon, lat, cfg.hex_res),
         "s2_cell": _s2_udf(cfg.s2_level)(lon, lat),
@@ -188,6 +222,32 @@ def _pip_udf(px: pd.Series, py: pd.Series, xs: pd.Series, ys: pd.Series) -> pd.S
     return pd.Series(_ray_cast(px.to_numpy(), py.to_numpy(), xs.to_list(), ys.to_list()))
 
 
+def _pip_col(px, py, xs, ys):
+    """Even-odd ray cast as a PURE Catalyst expression — the JVM twin
+    of ``_ray_cast`` (guide §4.1: the exact test is ~8 float ops per
+    edge, far below the cost of shipping point+ring batches to a
+    Python worker). Bit-parity: identical IEEE double op order
+    ((xj−xi)·(y−yi)/(yj−yi)+xi, strict > crossings), and the crossing
+    condition is False whenever the intercept degenerates to NaN/±inf
+    (yi==yj), so Spark's NaN comparison semantics never differ from
+    numpy's on a counted edge. Property-tested equal to ``_ray_cast``
+    in test_spatial.py."""
+    n = F.size(xs)
+
+    def term(acc, i):
+        prev_i = F.when(i == 1, n).otherwise(i - 1)
+        cx = F.element_at(xs, i)
+        cy = F.element_at(ys, i)
+        pxv = F.element_at(xs, prev_i)
+        pyv = F.element_at(ys, prev_i)
+        cond = (cy > py) != (pyv > py)
+        xint = (pxv - cx) * (py - cy) / (pyv - cy) + cx
+        return acc + F.when(cond & (px < xint), 1).otherwise(0)
+
+    crossings = F.aggregate(F.sequence(F.lit(1), n), F.lit(0), term)
+    return crossings % 2 == 1
+
+
 def point_in_polygon_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -211,7 +271,7 @@ def point_in_polygon_join(
         & (py >= F.col("pminy")) & (py <= F.col("pmaxy"))
     )
     joined = points.join(F.broadcast(polygons), cond, "inner")
-    joined = joined.where(_pip_udf(px, py, F.col("ring_x"), F.col("ring_y")))
+    joined = joined.where(_pip_col(px, py, F.col("ring_x"), F.col("ring_y")))
     if how == "inner":
         return joined
     raise ValueError(f"unsupported join type: {how}")
@@ -276,7 +336,7 @@ def point_in_polygon_grid_join(
         (px >= F.col("pminx")) & (px <= F.col("pmaxx"))
         & (py >= F.col("pminy")) & (py <= F.col("pmaxy"))
     )
-    return cand.where(_pip_udf(px, py, F.col("ring_x"), F.col("ring_y"))).drop("_cell")
+    return cand.where(_pip_col(px, py, F.col("ring_x"), F.col("ring_y"))).drop("_cell")
 
 
 def make_polygons_df(spark, polys: list[dict]) -> DataFrame:
@@ -290,8 +350,17 @@ def make_polygons_df(spark, polys: list[dict]) -> DataFrame:
             (int(p["polygon_id"]), p.get("name", ""), xs, ys,
              min(xs), min(ys), max(xs), max(ys))
         )
-    return spark.createDataFrame(
+    # Arrow-path createDataFrame (see pages.fixture_pages): a pickled
+    # tuple list would add a Python-worker scan stage per query
+    pdf = pd.DataFrame(
         rows,
+        columns=[
+            "polygon_id", "name", "ring_x", "ring_y",
+            "pminx", "pminy", "pmaxx", "pmaxy",
+        ],
+    )
+    return spark.createDataFrame(
+        pdf,
         "polygon_id long, name string, ring_x array<double>, ring_y array<double>, "
         "pminx double, pminy double, pmaxx double, pmaxy double",
     )
@@ -425,9 +494,36 @@ def knn_join(
         return F.lit(edge) * (F.lit(1.5) * (ring_col + 1) - F.lit(2.0))
 
     def _probe(qdf: DataFrame) -> DataFrame:
-        exp = qdf.withColumn(
-            "_cells", _ring_cells_pair_udf(res)("_qcell", "_ring")
-        ).select("_qid", "_qx", "_qy", "_ring", F.explode("_cells").alias("_pcell"))
+        # k_ring as PURE Catalyst (guide §4.1 — no Python stage): the
+        # hex-distance-≤R disk on axial coords is exactly
+        # {(dq, dr): dq ∈ [-R, R], dr ∈ [max(-R, -dq-R), min(R, -dq+R)]}
+        # (same cell set hex_k_ring enumerates ring-by-ring; the join
+        # key is a set, so enumeration order is irrelevant), and the
+        # packed cell id is additive in the q/r fields — neighbor id =
+        # cell + (dq << 28) + dr (no unpack/repack; field overflow is
+        # impossible for on-earth coords with the 2^27 bias).
+        ring = F.col("_ring")
+        dq = F.col("_dq")
+        exp = (
+            qdf.withColumn("_dq", F.explode(F.sequence(-ring, ring)))
+            .withColumn(
+                "_dr",
+                F.explode(
+                    F.sequence(
+                        F.greatest(-ring, -dq - ring),
+                        F.least(ring, -dq + ring),
+                    )
+                ),
+            )
+            .select(
+                "_qid", "_qx", "_qy", "_ring",
+                (
+                    F.col("_qcell")
+                    + F.shiftleft(dq.cast("long"), 28)
+                    + F.col("_dr").cast("long")
+                ).alias("_pcell"),
+            )
+        )
         return _topk(exp.join(pts, "_pcell", "inner"))
 
     topk1 = _probe(remaining).cache()

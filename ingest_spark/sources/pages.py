@@ -110,10 +110,20 @@ def _wrap_html(url_col, text_col):
 
 
 def fixture_pages(spark: SparkSession) -> DataFrame:
+    import pandas as pd
+
     schema = StructType(
         [StructField("url", StringType(), False), StructField("text", StringType(), False)]
     )
-    df = spark.createDataFrame(_fixture_rows(), schema)
+    # Arrow-path createDataFrame: the tuple-list path ships pickled rows
+    # through a Python-worker scan (a ~0.3 s 32-task Python stage per
+    # pipeline build at local[32]); the pandas input converts via Arrow
+    # and scans JVM-side
+    rows = _fixture_rows()
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": [r[0] for r in rows], "text": [r[1] for r in rows]}),
+        schema,
+    )
     return df.select(
         "url",
         F.timestamp_seconds(F.lit(1_580_000_000)).alias("warc_ts"),

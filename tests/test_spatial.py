@@ -563,3 +563,49 @@ class TestKnnFallbackVisibility:
         knn_join(pts, qs, k=3, res=3, stats_out=stats).count()
         assert stats["n_queries"] == qs.count()
         assert stats["n_brute"] == 0
+
+
+class TestPipColParity:
+    def test_catalyst_ray_cast_matches_numpy(self, spark):
+        """_pip_col (JVM expression) must agree with _ray_cast (numpy)
+        on random points/rings, including horizontal edges (the
+        degenerate-intercept case) and shared-boundary points."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from ingest_spark.operators import spatial
+
+        rng = np.random.default_rng(42)
+        rows = []
+        for i in range(300):
+            nv = int(rng.integers(3, 9))
+            xs = rng.uniform(-10, 10, nv)
+            ys = rng.uniform(-10, 10, nv)
+            if i % 5 == 0:  # force a horizontal edge (yj == yi)
+                ys[1] = ys[0]
+            if i % 7 == 0:  # point exactly on a vertex y
+                py = float(ys[0])
+            else:
+                py = float(rng.uniform(-12, 12))
+            px = float(rng.uniform(-12, 12))
+            rows.append((i, px, py, [float(v) for v in xs], [float(v) for v in ys]))
+
+        df = spark.createDataFrame(
+            rows, "i long, px double, py double, xs array<double>, ys array<double>"
+        )
+        got = {
+            r["i"]: r["inside"]
+            for r in df.select(
+                "i",
+                spatial._pip_col(
+                    F.col("px"), F.col("py"), F.col("xs"), F.col("ys")
+                ).alias("inside"),
+            ).collect()
+        }
+        for i, px, py, xs, ys in rows:
+            want = bool(
+                spatial._ray_cast(
+                    np.array([px]), np.array([py]), [np.array(xs)], [np.array(ys)]
+                )[0]
+            )
+            assert got[i] == want, (i, px, py, xs, ys)
