@@ -868,16 +868,19 @@ def ngram_jaccard_pairs(
             & (F.least("na", "nb") >= F.lit(float(threshold)) * F.greatest("na", "nb"))
         )
         .select("doc_a", "doc_b")
-        .dropDuplicates(["doc_a", "doc_b"])
         # the exact verify below is CPU-bound per pair (array_intersect
         # over ~hundreds of grams) while this frame is two ids per row;
         # AQE coalesces it by BYTES to ~1 partition and serializes the
         # verify — size the stage by cores instead (same round-6 fix as
-        # minhash_lsh_pairs)
+        # minhash_lsh_pairs). Repartition BEFORE the dedupe so the
+        # aggregate reuses the user-specified partitioning: one
+        # exchange, and one AQE cannot coalesce (round-8, mirrors the
+        # minhash_lsh_pairs fix).
         .repartition(
             docs.sparkSession.sparkContext.defaultParallelism,
             "doc_a", "doc_b",
         )
+        .dropDuplicates(["doc_a", "doc_b"])
     )
 
     # exact verification on candidates only

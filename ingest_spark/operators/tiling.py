@@ -198,7 +198,14 @@ def assign_grid_cell(
 ) -> DataFrame:
     """O3 max-overlap single-assignment to the X×Y grid (first-index
     tiebreak — np.argmax returns the first maximum, matching the
-    strict-> loop of src/divide.rs:43-52)."""
+    strict-> loop of src/divide.rs:43-52).
+
+    Round-8 note: a pure-Catalyst twin of this assignment (64 CASE
+    terms + array_position(array_max)) was measured ~3× SLOWER than
+    this Arrow-batched numpy kernel at 99k rows (codegen'd but ~12
+    µs/row of boxed per-cell evaluation vs one vectorized overlap pass
+    per box) — the UDF stays deliberately (guide §4.2: hand whole
+    batches to vectorized native code)."""
     boxes = _grid_boxes(bounds, gx, gy)
 
     @F.pandas_udf(IntegerType())
@@ -781,6 +788,7 @@ def salt_hot_cells(
     cfg: EngineConfig = DEFAULT,
     bucket_max: int | None = None,
     id_col: str = "id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Explicit skew defusal (north_rule): cells whose count exceeds the
     bucket bound get ``ceil(count / bound)`` salts; rows are salted by a
@@ -790,7 +798,18 @@ def salt_hot_cells(
     pre-folded mod 2^31 so the multiply never overflows int64 under
     ANSI). The (cell, salt) pair is then a bounded shuffle/write key —
     the declarative analog of the reference's quadtree overflow
-    splitting (src/divide.rs:12,54)."""
+    splitting (src/divide.rs:12,54).
+
+    ``materialize`` (default True): the input feeds TWO consumers — the
+    per-cell counts and the salted join stream — so a lazy
+    localCheckpoint executes the upstream plan once and lets both read
+    the same blocks (round-8 profile: the quadtree optimize chain
+    upstream executed twice per pass, ~0.6 s of the tiling bench). The
+    blocks spill via MEMORY_AND_DISK and are freed by the
+    ContextCleaner with the plan. Pass ``materialize=False`` when the
+    input is a cheap stored-table scan at cluster scale — re-scanning
+    storage twice is cheaper there than caching a corpus-sized
+    intermediate."""
     n = bucket_max or cfg.bucket_max_records
     id_type = df.schema[id_col].dataType.typeName()
     if id_type not in (
@@ -802,6 +821,8 @@ def salt_hot_cells(
             "collapse every hot-cell row onto one salt; pre-hash it to "
             "a long (e.g. xxhash64) first"
         )
+    if materialize:
+        df = df.localCheckpoint(eager=False)
     counts = cell_counts(df, cell_col)
     hot = counts.where(F.col("n") > n).select(
         cell_col, F.ceil(F.col("n") / n).cast("int").alias("n_salts")
