@@ -308,7 +308,17 @@ def _divide_cells_in_pandas(
         pdf["bmaxy"] = bbox_cols[:, 3]
         return pdf
 
-    return with_cell.groupBy("grid_cell").applyInPandas(_divide_cell, out_schema)
+    # user-pinned partitioning: the per-group divide is CPU-bound, and
+    # the groupBy's ENSURE_REQUIREMENTS exchange gets AQE-coalesced by
+    # BYTES to ~4 partitions, serializing the kernels (round-8 profile:
+    # 0.41 s / 4 tasks → ~0.15 s / 32). The explicit repartition on the
+    # same key is one exchange the aggregate reuses, at any scale.
+    par = with_cell.sparkSession.sparkContext.defaultParallelism
+    return (
+        with_cell.repartition(par, "grid_cell")
+        .groupBy("grid_cell")
+        .applyInPandas(_divide_cell, out_schema)
+    )
 
 
 def _path_key(path: str) -> int:
@@ -715,7 +725,14 @@ def _quadtree_distributed(
         pdf["_leaf"] = leaf_col
         return pdf
 
-    div_rows = div_in.groupBy("grid_cell", "_node").applyInPandas(_divide_node, pb_schema)
+    # user-pinned partitioning for the CPU-bound per-node divide (see
+    # _divide_cells_in_pandas — AQE would coalesce the group exchange)
+    par = big.sparkSession.sparkContext.defaultParallelism
+    div_rows = (
+        div_in.repartition(par, "grid_cell", "_node")
+        .groupBy("grid_cell", "_node")
+        .applyInPandas(_divide_node, pb_schema)
+    )
 
     # ---- leaf metadata for renumbering: a second divide pass over the
     # NARROW projection emits one row per leaf (tiny output — bucket
@@ -743,8 +760,10 @@ def _quadtree_distributed(
         })
 
     narrow_div = div_in.select("grid_cell", "_node", "minx", "miny", "maxx", "maxy", "kind")
-    pb_meta = narrow_div.groupBy("grid_cell", "_node").applyInPandas(
-        _divide_meta, meta_schema
+    pb_meta = (
+        narrow_div.repartition(par, "grid_cell", "_node")
+        .groupBy("grid_cell", "_node")
+        .applyInPandas(_divide_meta, meta_schema)
     )
 
     # ---- renumber leaves per cell in reference emission order
