@@ -928,19 +928,44 @@ def embedding_cosine_pairs(
     ``exact=True``: full self-join (the oracle twin, O(n²) — small n
     or verification only).
     """
-    cos = _cosine_expr("va", "vb")
+    # norms are hoisted to once-per-vector (round 8): the pair set is
+    # O(n²) in the worst case while vectors are O(n), and the norm fold
+    # is 2/3 of the per-pair interpreted lambda work — same op order
+    # per vector, so the cosine stays bit-identical (measured 23.9 s →
+    # ~8 s on the sf0.1 exact path)
+    norm = F.sqrt(
+        F.aggregate(F.col(vec_col), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
     if exact:
-        a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-        b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        a = embeddings.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+            norm.alias("_na"),
+        )
+        b = embeddings.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+            norm.alias("_nb"),
+        )
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
     else:
         withb = embeddings.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            norm.alias("_n"),
             _bucket_udf(n_planes)(F.col(vec_col)).alias("bucket"),
         )
-        a = withb.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
-        b = withb.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+        a = withb.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"),
+            F.col("_n").alias("_na"), "bucket",
+        )
+        b = withb.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"),
+            F.col("_n").alias("_nb"), "bucket",
+        )
         pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = dot / (F.col("_na") * F.col("_nb"))
     return (
         pairs.withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)

@@ -954,8 +954,13 @@ def vector_tiles(features: DataFrame, z: int) -> DataFrame:
             }
         )
 
-    return tiled.groupBy("tile_z", "tile_x", "tile_y").applyInPandas(
-        _pack, VECTOR_TILE_SCHEMA
+    # user-pinned partitioning for the CPU-bound per-tile pack (see
+    # _divide_cells_in_pandas — AQE would coalesce the group exchange)
+    par = features.sparkSession.sparkContext.defaultParallelism
+    return (
+        tiled.repartition(par, "tile_z", "tile_x", "tile_y")
+        .groupBy("tile_z", "tile_x", "tile_y")
+        .applyInPandas(_pack, VECTOR_TILE_SCHEMA)
     )
 
 
@@ -1005,8 +1010,12 @@ def raster_tiles(features: DataFrame, z: int, px: int = 256) -> DataFrame:
             }
         )
 
-    return tiled.groupBy("tile_z", "tile_x", "tile_y").applyInPandas(
-        _rasterize, RASTER_TILE_SCHEMA
+    # user-pinned partitioning (see _divide_cells_in_pandas)
+    par = features.sparkSession.sparkContext.defaultParallelism
+    return (
+        tiled.repartition(par, "tile_z", "tile_x", "tile_y")
+        .groupBy("tile_z", "tile_x", "tile_y")
+        .applyInPandas(_rasterize, RASTER_TILE_SCHEMA)
     )
 
 
@@ -1193,6 +1202,15 @@ def mvt_tiles(
     yn = F.transform(F.col("ys"), lat_y)
     clamp = lambda c: F.greatest(F.lit(0), F.least(F.lit(n - 1), c.cast("int")))  # noqa: E731
 
+    # spread BEFORE the fan-out: the tile-assignment transforms, the
+    # explode and the encode kernel then all run in one parallel stage,
+    # and the repartition exchange carries the raw geometry rows rather
+    # than the fanned-out (geometry × tile) arrays (round-8 profile: a
+    # single-file scan serialized the whole fan-out on 1 task and the
+    # post-fan-out spread shuffled 28 MB of duplicated arrays)
+    from .partitioning import spread_for_kernel
+    geoms = spread_for_kernel(geoms)
+
     has_holes = "hole_xs" in geoms.columns
     if not has_holes:
         geoms = geoms.withColumn(
@@ -1215,10 +1233,61 @@ def mvt_tiles(
 
     ext = float(extent)
 
+    lo_clip, hi_clip = -float(buffer_px), ext + float(buffer_px)
+
     def _encode_batches(it):
         for pdf in it:
             out = {k: [] for k in
                    ("tile_x", "tile_y", "id", "gtype", "geom", "n_pts")}
+            # vectorized fast path for single-coordinate points (the
+            # dominant row shape in point layers): one numpy pass over
+            # the whole batch — mercator, tile-local transform, clip
+            # mask, quantize, vectorized varints — instead of a
+            # tile_geometry + encode_geometry call per row (~245 µs/row
+            # of per-call machinery for ~10 arithmetic ops; round-8
+            # profile). Byte-identical: a kept point encodes as
+            # varint(9) + varint(zigzag(qx)) + varint(zigzag(qy)),
+            # exactly encode_geometry('point', [(qx, qy)]), and the
+            # quantize/clip arithmetic is the same op order as
+            # tile_geometry's point branch.
+            npdf = len(pdf)
+            is_pt1 = np.fromiter(
+                (
+                    (g == "point") and (len(x) == 1)
+                    for g, x in zip(pdf["gtype"], pdf["xs"])
+                ),
+                dtype=bool, count=npdf,
+            )
+            if is_pt1.any():
+                sub = pdf[is_pt1]
+                nsub = len(sub)
+                x0 = np.fromiter((x[0] for x in sub["xs"]), dtype=np.float64, count=nsub)
+                y0 = np.fromiter((y[0] for y in sub["ys"]), dtype=np.float64, count=nsub)
+                gx, gy = _merc_norm(x0, y0)
+                txa = sub["tile_x"].to_numpy().astype(np.float64)
+                tya = sub["tile_y"].to_numpy().astype(np.float64)
+                lx = gx * (n * ext) - txa * ext
+                ly = gy * (n * ext) - tya * ext
+                m = (lx >= lo_clip) & (lx <= hi_clip) & (ly >= lo_clip) & (ly <= hi_clip)
+                if m.any():
+                    from ..functions.mvt import zigzag as _zz
+                    qx = np.floor(lx[m] + 0.5).astype(np.int64)
+                    qy = np.floor(ly[m] + 0.5).astype(np.int64)
+                    mx, lenx = varint.encode_matrix(_zz(qx))
+                    my_, leny = varint.encode_matrix(_zz(qy))
+                    ids = sub["id"].to_numpy()[m]
+                    txk = sub["tile_x"].to_numpy()[m]
+                    tyk = sub["tile_y"].to_numpy()[m]
+                    out["tile_x"].extend(int(v) for v in txk)
+                    out["tile_y"].extend(int(v) for v in tyk)
+                    out["id"].extend(int(v) for v in ids)
+                    out["gtype"].extend(["point"] * len(ids))
+                    out["geom"].extend(
+                        b"\x09" + mx[i, :lenx[i]].tobytes() + my_[i, :leny[i]].tobytes()
+                        for i in range(len(ids))
+                    )
+                    out["n_pts"].extend([1] * len(ids))
+                pdf = pdf[~is_pt1]
             for tx, ty, fid, gtype, xs, ys, hxs, hys in zip(
                 pdf["tile_x"], pdf["tile_y"], pdf["id"], pdf["gtype"],
                 pdf["xs"], pdf["ys"], pdf["hole_xs"], pdf["hole_ys"],
@@ -1265,7 +1334,14 @@ def mvt_tiles(
             "n_features": [len(pdf)], "payload": [buf.getvalue()],
         })
 
-    return feats.groupBy("tile_x", "tile_y").applyInPandas(_pack, MVT_TILE_SCHEMA)
+    # user-pinned partitioning: AQE byte-based coalescing otherwise
+    # serializes the CPU-bound per-tile pack (see _divide_cells_in_pandas)
+    par = geoms.sparkSession.sparkContext.defaultParallelism
+    return (
+        feats.repartition(par, "tile_x", "tile_y")
+        .groupBy("tile_x", "tile_y")
+        .applyInPandas(_pack, MVT_TILE_SCHEMA)
+    )
 
 
 def decode_mvt_payload(payload: bytes):

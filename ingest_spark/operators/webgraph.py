@@ -492,6 +492,11 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
 def _pagerank_impl(edges: DataFrame, iters: int, damping: float,
                    checkpoint_every: int, partitions: int,
                    dangling: str, spark) -> DataFrame:
+    # one materialization of the edge table for its three consumers
+    # (id dictionary, out-weight agg, transition matrix build) — see
+    # hits(); the upstream link-extraction chain otherwise re-executes
+    # per consumer
+    edges = edges.localCheckpoint(eager=False)
     ids = (
         edges.select(F.col("src_host").alias("host"))
         .union(edges.select(F.col("dst_host").alias("host")))
@@ -632,6 +637,16 @@ def hits(edges: DataFrame, iters: int = 2,
     spark = edges.sparkSession
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # (round 8: tried pagerank's AQE-off flip here too — 5× SLOWER for
+    # hits; its per-half-step count+norm actions benefit from AQE's
+    # stage reuse in a way pagerank's lazily-chained iterations don't.
+    # Measured, reverted.)
+    # materialize the edge table ONCE (lazy; ids.count() below runs it):
+    # it feeds the id dictionary and BOTH direction-specific adjacency
+    # caches, and the caller's upstream plan (typically an HTML
+    # link-extraction Python stage) must not re-execute per consumer
+    # (round-8 profile: 3 full upstream recomputes per hits() call)
+    edges = edges.localCheckpoint(eager=False)
     ids = (
         edges.select(F.col("src_host").alias("host"))
         .union(edges.select(F.col("dst_host").alias("host")))
