@@ -961,6 +961,10 @@ def embedding_cosine_pairs(
             F.col("_n").alias("_nb"), "bucket",
         )
         pairs = a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    # (round 8: tried unrolling the dot fold into a per-dimension
+    # arithmetic chain for fixed-dim inputs — 4× SLOWER than the
+    # interpreted aggregate fold at dim 128 (the wide expression chain
+    # defeats codegen). Measured, reverted; the fold stays.)
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0),
         lambda acc, v: acc + v,
