@@ -863,6 +863,14 @@ def encode(rgb: np.ndarray, *, predictor_mode: int | None = None,
     encoder heuristics).
     """
     h, w, _ = rgb.shape
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        # VP8L stores w-1/h-1 in 14-bit fields; the BitWriter would
+        # silently mask larger dimensions into a spec-valid file with
+        # WRONG size (round-8 ADVICE: a 16385-wide input round-tripped
+        # as width 1) — fail loudly instead
+        raise ValueError(
+            f"VP8L lossless dimensions must be 1..16384, got {w}x{h}"
+        )
     argb = _pack_argb(np.full((h, w), 0xFF, dtype=np.int64),
                       rgb[:, :, 0].astype(np.int64),
                       rgb[:, :, 1].astype(np.int64),

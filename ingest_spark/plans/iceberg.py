@@ -54,6 +54,7 @@ story this feeds is src/bin.rs:55-142 (SURVEY §3.2).
 
 from __future__ import annotations
 
+import datetime as _dt
 import glob
 import json
 import os
@@ -240,6 +241,8 @@ class ConcurrentRewrite(Exception):
 # lower_bounds/upper_bounds maps. Types we don't serialize bounds for
 # (timestamps, decimals, nested) simply omit the entry — spec-legal,
 # pruning falls back to "cannot skip".
+_EPOCH_ORDINAL = _dt.date(1970, 1, 1).toordinal()
+
 _BOUND_PACK = {"int": "<i", "date": "<i", "long": "<q",
                "float": "<f", "double": "<d"}
 
@@ -247,6 +250,12 @@ _BOUND_PACK = {"int": "<i", "date": "<i", "long": "<q",
 def bound_to_bytes(value, iceberg_type: str) -> "bytes | None":
     fmt = _BOUND_PACK.get(iceberg_type)
     if fmt:
+        if iceberg_type == "date" and isinstance(value, _dt.date):
+            # pyarrow parquet stats yield datetime.date; the Iceberg
+            # single-value layout packs dates as int32 days since
+            # 1970-01-01 (round-8 ADVICE: struct.pack raised on any
+            # DateType column commit)
+            value = value.toordinal() - _EPOCH_ORDINAL
         return _struct.pack(fmt, value)
     if iceberg_type == "boolean":
         return b"\x01" if value else b"\x00"
@@ -260,7 +269,12 @@ def bound_to_bytes(value, iceberg_type: str) -> "bytes | None":
 def bound_from_bytes(raw: bytes, iceberg_type: str):
     fmt = _BOUND_PACK.get(iceberg_type)
     if fmt:
-        return _struct.unpack(fmt, raw)[0]
+        v = _struct.unpack(fmt, raw)[0]
+        if iceberg_type == "date":
+            # mirror bound_to_bytes: int32 days → datetime.date so
+            # plan_scan comparisons against date filter literals work
+            return _dt.date.fromordinal(v + _EPOCH_ORDINAL)
+        return v
     if iceberg_type == "boolean":
         return raw != b"\x00"
     if iceberg_type == "string":

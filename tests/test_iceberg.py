@@ -774,3 +774,60 @@ class TestPartitionValueFidelity:
         kept_b, _ = b.plan_scan(path, [("k", "<", 10)], md=md)
         assert [e["data_file"]["file_path"] for e in kept_a] == \
             [e["data_file"]["file_path"] for e in kept_b]
+
+
+class TestDateColumnBounds:
+    def test_commit_and_prune_with_date_column(self, spark, tmp_path):
+        """Round-8 ADVICE (medium): a DateType column crashed
+        _stats_maps (struct.pack got datetime.date). Commit must
+        succeed, bounds must round-trip as int32 days, and stats-based
+        pruning must compare against date literals."""
+        import datetime
+
+        from ingest_spark.functions import avro
+        from ingest_spark.plans.iceberg import (
+            IcebergMetadataBackend, bound_from_bytes, bound_to_bytes,
+        )
+
+        d1, d2 = datetime.date(2021, 3, 1), datetime.date(2023, 12, 31)
+        b = IcebergMetadataBackend()
+        path = str(tmp_path / "tbl_date")
+        df = spark.createDataFrame(
+            [(1, d1), (2, d2)], "id long, day date"
+        )
+        b.commit(df, path)  # crashed before the fix
+        md = b.current_metadata(path)
+        snap = md["snapshots"][-1]
+        _, manifests = avro.read_ocf(snap["manifest-list"])
+        _, entries = avro.read_ocf(manifests[0]["manifest_path"])
+        # field id 2 = the date column; bounds present and correct
+        lows = [
+            dict((kv["key"], kv["value"]) for kv in e["data_file"]["lower_bounds"])
+            for e in entries if e["data_file"].get("lower_bounds")
+        ]
+        assert lows, "date column bounds missing from manifest"
+        decoded = [bound_from_bytes(bytes(m[2]), "date") for m in lows if 2 in m]
+        assert min(decoded) == d1
+        # scalar codec roundtrip
+        assert bound_from_bytes(bound_to_bytes(d2, "date"), "date") == d2
+        # read back unchanged
+        got = sorted(
+            (r["id"], r["day"]) for r in b.read(spark, path).collect()
+        )
+        assert got == [(1, d1), (2, d2)]
+
+
+class TestWebpDimensionGuard:
+    def test_encode_rejects_oversize(self):
+        """Round-8 ADVICE (low): >16384-wide input silently truncated
+        the 14-bit VP8L size fields; must raise instead."""
+        import numpy as np
+        import pytest as _pytest
+
+        from ingest_spark.functions import webp
+
+        ok = np.zeros((2, 2, 3), dtype=np.uint8)
+        assert isinstance(webp.encode(ok), bytes)
+        bad = np.zeros((1, 16385, 3), dtype=np.uint8)
+        with _pytest.raises(ValueError, match="16384"):
+            webp.encode(bad)
