@@ -165,7 +165,13 @@ else:
     n_units = feats.count()
 
     def job():
-        salted = salt_hot_cells(feats, "hex_cell", cfg, bucket_max=50_000)
+        # materialize=False: feats is a STORED-table scan here — the
+        # double-scan is cheaper than caching a corpus-sized
+        # intermediate, and it keeps this measured stage's composition
+        # identical to the r7 protocol (round-8 salt_hot_cells default
+        # changed for derived-plan inputs)
+        salted = salt_hot_cells(feats, "hex_cell", cfg, bucket_max=50_000,
+                                materialize=False)
         (salted.repartitionByRange(64, F.col("hex_cell"), F.col("salt"))
                .sortWithinPartitions("hex_cell", "id")
                .write.mode("overwrite").parquet(f"/dev/shm/_scaling_out_{cpus}"))
