@@ -368,23 +368,6 @@ def make_polygons_df(spark, polys: list[dict]) -> DataFrame:
 
 # ------------------------------------------------------------------ kNN
 
-def _ring_cells_udf(res: int, ring: int):
-    @F.pandas_udf(ArrayType(LongType()))
-    def _u(cell: pd.Series) -> pd.Series:
-        return cell.map(lambda c: cell_fn.hex_k_ring(int(c), ring))
-    return _u
-
-
-def _ring_cells_pair_udf(res: int):
-    """k_ring with a per-row ring radius (per-query adaptive seeding)."""
-    @F.pandas_udf(ArrayType(LongType()))
-    def _u(cell: pd.Series, ring: pd.Series) -> pd.Series:
-        return pd.Series(
-            [cell_fn.hex_k_ring(int(c), int(r)) for c, r in zip(cell, ring)]
-        )
-    return _u
-
-
 def knn_join(
     points: DataFrame,
     queries: DataFrame,
