@@ -353,6 +353,18 @@ def _encode_relation_udf(
     return pd.DataFrame({"feature_type": ft_out, "encoded": outs})
 
 
+# Each branch filters on the UDF's own output (isnotnull(_fe.encoded),
+# the F2/F3/F9 drop). The optimizer pushes that filter below the
+# projection by duplicating the UDF call, so every row paid the whole
+# encode kernel twice (plan: two ArrowEvalPython per branch). Marking
+# the UDFs non-deterministic forbids the duplication and yields a
+# single evaluation below the filter (guide §4.4); the kernels are
+# value-deterministic, so results are unchanged.
+_encode_point_udf = _encode_point_udf.asNondeterministic()
+_encode_way_udf = _encode_way_udf.asNondeterministic()
+_encode_relation_udf = _encode_relation_udf.asNondeterministic()
+
+
 # ------------------------------------------------------------- pipelines
 
 FEATURE_COLS = [
