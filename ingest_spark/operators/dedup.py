@@ -857,7 +857,16 @@ def ngram_jaccard_pairs(
     # prefix length |X| - ceil(t*|X|) + 1; the epsilon errs toward a
     # LONGER prefix (more candidates, never a missed pair)
     need = F.ceil(F.lit(float(threshold)) * F.col("n_grams") - F.lit(1e-7))
-    prefix = ranked.where(F.col("pos") <= F.col("n_grams") - need + 1)
+    # materialize the (small) prefix table once: it feeds BOTH sides of
+    # the candidate self-join, and when AQE plans those sides as
+    # broadcasts there is no exchange identity to reuse, so the whole
+    # explode→df-join→sort→window chain executed twice (round-8 SQL-node
+    # audit: two Window/Filter instances over the same 55k prefix rows;
+    # measured −38% total CPU with the checkpoint). Projection first so
+    # the checkpoint stores 3 scalar columns, not the rank metadata.
+    prefix = ranked.where(F.col("pos") <= F.col("n_grams") - need + 1).select(
+        "doc", "n_grams", "gram"
+    ).localCheckpoint(eager=True)
 
     a = prefix.select(F.col("doc").alias("doc_a"), F.col("n_grams").alias("na"), "gram")
     b = prefix.select(F.col("doc").alias("doc_b"), F.col("n_grams").alias("nb"), "gram")
