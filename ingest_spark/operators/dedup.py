@@ -348,10 +348,21 @@ def connected_components(
     """
     # materialize the symmetrized edges ONCE: they sit on the probe side
     # of every round's joins, and the upstream pair pipeline (a banded
-    # LSH self-join for dup_components) must not re-execute per round
-    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
-        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
-    ).distinct().localCheckpoint(eager=True)
+    # LSH self-join for dup_components) must not re-execute per round.
+    # Dedup on the CANONICAL half-set (least, greatest), then mirror
+    # with a map-side union: the distinct's exchange carries |E| rows
+    # instead of 2|E| mirrored ones (guide §2.3 — half the shuffle
+    # bytes at every scale) and the symmetrized edge SET is identical.
+    # A self-loop would surface as a duplicated row rather than one —
+    # harmless to both tiers (union-find and min-label are idempotent)
+    # and unreachable from the dedup pair producers (strict a < b).
+    canon = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("s"),
+        F.greatest(F.col(src), F.col(dst)).alias("d"),
+    ).distinct()
+    sym = canon.unionByName(
+        canon.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint(eager=True)
 
     # ONE action decides the tier AND fetches the edges: take(threshold+1)
     # returns every row iff the graph is driver-sized (replacing the old
