@@ -1251,7 +1251,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantized coords and aggregates them, so the oracle checks the
         # whole chain: fan-out tile set, buffer inclusion, and the
         # floor(x+0.5) integer grid — re-derived exactly in SQL.
-        from ingest_spark.operators.tiling import decode_mvt_payload, mvt_tiles
+        from ingest_spark.operators.tiling import (
+            decode_mvt_payload_point_sums, mvt_tiles,
+        )
 
         g = _points(spark, sf).select(
             "id", F.lit("point").alias("gtype"),
@@ -1268,15 +1270,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     pdf["tile_z"], pdf["tile_x"], pdf["tile_y"],
                     pdf["n_features"], pdf["payload"],
                 ):
-                    feats = decode_mvt_payload(bytes(payload))
+                    # vectorized whole-payload decode with exact
+                    # fallback (round-8: the per-feature Python loop
+                    # was ~1.4 s/run over 3,431 tiles); sums identical
+                    # by parity test either path
+                    sqx, sqy = decode_mvt_payload_point_sums(bytes(payload))
                     rows["tile_z"].append(int(tz))
                     rows["tile_x"].append(int(tx))
                     rows["tile_y"].append(int(ty))
                     rows["n_features"].append(int(nf))
-                    rows["sum_qx"].append(sum(
-                        int(part[0].sum()) for f in feats for part in f[2]))
-                    rows["sum_qy"].append(sum(
-                        int(part[1].sum()) for f in feats for part in f[2]))
+                    rows["sum_qx"].append(sqx)
+                    rows["sum_qy"].append(sqy)
                 yield pd.DataFrame(rows)
 
         return t.mapInPandas(

@@ -1344,6 +1344,71 @@ def mvt_tiles(
     )
 
 
+def decode_mvt_payload_point_sums(payload: bytes):
+    """(sum_qx, sum_qy) over every decoded coordinate of a tile
+    payload — the aggregate the mvt_points_tiles contract row needs.
+
+    Fast path: an all-single-point payload is, at the byte level, a
+    flat varint stream with a fixed stride of 6 varints per feature
+    (id, gtype byte 1, glen, MoveTo command 9, zigzag qx, zigzag qy —
+    the gtype byte is < 0x80 so it parses as a 1-byte varint), which
+    one numpy pass decodes whole: varint boundaries are the bytes with
+    the continuation bit clear, values fold in ≤ ten vectorized
+    shift-or steps, and the stride pattern is VERIFIED (count, gtype
+    and command slots, per-feature glen equal to its measured
+    geometry byte span) before being trusted. Any payload that fails
+    a check — lines, polygons, multi-point features — falls back to
+    the exact per-feature decoder, so the result is always identical
+    to summing decode_mvt_payload's parts (parity-tested either way).
+    ~20× the per-feature Python loop on point tiles (round-8: the
+    mvt_points_tiles query spent ~1.4 s/run decoding 3,431 tiles)."""
+    import numpy as np
+
+    from ..functions import varint
+
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    ends = np.nonzero(buf < 0x80)[0]
+    n_v = len(ends)
+    starts = np.empty(n_v, dtype=np.int64)
+    if n_v:
+        starts[0] = 0
+        starts[1:] = ends[:-1] + 1
+    lens = ends - starts + 1
+    ok = (
+        n_v >= 1
+        and len(payload)
+        and int(ends[-1]) == len(payload) - 1
+        and int(lens.max(initial=1)) <= 10
+    )
+    if ok:
+        vals = np.zeros(n_v, dtype=np.uint64)
+        for j in range(int(lens.max())):
+            m = lens > j
+            vals[m] |= (buf[starts[m] + j].astype(np.uint64) & np.uint64(0x7F)) << np.uint64(7 * j)
+        n_feat = int(vals[0])
+        ok = n_v == 1 + 6 * n_feat
+        if ok and n_feat:
+            idx = 1 + 6 * np.arange(n_feat, dtype=np.int64)
+            geom_bytes = lens[idx + 3] + lens[idx + 4] + lens[idx + 5]
+            ok = (
+                bool(np.all(vals[idx + 1] == 1))        # gtype byte: point
+                and bool(np.all(lens[idx + 1] == 1))     # ...exactly one byte
+                and bool(np.all(vals[idx + 3] == 9))     # MoveTo, count 1
+                and bool(np.all(vals[idx + 2] == geom_bytes))  # glen spans geom
+            )
+        if ok:
+            if not n_feat:
+                return 0, 0
+            zx = vals[idx + 4]
+            zy = vals[idx + 5]
+            unzig = lambda u: (u >> np.uint64(1)).astype(np.int64) ^ -(u & np.uint64(1)).astype(np.int64)  # noqa: E731
+            return int(unzig(zx).sum()), int(unzig(zy).sum())
+    feats = decode_mvt_payload(payload)
+    sqx = sum(int(part[0].sum()) for f in feats for part in f[2])
+    sqy = sum(int(part[1].sum()) for f in feats for part in f[2])
+    return sqx, sqy
+
+
 def decode_mvt_payload(payload: bytes):
     """Inverse of mvt_tiles' per-tile pack → list of
     (id, gtype, [(qx, qy) int64 arrays])."""

@@ -384,3 +384,66 @@ class TestFeatureGeometries:
         g = feature_geometries(nodes.where(F.col("tags") != ""), aw, ar_empty)
         rows = {r.id: r for r in g.collect()}
         assert rows[77].gtype == "line" and len(rows[77].xs) == 3
+
+
+class TestDecodePointSums:
+    """decode_mvt_payload_point_sums parity: the vectorized fast path
+    (all-single-point payloads) and the exact fallback (anything else)
+    must both equal summing decode_mvt_payload's parts."""
+
+    @staticmethod
+    def _loop_sums(payload: bytes):
+        from ingest_spark.operators.tiling import decode_mvt_payload
+        feats = decode_mvt_payload(payload)
+        return (
+            sum(int(p[0].sum()) for f in feats for p in f[2]),
+            sum(int(p[1].sum()) for f in feats for p in f[2]),
+        )
+
+    def test_parity_on_operator_tiles_mixed_and_point_only(self, spark):
+        from ingest_spark.operators.tiling import (
+            decode_mvt_payload_point_sums, mvt_tiles,
+        )
+        df = spark.createDataFrame(
+            GEOMS, "id long, gtype string, xs array<double>, ys array<double>")
+        rows = mvt_tiles(df, z=6).collect()
+        assert rows
+        for r in rows:  # mix of point-only and line/polygon tiles
+            assert decode_mvt_payload_point_sums(bytes(r.payload)) == \
+                self._loop_sums(bytes(r.payload))
+
+    def test_parity_on_synthetic_point_payloads(self):
+        import random
+
+        from ingest_spark.functions import mvt as M
+        from ingest_spark.functions import varint
+        from ingest_spark.operators.tiling import decode_mvt_payload_point_sums
+
+        rng = random.Random(11)
+        for trial in range(50):
+            n = rng.randrange(0, 20)
+            buf = [varint.encode(n)]
+            for i in range(n):
+                # coords span negatives and multi-byte varint ranges
+                qx, qy = rng.randrange(-70, 4200), rng.randrange(-70, 4200)
+                g = M.encode_geometry("point", [([qx], [qy])])
+                buf += [varint.encode(1000 + i), b"\x01", varint.encode(len(g)), g]
+            payload = b"".join(buf)
+            assert decode_mvt_payload_point_sums(payload) == \
+                self._loop_sums(payload)
+
+    def test_fallback_on_multipoint_and_line(self):
+        from ingest_spark.functions import mvt as M
+        from ingest_spark.functions import varint
+        from ingest_spark.operators.tiling import decode_mvt_payload_point_sums
+
+        # a 2-point feature (MoveTo count 2) must not match the
+        # single-point stride and must still sum exactly
+        g = M.encode_geometry("point", [([5, 9], [6, -3])])
+        payload = varint.encode(1) + varint.encode(1) + b"\x01" + \
+            varint.encode(len(g)) + g
+        assert decode_mvt_payload_point_sums(payload) == self._loop_sums(payload)
+        gl = M.encode_geometry("line", [([0, 10, 20], [0, 12, 4])])
+        payload = varint.encode(1) + varint.encode(2) + b"\x02" + \
+            varint.encode(len(gl)) + gl
+        assert decode_mvt_payload_point_sums(payload) == self._loop_sums(payload)
